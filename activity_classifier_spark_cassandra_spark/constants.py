@@ -1,0 +1,84 @@
+"""Engine constants, mirroring the reference's ``data/Constants.java``.
+
+Reference values (cited file:line into /root/reference/src/main/java/com/actitracker/):
+- tumbling window length  = 15 000 raw ticks   (data/Constants.java:8)
+- session gap threshold   = 300 000 raw ticks  (data/Constants.java:9)
+- train / test fractions  = 0.6 / 0.4          (data/Constants.java:12-13)
+- min samples per (user, activity) group = 100 (job/RecognizeActivity.java:74)
+- label map Walking=0 .. Downstairs=5          (job/RecognizeActivity.java:187-200)
+
+All of them are *parameters* of our operators (the reference hard-codes
+them); these module constants are only the defaults.
+"""
+
+# --- reference parity constants (raw ticks; unit is dataset-defined) ---
+WINDOW_TICKS = 15_000
+SESSION_GAP_TICKS = 300_000
+# The reference's tests were written against this older gap value (the
+# comment at job/RecognizeActivity.java:159-160 still names it); fixture
+# tests pass it explicitly.  See FIXTURES.md §4.
+LEGACY_SESSION_GAP_TICKS = 100_000_000
+
+TRAIN_FRACTION = 0.6
+TEST_FRACTION = 0.4
+RANDOM_SEED = 42  # reference leaves randomSplit unseeded; we pin it
+RF_SEED = 12345  # model/RandomForests.java:38
+
+MIN_SAMPLES_PER_GROUP = 100
+
+# Fixed label encoding (job/RecognizeActivity.java:187-200; NOT
+# frequency-ordered, so a StringIndexer would be wrong).
+ACTIVITY_LABELS = {
+    "Walking": 0.0,
+    "Jogging": 1.0,
+    "Standing": 2.0,
+    "Sitting": 3.0,
+    "Upstairs": 4.0,
+    "Downstairs": 5.0,
+}
+
+# The driver testdata's `events` table plays the sensor-stream role
+# (TESTDATA.md); its event_type stands in for `activity`.  Fixed,
+# alphabetical encoding.
+EVENT_TYPE_LABELS = {
+    "click": 0.0,
+    "error": 1.0,
+    "purchase": 2.0,
+    "signup": 3.0,
+    "view": 4.0,
+}
+
+# Scale-appropriate session/window parameters for the `events` table
+# (timestamps are real wall-clock; events per user arrive hours apart,
+# so the accelerometer-scale constants above would put every row in its
+# own session).  Milliseconds.
+EVENTS_SESSION_GAP_MS = 36 * 3_600_000  # 36 h of silence ends a session
+EVENTS_WINDOW_MS = 24 * 3_600_000  # one-day tumbling windows
+
+# 11-feature order, fixed by job/RecognizeActivity.java:171-185.
+FEATURE_COLS = [
+    "mean_x",
+    "mean_y",
+    "mean_z",
+    "var_x",
+    "var_y",
+    "var_z",
+    "avg_abs_diff_x",
+    "avg_abs_diff_y",
+    "avg_abs_diff_z",
+    "resultant",
+    "avg_time_peak",
+]
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]

@@ -1,0 +1,191 @@
+"""Text analysis for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting — over the
+driver's ``documents`` table (doc_id, text, lang, source, n_chars).
+
+Everything is built-in Column expressions (JVM-side, codegen'd): the
+hot path never leaves whole-stage codegen, so the same plan scans
+100 TB of parquet text with nothing but a projection over the scan —
+no shuffle at all for per-document scores; one exchange only where a
+groupBy genuinely needs it (fingerprint duplicate counts).
+
+Each query has a DuckDB oracle string whose expressions are kept
+operation-for-operation identical (same regexes, same token filters,
+same rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+# tiny fixed stopword lists (public knowledge); used for both the
+# stopword-ratio quality signal and the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "dans"],
+}
+
+_TOKENIZE = r"""list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+# Spark SQL equivalent (0-based arrays, same regex dialect for \s):
+_TOKENIZE_SPARK = r"""filter(split(text, '\\s+'), x -> x != '')"""
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _tokens_col() -> F.Column:
+    return F.expr(_TOKENIZE_SPARK)
+
+
+# ------------------------------------------------------------ stats
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: token count, average token
+    length, punctuation ratio, English-stopword ratio, and a composite
+    quality score.  Pure projection — scales linearly, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    en = _sql_in_list(STOPWORDS["en"])
+    n_tokens = F.size(toks)
+    avg_token_len = F.expr(
+        f"aggregate({_TOKENIZE_SPARK}, 0L, (acc, x) -> acc + length(x))"
+    ) / n_tokens
+    punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    stop_hits = F.expr(
+        f"size(filter({_TOKENIZE_SPARK}, x -> x IN ({en})))"
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  LENGTH(text) AS text_len,
+  LEN({_TOKENIZE}) AS n_tokens,
+  ROUND(LIST_SUM(LIST_TRANSFORM({_TOKENIZE}, x -> LENGTH(x)))
+        / LEN({_TOKENIZE}), 6) AS avg_token_len,
+  ROUND(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))
+        / LENGTH(text), 6) AS punct_ratio,
+  ROUND(LEN(LIST_FILTER({_TOKENIZE},
+            x -> x IN ({_sql_in_list(STOPWORDS["en"])})))
+        / LEN({_TOKENIZE}), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ lang id
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, pick
+    the argmax with a fixed precedence (en > de > es > fr) on ties.
+    Again a pure projection over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.expr(
+            f"size(filter({_TOKENIZE_SPARK},"
+            f" x -> x IN ({_sql_in_list(words)})))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["es"] == best, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].cast("long").alias("score_en"),
+        scores["de"].cast("long").alias("score_de"),
+        scores["es"].cast("long").alias("score_es"),
+        scores["fr"].cast("long").alias("score_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"LEN(LIST_FILTER({_TOKENIZE},"
+        f" x -> x IN ({_sql_in_list(STOPWORDS[lang])})))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_lang_score_sql("en")} AS score_en,
+    {_lang_score_sql("de")} AS score_de,
+    {_lang_score_sql("es")} AS score_es,
+    {_lang_score_sql("fr")} AS score_fr
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+  CASE WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr)
+         THEN 'en'
+       WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr)
+         THEN 'de'
+       WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr)
+         THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM scored
+"""
+
+
+# ------------------------------------------------------------ BPE-ish tokens
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish
+    word/punctuation regex — the standard pre-training corpus size
+    estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens_col())
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  LEN({_TOKENIZE}) AS n_ws_tokens,
+  LEN(REGEXP_EXTRACT_ALL(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ fingerprint
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (lowercase,
+    collapsed whitespace) — the canonical exact-dup key.  Grouping on
+    the 32-byte digest instead of the full text keeps the exchange
+    narrow at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS first_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""

@@ -1,0 +1,198 @@
+"""The batch feature pipeline (reference entry point #1,
+job/RecognizeActivity.java:34-148) re-expressed as ONE lazy Spark plan.
+
+Reference lifecycle: collect user ids to the driver, nested
+for-user/for-activity loop issuing one Cassandra query per pair, a
+per-window driver loop running ~9 Spark jobs per window, features
+appended to a driver ArrayList (SURVEY.md §3 — thousands of tiny jobs,
+driver-memory-bound).  Here the whole thing is:
+
+    read -> session_id (lag + running sum) -> window_id (floor bucket)
+         -> groupBy(user, type, session, window).agg(features) -> label
+
+i.e. one shuffle on the series keys (reused by every later stage — the
+window partitioning satisfies the groupBy's clustering) plus Catalyst's
+partial aggregation.  At 100 TB the same plan holds: the exchange is
+hash(user_id, event_type); skewed users are handled by AQE skew-join /
+salting, and nothing ever lands on the driver.
+
+The driver testdata's ``events`` table plays the sensor-table role
+(TESTDATA.md): event_type ≙ activity, value ≙ one acceleration axis,
+epoch-millis ≙ raw ticks.  Every query here has a DuckDB oracle SQL
+string next to it; floats are rounded identically on both sides so the
+order-insensitive value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import (
+    EVENT_TYPE_LABELS,
+    EVENTS_SESSION_GAP_MS,
+    EVENTS_WINDOW_MS,
+)
+from ..functions.labels import encode_event_type, label_case_sql
+from ..operators.features import extract_features
+from ..operators.sessions import session_bounds, with_session_id
+from ..operators.windows import with_window_id
+from ..sources.io import load_table
+
+KEYS = ["user_id", "event_type"]
+GROUP = ["user_id", "event_type", "session_id", "window_id"]
+
+
+def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 scan + P1 projection: events as (series keys, ms ticks,
+    value).  Column pruning reaches the parquet reader via Catalyst."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+    )
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_session_id(
+        event_samples(spark, sf_dir),
+        keys=KEYS,
+        ts_col="ts_ms",
+        gap=EVENTS_SESSION_GAP_MS,
+        tiebreak=["event_id"],
+    )
+
+
+def windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_window_id(
+        sessionized(spark, sf_dir),
+        keys=KEYS,
+        ts_col="ts_ms",
+        window_ticks=EVENTS_WINDOW_MS,
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3: per-session bounds (the distributed defineInterval)."""
+    b = session_bounds(
+        sessionized(spark, sf_dir),
+        keys=KEYS,
+        ts_col="ts_ms",
+        window_ticks=EVENTS_WINDOW_MS,
+    )
+    return b.select(
+        "user_id",
+        "event_type",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_rows",
+        "n_windows",
+    )
+
+
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-W5 + A3-A8 + P6/P7/P9 + P10: the flagship feature frame."""
+    feats = extract_features(
+        windowed(spark, sf_dir),
+        group_cols=GROUP,
+        axes={"v": "value"},
+        ts_col="ts_ms",
+        tiebreak=["event_id"],
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("window_id").cast("long").alias("window_id"),
+        "n_samples",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        F.round("avg_abs_diff_v", 6).alias("avg_abs_diff_v"),
+        F.round("resultant", 6).alias("resultant"),
+        F.round("avg_time_peak", 6).alias("avg_time_peak"),
+        encode_event_type().alias("label"),
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_BASE_CTES = f"""
+WITH src AS (
+  SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id, event_type
+         ORDER BY ts_ms, event_id) > {EVENTS_SESSION_GAP_MS}
+         THEN 1 ELSE 0 END AS is_new
+  FROM src
+), sess AS (
+  SELECT *,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id, event_type
+         ORDER BY ts_ms, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM flagged
+)
+"""
+
+SESSIONIZE_SQL = (
+    _BASE_CTES
+    + f"""
+SELECT user_id, event_type, session_id,
+  MIN(ts_ms) AS session_start,
+  MAX(ts_ms) AS session_end,
+  COUNT(*) AS n_rows,
+  CAST(FLOOR((MAX(ts_ms) - MIN(ts_ms)) / {EVENTS_WINDOW_MS}) AS BIGINT)
+    AS n_windows
+FROM sess
+GROUP BY user_id, event_type, session_id
+"""
+)
+
+SESSION_FEATURES_SQL = (
+    _BASE_CTES
+    + f""", win AS (
+  SELECT *,
+    MIN(ts_ms) OVER (PARTITION BY user_id, event_type, session_id)
+      AS session_start
+  FROM sess
+), winid AS (
+  SELECT *,
+    CAST(FLOOR((ts_ms - session_start) / {EVENTS_WINDOW_MS}) AS BIGINT)
+      AS window_id
+  FROM win
+), helpers AS (
+  SELECT *,
+    AVG(value) OVER g AS mean_in_group,
+    CASE WHEN CAST(TRUNC(value) AS BIGINT) >
+              0.9 * (MAX(CAST(TRUNC(value) AS BIGINT)) OVER g)
+         THEN ts_ms END AS peak_ts
+  FROM winid
+  WINDOW g AS (PARTITION BY user_id, event_type, session_id, window_id)
+), peaked AS (
+  SELECT *,
+    LAST_VALUE(peak_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id, event_type, session_id, window_id
+      ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_peak
+  FROM helpers
+)
+SELECT user_id, event_type, session_id, window_id,
+  COUNT(*) AS n_samples,
+  ROUND(AVG(value), 6) AS mean_v,
+  ROUND(VAR_SAMP(value), 6) AS var_v,
+  ROUND(AVG(ABS(value - mean_in_group)), 6) AS avg_abs_diff_v,
+  ROUND(AVG(SQRT(value * value)), 6) AS resultant,
+  ROUND(COALESCE(AVG(CASE WHEN peak_ts IS NOT NULL
+                           AND peak_ts - prev_peak > 0
+                          THEN CAST(peak_ts - prev_peak AS DOUBLE) END),
+                 0.0), 6) AS avg_time_peak,
+  {label_case_sql("event_type", EVENT_TYPE_LABELS)} AS label
+FROM peaked
+GROUP BY user_id, event_type, session_id, window_id
+"""
+)

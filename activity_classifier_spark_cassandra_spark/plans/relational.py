@@ -1,0 +1,575 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.8) over the driver's
+TPC-H-ish tables, one named query per inventory row, each with a DuckDB
+oracle SQL string.
+
+The reference has no SQL layer — its "relational" surface is manual
+projections/predicates pushed into CQL plus driver-side loops
+(SURVEY.md §2.2-2.3).  Here every operator is a declarative DataFrame
+plan so Catalyst does pushdown/pruning/join-selection; joins that the
+reference lacks entirely (§2.3 note) are first-class.
+
+Scale notes per query are in the docstrings: what shuffles, what
+broadcasts, and why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import EVENT_TYPE_LABELS
+from ..functions.labels import encode_event_type, label_case_sql
+from ..sources.io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------- A1
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 distinct: RecognizeActivity.java:50's user-id scan.  Partial
+    (map-side) distinct then a single exchange on user_id."""
+    return _t(spark, sf_dir, "events").select("user_id").distinct()
+
+
+DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+# --------------------------------------------------------------- A2
+def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 count gate: the `> 100 samples` check at
+    RecognizeActivity.java:74 as a grouped HAVING instead of one
+    driver-side count() job per (user, activity)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10)
+    )
+
+
+COUNT_GATE_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 10
+"""
+
+
+# --------------------------------------------------------------- A9
+def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the reference gets min/max by sorting and taking first()
+    (RecognizeActivity.java:152-153) — never sort for an extremum;
+    min/max are one-pass partial aggregates."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("first_ts"),
+            F.max(F.unix_millis("ts")).alias("last_ts"),
+        )
+    )
+
+
+MINMAX_TS_SQL = """
+SELECT user_id, event_type,
+       MIN(epoch_ms(ts)) AS first_ts, MAX(epoch_ms(ts)) AS last_ts
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------- P3
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 range filter with both bounds exclusive
+    (RecognizeActivity.java:244-246).  The predicate reaches the
+    parquet scan (PushedFilters) — at 100 TB this is row-group
+    pruning, not a post-scan filter."""
+    lo, hi = 1705276800000, 1705536000000  # 2024-01-15 .. 2024-01-18 (excl)
+    ts = F.unix_millis("ts")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((ts > F.lit(lo)) & (ts < F.lit(hi)))
+        .select("event_id", "user_id", "event_type", ts.alias("ts_ms"), "value")
+    )
+
+
+RANGE_FILTER_SQL = """
+SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+FROM events
+WHERE epoch_ms(ts) > 1705276800000 AND epoch_ms(ts) < 1705536000000
+"""
+
+
+# --------------------------------------------------------------- P10
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/F7: fixed CASE label map (RecognizeActivity.java:187-200)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", encode_event_type().alias("label")
+    )
+
+
+LABEL_ENCODE_SQL = f"""
+SELECT event_id, event_type,
+       {label_case_sql("event_type", EVENT_TYPE_LABELS)} AS label
+FROM events
+"""
+
+
+# --------------------------------------------------------------- P9/F5
+def q_truncate_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/F5: the double->long truncation of DataManager.java:22 (Java
+    cast semantics = truncate toward zero, hence TRUNC in the oracle —
+    DuckDB's bare CAST rounds)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.col("value").cast("long").alias("value_long")
+    )
+
+
+TRUNCATE_CAST_SQL = """
+SELECT event_id, value, CAST(TRUNC(value) AS BIGINT) AS value_long
+FROM events
+"""
+
+
+# --------------------------------------------------------------- A10/P8
+def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: filter(pred != label).count() / count() as a single
+    conditional mean (DecisionTrees.java:39-43) — no double pass."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("value") > 50.0, 1.0).otherwise(0.0)), 6
+            ).alias("rate"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ERROR_RATE_SQL = """
+SELECT event_type,
+       ROUND(AVG(CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END), 6) AS rate,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------- A6
+def q_two_pass_absdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 standalone: mean absolute deviation from the group mean
+    (ExtractFeature.java:53-65) — windowed mean feeds the aggregate;
+    the window partitioning is reused by the groupBy (one exchange)."""
+    w = Window.partitionBy("l_returnflag")
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_m", F.avg("l_quantity").over(w)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.abs(F.col("l_quantity") - F.col("_m"))), 6).alias(
+            "avg_abs_dev_qty"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+TWO_PASS_ABSDEV_SQL = """
+WITH m AS (
+  SELECT *, AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS _m
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(AVG(ABS(l_quantity - _m)), 6) AS avg_abs_dev_qty,
+       COUNT(*) AS n
+FROM m GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- A7/F1/F2
+def q_resultant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: mean resultant sqrt(x^2+y^2+z^2) (ExtractFeature.java:70-82),
+    here over three lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = F.sqrt(
+        F.col("l_quantity") * F.col("l_quantity")
+        + F.col("l_discount") * F.col("l_discount")
+        + F.col("l_tax") * F.col("l_tax")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(r), 6).alias("mean_resultant")
+    )
+
+
+RESULTANT_SQL = """
+SELECT l_returnflag,
+       ROUND(AVG(SQRT(l_quantity*l_quantity + l_discount*l_discount
+                      + l_tax*l_tax)), 6) AS mean_resultant
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- A3-A5
+def q_mean_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A5 in one grouped agg — the reference runs a separate
+    colStats treeAggregate per statistic per window.  var_samp (n-1)
+    parity per MultivariateOnlineSummarizer."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        )
+    )
+
+
+MEAN_VAR_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(AVG(l_extendedprice), 6) AS mean_price,
+       ROUND(VAR_SAMP(l_extendedprice), 4) AS var_price,
+       ROUND(MAX(l_extendedprice), 6) AS max_price,
+       ROUND(MIN(l_extendedprice), 6) AS min_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- O2/O3
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 sort + limit: Spark plans a TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, never a
+    global sort.  Tie-broken on event_id for determinism."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT event_id, user_id, value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q1
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + 8 aggs over 2 group keys.  Partial agg
+    map-side means the exchange carries ~6 rows per partition
+    regardless of SF — the canonical scale-proof aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q3
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> join -> agg ->
+    top-k.  customer is tiny -> broadcast (no shuffle for the first
+    join); orders⋈lineitem shuffles on orderkey, which AQE re-plans
+    at runtime if the filtered side turns out broadcastable."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.hint("shuffle_hash"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q5
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join.  region/nation/supplier/customer are
+    dimensions -> broadcast them all; the only shuffle left is
+    orders⋈lineitem on orderkey."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------- joins
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS.  The orders side is aggregated to its
+    keys by the anti-join itself; broadcast the smaller distinct-key
+    set at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS over a filtered fact side."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 done right: the reference's driver-side user×activity loop
+    (RecognizeActivity.java:53-74) becomes a broadcast hash join
+    against the dimension chain customer->nation->region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+BROADCAST_DIM_JOIN_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------- distinct agg
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase partial distinct
+    aggregate; no driver involvement."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- rollup
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference; free in Spark)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------- pivot
+def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (portable; Spark's .pivot()
+    plans the same conditional-agg shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))),
+            2,
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))),
+            2,
+        ).alias("qty_filled"),
+    )
+
+
+CONDITIONAL_PIVOT_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+         AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+         AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- ranking
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the standard
+    grouped-top-k; one exchange on the partition key, then a
+    per-partition sort (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------- set ops
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: the reference has no set ops; union/intersect/except are
+    free in Spark.  Customers in ASIA union customers with open orders."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    asia = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    open_orders = (
+        cust.join(
+            orders.filter(F.col("o_orderstatus") == "O"),
+            cust.c_custkey == orders.o_custkey,
+            "left_semi",
+        ).select("c_custkey")
+    )
+    return asia.union(open_orders).distinct()
+
+
+UNION_DISTINCT_SQL = """
+SELECT c_custkey FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+UNION
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""

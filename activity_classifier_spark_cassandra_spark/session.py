@@ -1,0 +1,40 @@
+"""SparkSession factory.
+
+One builder for the whole engine: AQE on (runtime re-planning +
+skew-join handling), Arrow on (Pandas-UDF fast path), UTC timezone
+(parity with the DuckDB oracle, whose timestamps are UTC-naive),
+shuffle partitions sized for the local-mode test box.  On a real
+cluster the same code runs with ``master``/memory supplied by
+spark-submit; nothing here is local-mode-specific except the defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "activity_classifier_spark_cassandra_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,92 @@
+"""Sources & sinks (reference operators S1-S6, SURVEY.md §2.1).
+
+The reference scans a Cassandra table (job/RecognizeActivity.java:49),
+reads CSV fixtures in tests, writes features row-at-a-time over JDBC
+(data/SampledDataDump.java:25-40) and persists mllib models to the
+filesystem.  Spark-first equivalents:
+
+- S1 table scan   -> ``spark.read.parquet`` (columnar, predicate/column
+  pushdown; swap format for ``org.apache.spark.sql.cassandra`` in a real
+  deployment — the connector jar is not in this image, so it is gated).
+- S2 CSV scan     -> ``spark.read.csv`` with an explicit schema.
+- S3 local rows   -> ``spark.createDataFrame``.
+- S4 JDBC sink    -> ``df.write.jdbc`` (one batched executor-side write
+  per partition instead of a driver-side INSERT loop); parquet sink as
+  the default at scale.
+- S5/S6 models    -> ``PipelineModel.save/load`` (see ml/models.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..constants import TPCH_TABLES
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType()),
+        T.StructField("activity", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("acc_x", T.DoubleType()),
+        T.StructField("acc_y", T.DoubleType()),
+        T.StructField("acc_z", T.DoubleType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-testdata table (parquet; pushdown-friendly)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_samples_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: headerless CSV -> typed samples frame (test fixtures).
+
+    Reference: sc.textFile(path).map(split(",")) at
+    src/test/java/com/actitracker/data/ExtractFeatureTest.java:25-31.
+    """
+    return spark.read.csv(path, schema=SAMPLES_SCHEMA, header=False)
+
+
+def write_features_parquet(df: DataFrame, path: str) -> None:
+    """Default feature-table sink: parquet, overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_features_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str = "activity_with_features",
+    properties: dict | None = None,
+) -> None:
+    """S4 parity: the reference INSERTs one row per feature vector from
+    the driver (data/SampledDataDump.java:25-40).  Distributed JDBC
+    write instead: each partition opens one connection and batches.
+    """
+    df.write.mode("append").jdbc(url, table, properties=properties or {})
+
+
+def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
+    """S1 production path.  Requires the spark-cassandra-connector jar
+    (not bundled in this image); gated so local tests never touch it.
+    """
+    return (
+        spark.read.format("org.apache.spark.sql.cassandra")
+        .options(keyspace=keyspace, table=table)
+        .load()
+    )
