@@ -50,7 +50,10 @@ def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.unix_millis("ts").alias("ts_ms"),
+        # ts is a long of epoch nanos (nanosAsLong read); integer DIV
+        # keeps the ns->ms conversion exact (double division would lose
+        # precision at 1e18) and matches DuckDB's epoch_ms truncation.
+        F.expr("ts DIV 1000000").alias("ts_ms"),
         "value",
     )
 

@@ -64,8 +64,10 @@ def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(
-            F.min(F.unix_millis("ts")).alias("first_ts"),
-            F.max(F.unix_millis("ts")).alias("last_ts"),
+            # ts arrives as long epoch nanos (nanosAsLong); integer DIV
+            # is exact and matches DuckDB's epoch_ms truncation.
+            F.min(F.expr("ts DIV 1000000")).alias("first_ts"),
+            F.max(F.expr("ts DIV 1000000")).alias("last_ts"),
         )
     )
 
@@ -84,11 +86,19 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan (PushedFilters) — at 100 TB this is row-group
     pruning, not a post-scan filter."""
     lo, hi = 1705276800000, 1705536000000  # 2024-01-15 .. 2024-01-18 (excl)
-    ts = F.unix_millis("ts")
+    ts_ms = F.expr("ts DIV 1000000")
+    # Predicates are rewritten onto the raw nanos column (ts_ms > lo
+    # <=> ts >= (lo+1)*1e6) so they reach the parquet scan as
+    # PushedFilters — a DIV expression in the predicate would not.
     return (
         _t(spark, sf_dir, "events")
-        .filter((ts > F.lit(lo)) & (ts < F.lit(hi)))
-        .select("event_id", "user_id", "event_type", ts.alias("ts_ms"), "value")
+        .filter(
+            (F.col("ts") >= F.lit((lo + 1) * 1_000_000))
+            & (F.col("ts") < F.lit(hi * 1_000_000))
+        )
+        .select(
+            "event_id", "user_id", "event_type", ts_ms.alias("ts_ms"), "value"
+        )
     )
 
 

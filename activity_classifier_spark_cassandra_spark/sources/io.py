@@ -38,7 +38,14 @@ SAMPLES_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver-testdata table (parquet; pushdown-friendly)."""
+    """Scan one driver-testdata table (parquet; pushdown-friendly).
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set here at runtime (it
+    is a dynamic SQL conf) so sessions not built by our factory — e.g.
+    the driver's own — can still read events.parquet's TIMESTAMP(NANOS)
+    column, which arrives as a long of epoch nanoseconds.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
