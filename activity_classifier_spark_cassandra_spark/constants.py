@@ -25,6 +25,10 @@ RANDOM_SEED = 42  # reference leaves randomSplit unseeded; we pin it
 RF_SEED = 12345  # model/RandomForests.java:38
 
 MIN_SAMPLES_PER_GROUP = 100
+# Events-table scale-down of the same gate: the driver's `events` has
+# ~67 rows per (user, event_type) at sf0.01, so the reference's 100
+# would filter everything; 10 keeps the HAVING selective but non-empty.
+EVENTS_MIN_SAMPLES = 10
 
 # Fixed label encoding (job/RecognizeActivity.java:187-200; NOT
 # frequency-ordered, so a StringIndexer would be wrong).

@@ -33,6 +33,13 @@ from .text import _TOKENIZE, _TOKENIZE_SPARK
 
 N_MINHASH = 16
 SHINGLE_K = 3
+# Document-frequency cap for the Jaccard candidate join: a shingle
+# appearing in k docs contributes k^2/2 candidate rows, so hot (stop)
+# shingles make the join quadratic at scale.  Shingles with df >
+# MAX_SHINGLE_DF are dropped from the join (both engines identically);
+# at 100 TB this is the standard stop-shingle guard, at test scale
+# (max df ~9) it drops nothing, keeping the oracle check exact.
+MAX_SHINGLE_DF = 50
 
 
 # ------------------------------------------------------------ exact
@@ -99,15 +106,29 @@ doc_shingles AS (
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.1.
 
-    explode(shingles) -> self-equi-join on shingle -> count common ->
-    join per-doc shingle counts -> filter.  The only quadratic term is
-    per-shingle collision lists, which is the textbook trade; hot
-    (stop) shingles would be frequency-capped at real scale."""
+    explode(shingles) -> drop shingles with document frequency >
+    MAX_SHINGLE_DF (the stop-shingle guard that bounds per-shingle
+    collision lists, hence join output, at scale) -> self-equi-join on
+    shingle -> count common -> join per-doc shingle counts -> filter.
+
+    NOTE the Jaccard denominator still uses the *uncapped* per-doc
+    shingle counts, so capping only prunes candidate generation — a
+    pair sharing only ultra-hot shingles is treated as not-near-dup,
+    the documented trade of every shingle-LSH system."""
     sh = _doc_shingles(spark, sf_dir)
     counts = sh.select(
         "doc_id", F.size("shingles").cast("long").alias("n_sh")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    ex_all = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = (
+        ex_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    # df-filter is a broadcast-able semi join at test scale; at 100 TB
+    # it is a shuffle semi join on the shingle key — still linear.
+    ex = ex_all.join(rare, "sh", "left_semi")
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -139,8 +160,13 @@ WITH {_DOC_SHINGLES_CTE},
 counts AS (
   SELECT doc_id, LEN(shingles) AS n_sh FROM doc_shingles
 ),
-ex AS (
+ex_all AS (
   SELECT doc_id, UNNEST(shingles) AS sh FROM doc_shingles
+),
+ex AS (
+  SELECT doc_id, sh FROM ex_all
+  WHERE sh IN (SELECT sh FROM ex_all GROUP BY sh
+               HAVING COUNT(*) <= {MAX_SHINGLE_DF})
 ),
 common AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
@@ -232,27 +258,44 @@ WHERE ROUND(n_match / {N_MINHASH}.0, 6) >= 0.25
 
 
 # ------------------------------------------------------------ simhash
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (token-hash bit voting), grouped by
-    signature — docs sharing a signature are near-dup candidates.
-    Pure projection + one narrow groupBy; hamming-neighbor lookup
-    would add rotations of the same signature key."""
-    docs = load_table(spark, sf_dir, "documents")
-    # per-token 16-bit hash from the first 4 hex chars of md5
+SIMHASH_BITS = 60  # 60 = 15 hex chars: max signed int64 both engines
+SIMHASH_BANDS = 4  # 4 bands x 15 bits for hamming-neighbor lookup
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_sig_spark() -> str:
+    """60-bit SimHash signature as a Spark SQL expression (token-hash
+    bit voting).  16 bits is a toy at corpus scale — 65k buckets can't
+    separate near-dups in a 100 TB corpus; 60 bits + banded hamming
+    lookup is the standard production shape."""
+    # per-token 60-bit hash from the first 15 hex chars of md5
     tok_hash = (
         f"transform({_TOKENIZE_SPARK},"
-        f" t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS INT))"
+        f" t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
     )
     # bit j vote: sum(+1 if bit set else -1) > 0 -> bit j of signature
     bit_votes = (
-        f"transform(sequence(0, 15), j -> "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
         f"CASE WHEN aggregate({tok_hash}, 0,"
-        f" (acc, h) -> acc + CASE WHEN (h & shiftleft(1, j)) > 0"
-        f" THEN 1 ELSE -1 END) > 0 THEN shiftleft(1, j) ELSE 0 END)"
+        f" (acc, h) -> acc + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), j)) != 0"
+        f" THEN 1 ELSE -1 END) > 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
     )
-    sig = f"aggregate({bit_votes}, 0, (acc, b) -> acc + b)"
     return (
-        docs.select("doc_id", F.expr(sig).cast("long").alias("simhash"))
+        f"aggregate({bit_votes}, CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, grouped by signature — identical
+    signatures are exact near-dup buckets.  Pure projection + one
+    narrow groupBy on an 8-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr(_simhash_sig_spark()).alias("simhash")
+        )
         .groupBy("simhash")
         .agg(
             F.min("doc_id").alias("first_doc_id"),
@@ -263,20 +306,86 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOK_HASH_DUCKDB = (
     f"list_transform({_TOKENIZE},"
-    f" t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER))"
+    f" t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
 )
+
+_SIMHASH_SIG_DUCKDB = f"""
+    CAST(list_sum(list_transform(range({SIMHASH_BITS}), j ->
+      CASE WHEN list_sum(list_transform({_TOK_HASH_DUCKDB}, h ->
+             CASE WHEN (h & (CAST(1 AS BIGINT) << j)) != 0
+                  THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+"""
 
 SIMHASH_SQL = f"""
 WITH sigs AS (
-  SELECT doc_id,
-    CAST(list_sum(list_transform(range(16), j ->
-      CASE WHEN list_sum(list_transform({_TOK_HASH_DUCKDB}, h ->
-             CASE WHEN (h & (1 << j)) > 0 THEN 1 ELSE -1 END)) > 0
-           THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+  SELECT doc_id, {_SIMHASH_SIG_DUCKDB} AS simhash
   FROM documents
 )
 SELECT simhash, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_docs
 FROM sigs GROUP BY simhash
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: LSH over the signature — split the
+    60-bit signature into 4 x 15-bit bands, candidate pairs share at
+    least one band (pigeonhole: any pair within hamming distance 3
+    must agree on one of 4 bands), then verify hamming(sig1, sig2) <=
+    3 exactly with bit_count(xor).  Banded equi-join, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", F.expr(_simhash_sig_spark()).alias("simhash")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), i ->"
+                f" (simhash >> (i * {SIMHASH_BAND_BITS}))"
+                f" & {(1 << SIMHASH_BAND_BITS) - 1})"
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()  # a pair can share several bands
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+SIMHASH_NEAR_DUP_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id, {_SIMHASH_SIG_DUCKDB} AS simhash
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, simhash, i AS band,
+         (simhash >> (i * {SIMHASH_BAND_BITS}))
+           & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM sigs, UNNEST(range({SIMHASH_BANDS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -315,7 +424,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "lbl")
         .filter(F.col("vec1") < F.col("vec2"))
         .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= 0.8)
+        # 0.2 keeps the check non-vacuous on the synthetic embeddings
+        # (max within-cluster cosine there is ~0.47; a production
+        # near-dup threshold like 0.8 returns 0 rows and proves nothing)
+        .filter(F.col("cosine") >= 0.2)
         .select("vec1", "vec2", "lbl", "cosine")
     )
 
@@ -334,5 +446,5 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec1, vec2, lbl, cosine FROM pairs WHERE cosine >= 0.8
+SELECT vec1, vec2, lbl, cosine FROM pairs WHERE cosine >= 0.2
 """

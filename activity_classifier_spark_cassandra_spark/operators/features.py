@@ -70,9 +70,14 @@ def extract_features(
     )
     d = d.withColumn("_resultant", F.sqrt(sq_sum))
 
-    # peak detection (P6/P9): truncate to long, threshold at 0.9*max
+    # peak detection (P6/P9): the *sample* is truncated to long
+    # (data/DataManager.java:22) but the max it is compared against is
+    # the UNtruncated double (the colStats summary is built over double
+    # vectors, job/RecognizeActivity.java:96-101; threshold at
+    # data/ExtractFeature.java:90-93) — a long in (0.9*floor(max),
+    # 0.9*max] is NOT a peak.
     d = d.withColumn("_peak_v", F.col(peak_axis).cast("long"))
-    d = d.withColumn("_peak_max", F.max("_peak_v").over(part))
+    d = d.withColumn("_peak_max", F.max(F.col(peak_axis)).over(part))
     d = d.withColumn(
         "_peak_ts",
         F.when(F.col("_peak_v") > 0.9 * F.col("_peak_max"), F.col(ts_col)),

@@ -51,9 +51,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_col()
     en = _sql_in_list(STOPWORDS["en"])
     n_tokens = F.size(toks)
+    # NULLIF guards: empty / whitespace-only documents would otherwise
+    # divide by zero, where Spark and DuckDB disagree (NULL vs NaN/Inf);
+    # both engines deterministically return NULL under NULLIF.
+    safe_tokens = F.nullif(n_tokens, F.lit(0))
+    safe_len = F.nullif(F.length("text"), F.lit(0))
     avg_token_len = F.expr(
         f"aggregate({_TOKENIZE_SPARK}, 0L, (acc, x) -> acc + length(x))"
-    ) / n_tokens
+    ) / safe_tokens
     punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
     stop_hits = F.expr(
         f"size(filter({_TOKENIZE_SPARK}, x -> x IN ({en})))"
@@ -63,8 +68,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("text_len"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(avg_token_len, 6).alias("avg_token_len"),
-        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
-        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(punct / safe_len, 6).alias("punct_ratio"),
+        F.round(stop_hits / safe_tokens, 6).alias("stopword_ratio"),
     )
 
 
@@ -73,12 +78,12 @@ SELECT doc_id,
   LENGTH(text) AS text_len,
   LEN({_TOKENIZE}) AS n_tokens,
   ROUND(LIST_SUM(LIST_TRANSFORM({_TOKENIZE}, x -> LENGTH(x)))
-        / LEN({_TOKENIZE}), 6) AS avg_token_len,
+        / NULLIF(LEN({_TOKENIZE}), 0), 6) AS avg_token_len,
   ROUND(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))
-        / LENGTH(text), 6) AS punct_ratio,
+        / NULLIF(LENGTH(text), 0), 6) AS punct_ratio,
   ROUND(LEN(LIST_FILTER({_TOKENIZE},
             x -> x IN ({_sql_in_list(STOPWORDS["en"])})))
-        / LEN({_TOKENIZE}), 6) AS stopword_ratio
+        / NULLIF(LEN({_TOKENIZE}), 0), 6) AS stopword_ratio
 FROM documents
 """
 

@@ -171,8 +171,7 @@ SESSION_FEATURES_SQL = (
 ), helpers AS (
   SELECT *,
     AVG(value) OVER g AS mean_in_group,
-    CASE WHEN CAST(TRUNC(value) AS BIGINT) >
-              0.9 * (MAX(CAST(TRUNC(value) AS BIGINT)) OVER g)
+    CASE WHEN CAST(TRUNC(value) AS BIGINT) > 0.9 * (MAX(value) OVER g)
          THEN ts_ms END AS peak_ts
   FROM winid
   WINDOW g AS (PARTITION BY user_id, event_type, session_id, window_id)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..constants import EVENT_TYPE_LABELS
+from ..constants import EVENT_TYPE_LABELS, EVENTS_MIN_SAMPLES
 from ..functions.labels import encode_event_type, label_case_sql
 from ..sources.io import load_table
 
@@ -37,21 +37,27 @@ DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
 
 
 # --------------------------------------------------------------- A2
-def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_count_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    min_samples: int = EVENTS_MIN_SAMPLES,
+) -> DataFrame:
     """A2 count gate: the `> 100 samples` check at
     RecognizeActivity.java:74 as a grouped HAVING instead of one
-    driver-side count() job per (user, activity)."""
+    driver-side count() job per (user, activity).  The threshold is a
+    parameter (reference value = constants.MIN_SAMPLES_PER_GROUP;
+    default is the documented events-scale constant)."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 10)
+        .filter(F.col("n") > min_samples)
     )
 
 
-COUNT_GATE_SQL = """
+COUNT_GATE_SQL = f"""
 SELECT user_id, event_type, COUNT(*) AS n
-FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 10
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > {EVENTS_MIN_SAMPLES}
 """
 
 
@@ -395,19 +401,22 @@ GROUP BY n_name
 
 # --------------------------------------------------------------- joins
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti = NOT EXISTS.  The orders side is aggregated to its
-    keys by the anti-join itself; broadcast the smaller distinct-key
-    set at scale."""
+    """left_anti = NOT EXISTS, against *high-value* orders so the check
+    has teeth (every customer has some order in this data; an
+    unfiltered anti-join returns 0 rows and a 0=0 oracle match proves
+    nothing).  The orders side is reduced to its keys by the anti-join
+    itself; broadcast the smaller distinct-key set at scale."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 """
 
 
