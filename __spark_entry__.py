@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every operator row of SURVEY.md §2 that is implemented has an entry
+here; ML queries (not SQL-expressible) are registered without an
+oracle → rows-only check, with exact-value pytest coverage instead.
 """
 
 from __future__ import annotations
@@ -13,26 +16,112 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from activity_classifier_spark_cassandra_spark.ml import models as M
+from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import similarity as S
+from activity_classifier_spark_cassandra_spark.operators import text as T
+from activity_classifier_spark_cassandra_spark.plans import pipeline as P
+from activity_classifier_spark_cassandra_spark.plans import relational as R
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the whole reference training pipeline's dataflow
+    (sessionize → window → 11-feature agg → label) as one lazy plan."""
+    return P.q_session_features(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
+        "q_sessionize": P.q_sessionize,
+        "q_session_features": P.q_session_features,
+        # --- relational coverage over events (S1, P1-P10, A1-A10, O2-O3) ---
+        "q_distinct_users": R.q_distinct_users,
+        "q_count_gate": R.q_count_gate,
+        "q_minmax_ts": R.q_minmax_ts,
+        "q_range_filter": R.q_range_filter,
+        "q_label_encode": R.q_label_encode,
+        "q_truncate_cast": R.q_truncate_cast,
+        "q_error_rate": R.q_error_rate,
+        "q_topk": R.q_topk,
+        # --- aggregations over lineitem (A3-A7 standalone) ---
+        "q_two_pass_absdev": R.q_two_pass_absdev,
+        "q_resultant": R.q_resultant,
+        "q_mean_var": R.q_mean_var,
+        "q_distinct_agg": R.q_distinct_agg,
+        "q_rollup": R.q_rollup,
+        "q_conditional_pivot": R.q_conditional_pivot,
+        "q_window_rank": R.q_window_rank,
+        # --- TPC-H query shapes (joins, star schema, top-k) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier": R.q5_local_supplier,
+        # --- join family (J2 + semi/anti/set ops) ---
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        # --- LLM-data-pipeline: dedup ---
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        # --- LLM-data-pipeline: text analysis ---
+        "q_text_stats": T.q_text_stats,
+        "q_lang_id": T.q_lang_id,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        # --- LLM-data-pipeline: similarity search ---
+        "q_knn_brute": S.q_knn_brute,
+        "q_knn_ivf": S.q_knn_ivf,
+        # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
+        "q_ml_train_eval": M.q_ml_train_eval,
+        "q_ml_predict_counts": M.q_ml_predict_counts,
+        "q_ml_serve": M.q_ml_serve,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_sessionize": P.SESSIONIZE_SQL,
+        "q_session_features": P.SESSION_FEATURES_SQL,
+        "q_distinct_users": R.DISTINCT_USERS_SQL,
+        "q_count_gate": R.COUNT_GATE_SQL,
+        "q_minmax_ts": R.MINMAX_TS_SQL,
+        "q_range_filter": R.RANGE_FILTER_SQL,
+        "q_label_encode": R.LABEL_ENCODE_SQL,
+        "q_truncate_cast": R.TRUNCATE_CAST_SQL,
+        "q_error_rate": R.ERROR_RATE_SQL,
+        "q_topk": R.TOPK_SQL,
+        "q_two_pass_absdev": R.TWO_PASS_ABSDEV_SQL,
+        "q_resultant": R.RESULTANT_SQL,
+        "q_mean_var": R.MEAN_VAR_SQL,
+        "q_distinct_agg": R.DISTINCT_AGG_SQL,
+        "q_rollup": R.ROLLUP_SQL,
+        "q_conditional_pivot": R.CONDITIONAL_PIVOT_SQL,
+        "q_window_rank": R.WINDOW_RANK_SQL,
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_shipping_priority": R.Q3_SQL,
+        "q5_local_supplier": R.Q5_SQL,
+        "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,
+        "q_anti_join": R.ANTI_JOIN_SQL,
+        "q_semi_join": R.SEMI_JOIN_SQL,
+        "q_union_distinct": R.UNION_DISTINCT_SQL,
+        "q_dedup_exact": D.DEDUP_EXACT_SQL,
+        "q_dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
+        "q_dedup_minhash": D.DEDUP_MINHASH_SQL,
+        "q_simhash": D.SIMHASH_SQL,
+        "q_simhash_near_dup": D.SIMHASH_NEAR_DUP_SQL,
+        "q_dedup_embedding": D.DEDUP_EMBEDDING_SQL,
+        "q_text_stats": T.TEXT_STATS_SQL,
+        "q_lang_id": T.LANG_ID_SQL,
+        "q_token_count": T.TOKEN_COUNT_SQL,
+        "q_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
+        "q_knn_brute": S.KNN_BRUTE_SQL,
+        "q_knn_ivf": S.KNN_IVF_SQL,
+        # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
+    }
