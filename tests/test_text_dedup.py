@@ -1,0 +1,116 @@
+"""Text-analysis and dedup operator tests, including the degenerate
+rows (empty / whitespace-only documents) where engine parity needs the
+NULLIF guards, and a brute-force cross-check of the MinHash banding."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import types as T
+
+from activity_classifier_spark_cassandra_spark.operators.dedup import (
+    q_dedup_exact,
+    q_dedup_minhash,
+    q_simhash_near_dup,
+)
+from activity_classifier_spark_cassandra_spark.operators.text import (
+    q_text_stats,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_text_stats_degenerate_docs_null_not_nan(spark, tmp_path):
+    """Empty and whitespace-only docs: ratios are NULL (NULLIF guard),
+    never NaN/Inf/exception — the cross-engine parity case."""
+    sf = _write_docs(spark, tmp_path, ["", "   ", "the cat sat."])
+    rows = {r["doc_id"]: r.asDict() for r in q_text_stats(spark, sf).collect()}
+    assert rows[0]["punct_ratio"] is None          # LENGTH(text)=0
+    assert rows[0]["stopword_ratio"] is None       # n_tokens=0
+    assert rows[1]["avg_token_len"] is None        # whitespace-only
+    assert rows[1]["n_tokens"] == 0
+    assert rows[2]["n_tokens"] == 3
+    assert rows[2]["stopword_ratio"] == pytest.approx(1 / 3, rel=1e-6)
+
+
+def test_exact_dedup_collapses_identical_text(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, ["same text", "same text", "other"])
+    got = {
+        r["keep_doc_id"]: r["n_copies"]
+        for r in q_dedup_exact(spark, sf).collect()
+    }
+    assert got == {0: 2, 2: 1}
+
+
+def _py_shingles(text, k=3):
+    toks = [t for t in text.split() if t]
+    return {
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    } if len(toks) >= k else set()
+
+
+def test_minhash_banding_matches_bruteforce_jaccard_candidates(
+    spark, tmp_path
+):
+    """r=1 banding finds every pair sharing >=1 minhash; with 16
+    independent hashes, any pair with true Jaccard >= 0.25 is found
+    with overwhelming probability (1 - (1-j)^16 > 0.99).  Cross-check
+    the emitted pairs' est_jaccard against python-computed truth:
+    est = matches/16 must be within sampling error of true Jaccard."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        "one two three four five six seven eight nine",
+        "totally different words entirely here now folks",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    pairs = {
+        (r["doc1"], r["doc2"]): r["est_jaccard"]
+        for r in q_dedup_minhash(spark, sf).collect()
+    }
+    assert (0, 1) in pairs  # the engineered near-dup pair
+    sh = [_py_shingles(t) for t in texts]
+    for (d1, d2), est in pairs.items():
+        true_j = len(sh[d1] & sh[d2]) / len(sh[d1] | sh[d2])
+        assert est == pytest.approx(true_j, abs=0.35)
+    # disjoint docs never pair
+    for d1, d2 in itertools.combinations(range(4), 2):
+        if not (sh[d1] & sh[d2]):
+            assert (d1, d2) not in pairs
+
+
+def test_simhash_near_dup_finds_one_word_edit(spark, tmp_path):
+    """Documents differing by one token land within hamming<=3 of each
+    other far more often than unrelated ones; the engineered pair must
+    be found, and identical docs are hamming 0."""
+    texts = [
+        "spark shuffle partition broadcast join aggregate window stream",
+        "spark shuffle partition broadcast join aggregate window streams",
+        "spark shuffle partition broadcast join aggregate window stream",
+        "completely unrelated vocabulary about cooking pasta tonight ok",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in q_simhash_near_dup(spark, sf).collect()
+    }
+    assert got[(0, 2)] == 0  # identical text -> identical signature
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
