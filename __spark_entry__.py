@@ -22,6 +22,7 @@ from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.plans import relational as R
+from activity_classifier_spark_cassandra_spark.streaming import sessions as STR
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,6 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
         "q_session_features": P.q_session_features,
+        # --- streaming operators, batch-executed (same code path minus
+        #     the watermark; stream-vs-batch parity pinned by pytest) ---
+        "q_stream_session_features": STR.q_stream_session_features,
+        "q_stream_windowed_features": STR.q_stream_windowed_features,
         # --- relational coverage over events (S1, P1-P10, A1-A10, O2-O3) ---
         "q_distinct_users": R.q_distinct_users,
         "q_count_gate": R.q_count_gate,
@@ -89,6 +94,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_sessionize": P.SESSIONIZE_SQL,
         "q_session_features": P.SESSION_FEATURES_SQL,
+        "q_stream_session_features": STR.STREAM_SESSION_FEATURES_SQL,
+        "q_stream_windowed_features": STR.STREAM_WINDOWED_FEATURES_SQL,
         "q_distinct_users": R.DISTINCT_USERS_SQL,
         "q_count_gate": R.COUNT_GATE_SQL,
         "q_minmax_ts": R.MINMAX_TS_SQL,

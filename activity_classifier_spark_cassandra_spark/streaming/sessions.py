@@ -1,0 +1,223 @@
+"""Streaming sessionization + windowed feature aggregation.
+
+The batch engine sessionizes with lag + running sum
+(operators/sessions.py) — an ordered window function, which Structured
+Streaming cannot express incrementally.  The streaming-native
+equivalent is ``F.session_window(ts, gap)``: state-store-backed gap
+sessions that merge as events arrive and close when the watermark
+passes session_end + gap.  Tumbling windows map to ``F.window``.
+
+Feature parity: streaming aggregations must be algebraic (mergeable
+partial state), so the streamed feature set is the subset of
+operators/features.py that needs no ordered window:
+n_samples / mean / var_samp / min / max / resultant.  The two-pass
+mean-abs-deviation and the peak-delta feature (A6, A8) require a
+second pass over the closed window — compute them downstream on the
+sink table, or in ``foreachBatch`` where each micro-batch is a normal
+batch DataFrame.
+
+Scale notes: state is partitioned by the grouping keys exactly like
+the batch shuffle; the watermark bounds state size (late rows beyond
+it are dropped), which is what makes 100 TB/day streams feasible.
+
+Reference has no streaming at all (batch Spark 1.3); this is the
+north-star extension promised in SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+def _feature_aggs(value_col: str) -> list[Column]:
+    v = F.col(value_col)
+    return [
+        F.count(F.lit(1)).alias("n_samples"),
+        F.avg(v).alias("mean_v"),
+        F.var_samp(v).alias("var_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        # single-axis resultant = mean magnitude (ExtractFeature.java:70-82)
+        F.avg(F.sqrt(v * v)).alias("resultant"),
+    ]
+
+
+#: the streamed feature columns, for sinks/tests
+STREAM_FEATURE_AGGS = [
+    "n_samples",
+    "mean_v",
+    "var_v",
+    "min_v",
+    "max_v",
+    "resultant",
+]
+
+
+def _with_event_time(
+    df: DataFrame, ts_col: str, out_col: str = "event_time"
+) -> DataFrame:
+    """Events carry epoch-nanos longs (nanosAsLong read); watermarks
+    need a timestamp column.  ns -> µs integer division is exact."""
+    return df.withColumn(
+        out_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)")
+    )
+
+
+def session_stream_features(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "36 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """W1-W3 streaming analogue: per-(keys, gap-session) features.
+
+    Works on both streaming and batch frames (``session_window`` is
+    valid in batch too, which is how tests pin stream/batch parity).
+    """
+    d = _with_event_time(events, ts_col)
+    if events.isStreaming:
+        d = d.withWatermark("event_time", watermark)
+    return (
+        d.groupBy(
+            *keys, F.session_window("event_time", gap).alias("session")
+        )
+        .agg(*_feature_aggs(value_col))
+        .select(
+            *keys,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *STREAM_FEATURE_AGGS,
+        )
+    )
+
+
+def windowed_stream_features(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """W4-W5 streaming analogue: tumbling-window features with
+    late-data handling.  Batch-compatible for parity testing."""
+    d = _with_event_time(events, ts_col)
+    if events.isStreaming:
+        d = d.withWatermark("event_time", watermark)
+    return (
+        d.groupBy(*keys, F.window("event_time", window).alias("win"))
+        .agg(*_feature_aggs(value_col))
+        .select(
+            *keys,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *STREAM_FEATURE_AGGS,
+        )
+    )
+
+
+# ---------------------------------------------------------------- driver
+# ``session_window`` / ``window`` are valid in batch too, so the same
+# operator code is registered with the driver (batch mode) under a
+# DuckDB oracle — the streaming path shares every expression below with
+# its watermarked variant; only the watermark node differs.
+
+_GAP_US = 36 * 3_600_000_000  # 36 h in microseconds
+_WIN_US = 24 * 3_600_000_000  # 24 h in microseconds
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+
+
+def q_stream_session_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming session operator, batch-executed for the oracle."""
+    out = session_stream_features(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "event_type",
+        "session_start",
+        "session_end",
+        "n_samples",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        "min_v",
+        "max_v",
+        F.round("resultant", 6).alias("resultant"),
+    )
+
+
+# session_window semantics: windows [t, t+gap) merge while overlapping,
+# so a new session starts where delta >= gap (NOT the lag-sessionizer's
+# strict >); merged session_end = max(event_time) + gap.
+STREAM_SESSION_FEATURES_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, value, ts AS event_time,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts) >= {_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id, event_type ORDER BY event_time
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, event_type,
+  MIN(event_time) AS session_start,
+  MAX(event_time) + INTERVAL 36 HOUR AS session_end,
+  COUNT(*) AS n_samples,
+  ROUND(AVG(value), 6) AS mean_v,
+  ROUND(VAR_SAMP(value), 6) AS var_v,
+  MIN(value) AS min_v,
+  MAX(value) AS max_v,
+  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+FROM sess GROUP BY user_id, event_type, sid
+"""
+
+
+def q_stream_windowed_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming tumbling-window operator, batch-executed."""
+    out = windowed_stream_features(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "event_type",
+        "window_start",
+        "window_end",
+        "n_samples",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        "min_v",
+        "max_v",
+        F.round("resultant", 6).alias("resultant"),
+    )
+
+
+# F.window tumbling windows are epoch-aligned (1970-01-01 UTC origin).
+STREAM_WINDOWED_FEATURES_SQL = f"""
+SELECT user_id, event_type,
+  make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US}) AS window_start,
+  make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US})
+    + INTERVAL 24 HOUR AS window_end,
+  COUNT(*) AS n_samples,
+  ROUND(AVG(value), 6) AS mean_v,
+  ROUND(VAR_SAMP(value), 6) AS var_v,
+  MIN(value) AS min_v,
+  MAX(value) AS max_v,
+  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
