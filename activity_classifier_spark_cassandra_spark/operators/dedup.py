@@ -25,7 +25,7 @@ integer-hash mismatch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -65,18 +65,8 @@ FROM documents GROUP BY md5(text)
 
 
 # ------------------------------------------------------------ shingles
-def _shingles_spark() -> str:
-    """Distinct word-3-gram shingles as a Spark SQL expression
-    (0-based array indexing)."""
-    t = _TOKENIZE_SPARK
-    return (
-        f"array_distinct(transform(sequence(0, size({t}) - {SHINGLE_K}),"
-        f" i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))"
-    )
-
-
 def _shingles_duckdb() -> str:
-    """Same shingles in DuckDB (1-based list indexing)."""
+    """Distinct word-3-gram shingles in DuckDB (1-based list indexing)."""
     t = _TOKENIZE
     return (
         f"list_distinct(list_transform(range(len({t}) - {SHINGLE_K - 1}),"
@@ -84,12 +74,38 @@ def _shingles_duckdb() -> str:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): one row per DISTINCT word-3-gram per document.
+
+    Shape matters: an array-expression formulation
+    (``array_distinct(transform(sequence(...), i -> concat_ws(' ',
+    toks[i], toks[i+1], toks[i+2])))``) re-evaluates the whole
+    tokenize expression at every element access — higher-order
+    lambdas are interpreted with no common-subexpression elimination,
+    measured ~10x slower at sf0.1.  posexplode + lead keeps every
+    expression flat inside codegen; the window shuffle is a linear
+    hash exchange on doc_id (partition-local sort on token position),
+    which also co-locates each document's rows for the downstream
+    distinct."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKENIZE_SPARK)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.withColumn("toks", F.expr(_TOKENIZE_SPARK))
-        .filter(F.size("toks") >= SHINGLE_K)
-        .select("doc_id", F.expr(_shingles_spark()).alias("shingles"))
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ).alias("sh"),
+            F.lead("tok", SHINGLE_K - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
     )
 
 
@@ -115,11 +131,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts, so capping only prunes candidate generation — a
     pair sharing only ultra-hot shingles is treated as not-near-dup,
     the documented trade of every shingle-LSH system."""
-    sh = _doc_shingles(spark, sf_dir)
-    counts = sh.select(
-        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    ex_all = _doc_shingle_rows(spark, sf_dir)
+    counts = ex_all.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
     )
-    ex_all = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
         ex_all.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -183,13 +198,35 @@ WHERE ROUND(n_common / (c1.n_sh + c2.n_sh - n_common), 6) >= 0.1
 
 
 # ------------------------------------------------------------ minhash
-def _minhash_spark() -> str:
-    """16 minhashes: per band i, min over shingles of md5(i || ':' || s)
-    (hex strings, lexicographic min)."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, h): per band i, min over the doc's shingles of
+    md5(i || ':' || s) (hex strings, lexicographic min).
+
+    Shape matters for speed: explode shingles x bands into flat rows
+    and min-aggregate.  A nested ``transform(sequence(...), i ->
+    array_min(transform(shingles, ...)))`` computes the same values
+    but higher-order-function lambdas are interpreted row-at-a-time
+    (outside whole-stage codegen) and get re-evaluated on both sides
+    of the self-join — measured ~50x slower at sf0.1.  md5/concat
+    over flat columns stays inside codegen; the agg is partial+final."""
     return (
-        f"transform(sequence(0, {N_MINHASH - 1}),"
-        f" i -> array_min(transform(shingles,"
-        f" s -> md5(concat(cast(i AS STRING), ':', s)))))"
+        _doc_shingle_rows(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias(
+                "band"
+            ),
+            "sh",
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws(":", F.col("band").cast("string"), F.col("sh"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("h"))
     )
 
 
@@ -201,12 +238,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     With one row per band the bucket join finds every pair sharing any
     minhash — a superset of every pair with est >= 1/16 — so no
     candidate the brute-force oracle would keep is ever missed."""
-    sh = _doc_shingles(spark, sf_dir)
-    mh = sh.select("doc_id", F.expr(_minhash_spark()).alias("mh"))
-    bands = mh.select(
-        "doc_id",
-        F.posexplode("mh").alias("band", "h"),
-    )
+    bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     matches = (
@@ -264,38 +296,59 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 3
 
 
-def _simhash_sig_spark() -> str:
-    """60-bit SimHash signature as a Spark SQL expression (token-hash
-    bit voting).  16 bits is a toy at corpus scale — 65k buckets can't
-    separate near-dups in a 100 TB corpus; 60 bits + banded hamming
-    lookup is the standard production shape."""
-    # per-token 60-bit hash from the first 15 hex chars of md5
-    tok_hash = (
-        f"transform({_TOKENIZE_SPARK},"
-        f" t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash via token-hash bit voting.
+    16 bits is a toy at corpus scale — 65k buckets can't separate
+    near-dups in a 100 TB corpus; 60 bits + banded hamming lookup is
+    the standard production shape.
+
+    Shape: explode tokens (multiplicity preserved — votes count every
+    occurrence), one md5-derived 60-bit hash per token row, then a
+    single groupBy(doc_id) with 60 conditional-sum vote columns and a
+    final projection assembling the signature.  All flat built-ins
+    inside whole-stage codegen; the nested transform/aggregate HOF
+    formulation computes the same but interpreted (~10x slower).
+    Docs with zero tokens get signature 0 via the left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok")
     )
-    # bit j vote: sum(+1 if bit set else -1) > 0 -> bit j of signature
-    bit_votes = (
-        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
-        f"CASE WHEN aggregate({tok_hash}, 0,"
-        f" (acc, h) -> acc + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), j)) != 0"
-        f" THEN 1 ELSE -1 END) > 0"
-        f" THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
     )
-    return (
-        f"aggregate({bit_votes}, CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(h & shiftleft(CAST(1 AS BIGINT), {j})) != 0"),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig_terms = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long") * (1 << j))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = votes.select(
+        "doc_id", sum(sig_terms[1:], sig_terms[0]).alias("simhash")
+    )
+    return docs.select("doc_id").join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document, grouped by signature — identical
-    signatures are exact near-dup buckets.  Pure projection + one
-    narrow groupBy on an 8-byte key."""
-    docs = load_table(spark, sf_dir, "documents")
+    signatures are exact near-dup buckets.  One narrow groupBy on an
+    8-byte key."""
     return (
-        docs.select(
-            "doc_id", F.expr(_simhash_sig_spark()).alias("simhash")
-        )
+        _simhash_sigs(spark, sf_dir)
         .groupBy("simhash")
         .agg(
             F.min("doc_id").alias("first_doc_id"),
@@ -333,10 +386,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band (pigeonhole: any pair within hamming distance 3
     must agree on one of 4 bands), then verify hamming(sig1, sig2) <=
     3 exactly with bit_count(xor).  Banded equi-join, no all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", F.expr(_simhash_sig_spark()).alias("simhash")
-    )
+    sigs = _simhash_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         "simhash",

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Timing is end-to-end plan execution into the `noop` sink — full scan /
+shuffle / aggregation work, no driver-side collect skew.  One warmup
+query first so JVM/codegen startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from activity_classifier_spark_cassandra_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+# Headline set: the flagship pipeline, the shuffle-heavy relational
+# shapes, each LLM-data-pipeline family, streaming-in-batch, and one
+# model fit.  Names must exist in __spark_entry__.queries().
+HEADLINE = [
+    "q_session_features",
+    "q_sessionize",
+    "q_stream_session_features",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_window_rank",
+    "q_minmax_ts",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_simhash",
+    "q_dedup_embedding",
+    "q_knn_brute",
+    "q_text_stats",
+    "q_doc_fingerprint",
+    "q_ml_predict_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="activity_classifier_spark_cassandra_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as e:  # keep the bench line parseable on error
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
