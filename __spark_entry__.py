@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-data-pipeline: similarity search ---
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_pandas": S.q_knn_pandas,
         # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
@@ -130,5 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
+        # identical semantics, Arrow/Pandas-UDF execution path
+        "q_knn_pandas": S.KNN_BRUTE_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }
