@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_filter": R.q_range_filter,
         "q_label_encode": R.q_label_encode,
         "q_truncate_cast": R.q_truncate_cast,
+        "q_string_cast": R.q_string_cast,
         "q_error_rate": R.q_error_rate,
         "q_topk": R.q_topk,
         # --- aggregations over lineitem (A3-A7 standalone) ---
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_filter": R.RANGE_FILTER_SQL,
         "q_label_encode": R.LABEL_ENCODE_SQL,
         "q_truncate_cast": R.TRUNCATE_CAST_SQL,
+        "q_string_cast": R.STRING_CAST_SQL,
         "q_error_rate": R.ERROR_RATE_SQL,
         "q_topk": R.TOPK_SQL,
         "q_two_pass_absdev": R.TWO_PASS_ABSDEV_SQL,

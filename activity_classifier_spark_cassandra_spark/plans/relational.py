@@ -146,6 +146,27 @@ FROM events
 """
 
 
+# --------------------------------------------------------------- F4
+def q_string_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: string->long cast (Long.valueOf at
+    RecognizeActivity.java:245), exercised on a real string source —
+    the JSON props field — so it also covers semi-structured
+    extraction.  Pure projection, zero shuffle."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+        )
+    )
+
+
+STRING_CAST_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+FROM events
+"""
+
+
 # --------------------------------------------------------------- A10/P8
 def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: filter(pred != label).count() / count() as a single
