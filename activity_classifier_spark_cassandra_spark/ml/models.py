@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import (
     DecisionTreeClassifier,
+    GBTClassifier,
     LogisticRegression,
+    NaiveBayes,
+    OneVsRest,
     RandomForestClassifier,
 )
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator
@@ -111,8 +114,30 @@ def build_pipeline(
         clf = LogisticRegression(
             labelCol="label", featuresCol="features", family="multinomial"
         )
+    elif algo == "gbt":
+        # ML4: dead code in the reference (imported, never called —
+        # RecognizeActivity.java:10; and mllib GBT is binary-only, so
+        # its numClasses=6 could never have worked,
+        # GradientBoostedTree.java:31).  Multiclass needs OneVsRest.
+        clf = OneVsRest(
+            labelCol="label",
+            featuresCol="features",
+            classifier=GBTClassifier(
+                maxIter=3, maxDepth=5, seed=RANDOM_SEED
+            ),
+        )
+    elif algo == "naive_bayes":
+        # ML5: dead code in the reference (never called; accelerometer
+        # features are negative, which multinomial NB rejects —
+        # NaiveBayesClassificationModel.java:30).  Valid only on
+        # non-negative feature spaces.
+        clf = NaiveBayes(
+            labelCol="label", featuresCol="features", smoothing=1.0
+        )
     else:
-        raise ValueError(f"unknown algo {algo!r}; one of {_ALGOS}")
+        raise ValueError(
+            f"unknown algo {algo!r}; one of {_ALGOS + ('gbt', 'naive_bayes')}"
+        )
     return Pipeline(stages=[assembler, clf])
 
 

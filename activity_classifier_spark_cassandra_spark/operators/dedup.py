@@ -443,8 +443,12 @@ SELECT doc1, doc2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within IVF-style coarse clusters: the
     provided ``label`` is the cluster id, so candidate pairs are
-    cluster-local (n²/k instead of n²).  Cosine in pure Column
-    expressions (zip_with + aggregate, double math, element order)."""
+    cluster-local (n²/k instead of n²).  Cosine via the Arrow-batched
+    Pandas UDF (vectorized numpy over record batches) — the
+    zip_with/aggregate Column formulation is semantically identical
+    but interpreted per element (see similarity.py)."""
+    from .similarity import _cosine_pandas_udf
+
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec1"),
@@ -456,24 +460,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lbl"),
         F.col("embedding").alias("e2"),
     )
-    dot = (
-        "aggregate(zip_with(e1, e2, (x, y) ->"
-        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    n1 = (
-        "sqrt(aggregate(e1, CAST(0.0 AS DOUBLE),"
-        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
-    n2 = (
-        "sqrt(aggregate(e2, CAST(0.0 AS DOUBLE),"
-        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
-    cos = F.expr(f"({dot}) / (({n1}) * ({n2}))")
+    cos = _cosine_pandas_udf()
     return (
         a.join(b, "lbl")
         .filter(F.col("vec1") < F.col("vec2"))
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("cosine", F.round(cos(F.col("e1"), F.col("e2")), 6))
         # 0.2 keeps the check non-vacuous on the synthetic embeddings
         # (max within-cluster cosine there is ~0.47; a production
         # near-dup threshold like 0.8 returns 0 rows and proves nothing)

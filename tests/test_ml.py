@@ -88,3 +88,28 @@ def test_q_ml_serve_end_to_end(spark):
     predict one row; label must be one of the 5 event-type classes."""
     row = q_ml_serve(spark, SF001).collect()[0]
     assert row["predicted_label"] in {0.0, 1.0, 2.0, 3.0, 4.0}
+
+
+def test_gbt_onevsrest_learns(spark, separable):
+    """ML4 (dead code in the reference, binary-only there): GBT wrapped
+    in OneVsRest for 3 classes."""
+    train, test = train_test_split(separable)
+    model = build_pipeline("gbt").fit(train)
+    assert error_rate(model.transform(test)) < 0.1
+
+
+def test_naive_bayes_learns_nonnegative(spark):
+    """ML5 (dead code in the reference): multinomial NB needs
+    non-negative features and separates on feature *proportions* —
+    give each class its mass on a different feature."""
+    rows = []
+    for label in (0.0, 1.0, 2.0):
+        for i in range(60):
+            jit = float(i % 7)
+            feats = [1.0 + jit] * 5
+            feats[int(label)] = 100.0 + jit
+            rows.append((label, *feats))
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    train, test = train_test_split(df)
+    model = build_pipeline("naive_bayes").fit(train)
+    assert error_rate(model.transform(test)) < 0.2
