@@ -194,3 +194,70 @@ SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
 FROM documents
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------------ tf-idf
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (SURVEY.md §2.12 text analysis).
+
+    Flat shape: explode tokens -> tf = count per (doc, term) -> df =
+    count of docs per term (one narrow agg over the tf frame) ->
+    smoothed idf = ln((n+1)/(df+1)) -> per-doc top-k via row_number.
+    Two linear aggregations + one broadcast of the corpus size; the
+    per-doc ranking exchanges on doc_id only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENIZE_SPARK)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKENIZE}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
