@@ -46,6 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column, which arrives as a long of epoch nanoseconds.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC parity with the DuckDB oracle (naive timestamps = UTC): a
+    # session built elsewhere (the driver's) may carry a local tz,
+    # which would shift string->timestamp casts in date filters.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

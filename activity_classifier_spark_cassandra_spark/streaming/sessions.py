@@ -144,11 +144,12 @@ def q_stream_session_features(
 ) -> DataFrame:
     """The streaming session operator, batch-executed for the oracle."""
     out = session_stream_features(_events(spark, sf_dir))
+    # epoch-ms longs, not timestamps: tz-proof under any driver session
     return out.select(
         "user_id",
         "event_type",
-        "session_start",
-        "session_end",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
         "n_samples",
         F.round("mean_v", 6).alias("mean_v"),
         F.round("var_v", 6).alias("var_v"),
@@ -175,8 +176,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, event_type,
-  MIN(event_time) AS session_start,
-  MAX(event_time) + INTERVAL 36 HOUR AS session_end,
+  epoch_ms(MIN(event_time)) AS session_start_ms,
+  epoch_ms(MAX(event_time) + INTERVAL 36 HOUR) AS session_end_ms,
   COUNT(*) AS n_samples,
   ROUND(AVG(value), 6) AS mean_v,
   ROUND(VAR_SAMP(value), 6) AS var_v,
@@ -195,8 +196,8 @@ def q_stream_windowed_features(
     return out.select(
         "user_id",
         "event_type",
-        "window_start",
-        "window_end",
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
         "n_samples",
         F.round("mean_v", 6).alias("mean_v"),
         F.round("var_v", 6).alias("var_v"),
@@ -209,9 +210,9 @@ def q_stream_windowed_features(
 # F.window tumbling windows are epoch-aligned (1970-01-01 UTC origin).
 STREAM_WINDOWED_FEATURES_SQL = f"""
 SELECT user_id, event_type,
-  make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US}) AS window_start,
-  make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US})
-    + INTERVAL 24 HOUR AS window_end,
+  (epoch_us(ts) // {_WIN_US}) * {_WIN_US} // 1000 AS window_start_ms,
+  ((epoch_us(ts) // {_WIN_US}) * {_WIN_US} + {_WIN_US}) // 1000
+    AS window_end_ms,
   COUNT(*) AS n_samples,
   ROUND(AVG(value), 6) AS mean_v,
   ROUND(VAR_SAMP(value), 6) AS var_v,
