@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier": R.q5_local_supplier,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         # --- join family (J2 + semi/anti/set ops) ---
         "q_broadcast_dim_join": R.q_broadcast_dim_join,
         "q_anti_join": R.q_anti_join,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier": R.Q5_SQL,
+        "q6_forecast_revenue": R.Q6_SQL,
         "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,

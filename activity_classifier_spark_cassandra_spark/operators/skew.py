@@ -1,0 +1,79 @@
+"""Skew-mitigation utilities for hot keys at scale.
+
+At 100 TB a handful of hot (user_id, event_type) series or hot join
+keys dominate task runtimes.  AQE's skew-join splitting covers joins;
+for *aggregations* Spark's partial aggregation usually suffices — but
+high-cardinality aggregation states (collect-style, exact distinct)
+don't combine map-side, and those need explicit salting:
+
+  stage 1: groupBy(keys..., salt = pmod(hash(...), n_salts)) — the
+           hot key's rows split across n_salts reducers;
+  stage 2: groupBy(keys...) merging the partial states.
+
+``salted_agg`` implements the two-stage shape for algebraic aggregates
+(sum / count / min / max, and avg decomposed into sum+count), which
+re-combine exactly — results are identical to the direct groupBy, as
+the pytest asserts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SALTS = 16
+
+
+def with_salt(
+    df: DataFrame, n_salts: int = N_SALTS, out_col: str = "_salt"
+) -> DataFrame:
+    """Uniform random-ish salt derived from a monotonically varying
+    expression (not the group key — salting by a function of the key
+    would keep the hot key on one reducer)."""
+    return df.withColumn(
+        out_col,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count: bool = True,
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Two-stage salted aggregation, exactly equivalent to
+    ``df.groupBy(keys).agg(sum/count/min/max/avg)``.
+
+    avg is decomposed into (sum, count) partials so the merge is exact
+    (averaging averages would weight groups wrongly)."""
+    stage1_aggs = []
+    stage2_aggs = []
+    for c in sum_cols:
+        stage1_aggs.append(F.sum(c).alias(f"_s_{c}"))
+        stage2_aggs.append(F.sum(f"_s_{c}").alias(f"sum_{c}"))
+    for c in set(avg_cols):
+        stage1_aggs.append(F.sum(c).alias(f"_as_{c}"))
+        stage1_aggs.append(F.count(c).alias(f"_ac_{c}"))
+        stage2_aggs.append(
+            (F.sum(f"_as_{c}") / F.sum(f"_ac_{c}")).alias(f"avg_{c}")
+        )
+    if count:
+        stage1_aggs.append(F.count(F.lit(1)).alias("_n"))
+        stage2_aggs.append(F.sum("_n").alias("n"))
+    for c in min_cols:
+        stage1_aggs.append(F.min(c).alias(f"_mn_{c}"))
+        stage2_aggs.append(F.min(f"_mn_{c}").alias(f"min_{c}"))
+    for c in max_cols:
+        stage1_aggs.append(F.max(c).alias(f"_mx_{c}"))
+        stage2_aggs.append(F.max(f"_mx_{c}").alias(f"max_{c}"))
+
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*stage1_aggs)
+    return partial.groupBy(*keys).agg(*stage2_aggs)

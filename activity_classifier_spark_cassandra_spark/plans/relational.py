@@ -613,3 +613,35 @@ SELECT c_custkey FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
 """
+
+
+# --------------------------------------------------------------- TPC-H Q6
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-side filters + a single
+    global agg.  All three predicates reach the parquet scan
+    (PushedFilters) — at 100 TB this is the row-group-pruning
+    showcase; the exchange carries one partial row per partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""

@@ -7,3 +7,4 @@ from .sessions import (  # noqa: F401
     session_stream_features,
     windowed_stream_features,
 )
+from .stateful import stateful_running_totals  # noqa: F401
