@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
@@ -70,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": R.q_anti_join,
         "q_semi_join": R.q_semi_join,
         "q_union_distinct": R.q_union_distinct,
+        # --- skew mitigation (salted two-stage agg == direct groupBy) ---
+        "q_salted_agg": K.q_salted_agg,
         # --- LLM-data-pipeline: dedup ---
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -124,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,
         "q_union_distinct": R.UNION_DISTINCT_SQL,
+        "q_salted_agg": K.SALTED_AGG_SQL,
         "q_dedup_exact": D.DEDUP_EXACT_SQL,
         "q_dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "q_dedup_minhash": D.DEDUP_MINHASH_SQL,

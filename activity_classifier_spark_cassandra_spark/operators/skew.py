@@ -77,3 +77,43 @@ def salted_agg(
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "_salt").agg(*stage1_aggs)
     return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+# ---------------------------------------------------------------- driver
+def q_salted_agg(spark, sf_dir: str) -> DataFrame:
+    """Driver registration of the salted two-stage aggregate: identical
+    results to the direct groupBy (the oracle is the plain GROUP BY),
+    proving the skew path is a pure physical rewrite."""
+    from ..sources.io import load_table
+
+    df = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    out = salted_agg(
+        df,
+        keys=["user_id", "event_type"],
+        sum_cols=["value"],
+        avg_cols=["value"],
+        min_cols=["value"],
+        max_cols=["value"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "n",
+        "min_value",
+        "max_value",
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT user_id, event_type,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id, event_type
+"""
