@@ -25,18 +25,24 @@ HEADLINE = [
     "q_session_features",
     "q_sessionize",
     "q_stream_session_features",
+    "q_stream_windowed_features",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
     "q_window_rank",
     "q_minmax_ts",
+    "q_salted_agg",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_simhash",
+    "q_simhash_near_dup",
     "q_dedup_embedding",
     "q_knn_brute",
+    "q_knn_pandas",
     "q_text_stats",
+    "q_tfidf_top_terms",
     "q_doc_fingerprint",
     "q_ml_predict_counts",
 ]
