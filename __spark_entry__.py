@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from activity_classifier_spark_cassandra_spark.ml import models as M
+from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": R.q_anti_join,
         "q_semi_join": R.q_semi_join,
         "q_union_distinct": R.q_union_distinct,
+        "q_asof_join": AJ.q_asof_join,
         # --- skew mitigation (salted two-stage agg == direct groupBy) ---
         "q_salted_agg": K.q_salted_agg,
         # --- LLM-data-pipeline: dedup ---
@@ -127,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,
         "q_union_distinct": R.UNION_DISTINCT_SQL,
+        "q_asof_join": AJ.ASOF_JOIN_SQL,
         "q_salted_agg": K.SALTED_AGG_SQL,
         "q_dedup_exact": D.DEDUP_EXACT_SQL,
         "q_dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,

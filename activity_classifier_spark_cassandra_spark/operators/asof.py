@@ -1,0 +1,119 @@
+"""As-of join — an operator Spark SQL lacks (SURVEY.md §2.3 notes the
+reference has no joins at all; this is north-star time-series scope).
+
+For each left row, attach the most recent right row (same keys) with
+``right.ts <= left.ts``.  The naive formulation is a range join
+(quadratic per key); the scalable shape used here is the
+union-and-carry-forward trick:
+
+    union(left tagged 1, right tagged 0, aligned schemas)
+    -> one hash exchange on the join keys
+    -> per-partition sort by (ts, tag)   [right rows first on ties]
+    -> last(right payload, ignorenulls) over rowsBetween(-inf, 0)
+    -> keep left rows
+
+One exchange + one sort, linear in |left| + |right| — the same cost
+as a window function, no row-range explosion.  Ties (right.ts ==
+left.ts) match, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``,
+which is the oracle for the driver query.
+
+Right-side (keys, ts) duplicates must be resolved by the caller
+(e.g. max of the payload per (keys, ts)) — both engines would
+otherwise pick an arbitrary row of the tie.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+_TAG = "_asof_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: left's columns plus ``prefix``-renamed right
+    payload columns (null where no right row precedes).
+
+    ``right`` must contain (keys..., ts_col, payload_cols...) with
+    unique (keys, ts_col)."""
+    l_tagged = left.withColumn(_TAG, F.lit(1))
+    for c in payload_cols:
+        l_tagged = l_tagged.withColumn(f"{prefix}{c}", F.lit(None))
+    r_tagged = right.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    ).withColumn(_TAG, F.lit(0))
+
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts -> inclusive match
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u
+    for c in payload_cols:
+        carried = carried.withColumn(
+            f"{prefix}{c}",
+            F.last(
+                F.when(F.col(_TAG) == 0, F.col(f"{prefix}{c}")),
+                ignorenulls=True,
+            ).over(w),
+        )
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG)
+
+
+# ---------------------------------------------------------------- driver
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent signup event at or
+    before it (the canonical 'state as of event time' query)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    # the matched signup's own ts is carried as an extra payload column
+    signups = signups.withColumn("signup_ts", F.col("ts"))
+    joined = asof_join(
+        events,
+        signups,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["signup_event_id", "signup_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        F.expr("asof_signup_ts DIV 1000000").alias("signup_ts_ms"),
+        "asof_signup_event_id",
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH signups AS (
+  SELECT user_id, ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(s.ts) AS signup_ts_ms,
+       s.signup_event_id AS asof_signup_event_id
+FROM events e ASOF LEFT JOIN signups s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
