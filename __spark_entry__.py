@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": R.q_semi_join,
         "q_union_distinct": R.q_union_distinct,
         "q_asof_join": AJ.q_asof_join,
+        "q_range_join": AJ.q_range_join,
         # --- skew mitigation (salted two-stage agg == direct groupBy) ---
         "q_salted_agg": K.q_salted_agg,
         # --- LLM-data-pipeline: dedup ---
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semi_join": R.SEMI_JOIN_SQL,
         "q_union_distinct": R.UNION_DISTINCT_SQL,
         "q_asof_join": AJ.ASOF_JOIN_SQL,
+        "q_range_join": AJ.RANGE_JOIN_SQL,
         "q_salted_agg": K.SALTED_AGG_SQL,
         "q_dedup_exact": D.DEDUP_EXACT_SQL,
         "q_dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,

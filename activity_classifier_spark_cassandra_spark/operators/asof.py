@@ -117,3 +117,106 @@ SELECT e.event_id, e.user_id,
 FROM events e ASOF LEFT JOIN signups s
   ON e.user_id = s.user_id AND e.ts >= s.ts
 """
+
+
+# ---------------------------------------------------------------- range join
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    upper: int,
+    lower: int = 0,
+) -> DataFrame:
+    """Band/range join: pairs (l, r) with the same keys and
+    ``l.ts + lower <= r.ts <= l.ts + upper``.
+
+    A raw inequality join plans as a nested-loop (quadratic per key);
+    the scalable shape buckets time into (upper - lower)-wide bins and
+    equi-joins on (keys, bucket) — each left row's target interval
+    spans at most 2 bins, so the join is linear in matches.  The exact
+    band predicate filters the bucket candidates afterwards."""
+    width = upper - lower
+    if width <= 0:
+        raise ValueError("upper must exceed lower")
+    # integer DIV: float division of ns-scale longs loses precision
+    # near bucket boundaries (double mantissa < 2^63)
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"({left_ts} + {lower}) DIV {width}"),
+                    F.expr(f"({left_ts} + {upper}) DIV {width}"),
+                )
+            )
+        ),
+    )
+    # internally rename the right ts so left_ts == right_ts is legal;
+    # surfaced as "<right_ts>_right" in that case
+    rts = "_range_rts"
+    r = right.withColumnRenamed(right_ts, rts).withColumn(
+        "_bucket", F.expr(f"{rts} DIV {width}")
+    )
+    joined = (
+        l.join(r, [*keys, "_bucket"])
+        .drop("_bucket")
+        .filter(
+            (F.col(rts) >= F.col(left_ts) + lower)
+            & (F.col(rts) <= F.col(left_ts) + upper)
+        )
+    )
+    out_name = right_ts if right_ts != left_ts else f"{right_ts}_right"
+    return joined.withColumnRenamed(rts, out_name)
+
+
+_DAY_NS = 24 * 3_600_000_000_000
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each signup, the user's event count in the following 24 h —
+    the canonical post-conversion activity window."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    joined = range_join(
+        signups,
+        events,
+        keys=["user_id"],
+        left_ts="signup_ts",
+        right_ts="ts",
+        upper=_DAY_NS,
+    )
+    return (
+        joined.filter(F.col("event_id") != F.col("signup_id"))
+        .groupBy("signup_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_24h"),
+            F.min(F.expr("ts DIV 1000000")).alias("first_ts_ms"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT s.event_id AS signup_id, s.user_id,
+       COUNT(*) AS n_events_24h,
+       MIN(epoch_ms(e.ts)) AS first_ts_ms
+FROM events s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts
+ AND e.ts <= s.ts + INTERVAL 24 HOUR
+ AND e.event_id <> s.event_id
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2
+"""

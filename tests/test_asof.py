@@ -55,3 +55,28 @@ def test_asof_join_preserves_left_rowcount(spark):
     assert out.count() == 20
     matched = out.filter("asof_price IS NOT NULL").count()
     assert matched == 13  # ts 7..19 inclusive
+
+
+def test_range_join_semantics(spark):
+    from activity_classifier_spark_cassandra_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "s1"), (1, 250, "s2"), (2, 100, "s3")], schema=L_SCHEMA
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 0.0), (1, 150, 1.0), (1, 199, 2.0), (1, 200, 3.0),
+         (1, 201, 4.0), (1, 300, 5.0), (2, 150, 6.0)],
+        schema=R_SCHEMA,
+    )
+    out = range_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts", upper=100
+    )
+    got = sorted(
+        (r["ev"], r["price"]) for r in out.collect()
+    )
+    # s1@100 matches right ts in [100, 200]; s2@250 matches [250, 350];
+    # s3 only sees key-2 rows in [100, 200]
+    assert got == [
+        ("s1", 0.0), ("s1", 1.0), ("s1", 2.0), ("s1", 3.0),
+        ("s2", 5.0), ("s3", 6.0),
+    ]
