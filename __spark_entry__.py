@@ -59,7 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
+        "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
+        "q_cube": R.q_cube,
+        "q_moving_avg": R.q_moving_avg,
+        "q_lead_lag": R.q_lead_lag,
         "q_conditional_pivot": R.q_conditional_pivot,
         "q_window_rank": R.q_window_rank,
         # --- TPC-H query shapes (joins, star schema, top-k) ---
@@ -119,7 +123,11 @@ def oracle_sql() -> dict[str, str]:
         "q_resultant": R.RESULTANT_SQL,
         "q_mean_var": R.MEAN_VAR_SQL,
         "q_distinct_agg": R.DISTINCT_AGG_SQL,
+        "q_percentiles": R.PERCENTILES_SQL,
         "q_rollup": R.ROLLUP_SQL,
+        "q_cube": R.CUBE_SQL,
+        "q_moving_avg": R.MOVING_AVG_SQL,
+        "q_lead_lag": R.LEAD_LAG_SQL,
         "q_conditional_pivot": R.CONDITIONAL_PIVOT_SQL,
         "q_window_rank": R.WINDOW_RANK_SQL,
         "q1_pricing_summary": R.Q1_SQL,

@@ -645,3 +645,111 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+
+# --------------------------------------------------------------- percentiles
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group — both
+    engines use the same linear-interpolation definition.  Spark plans
+    a single sort-based aggregate per group; at scale prefer
+    approx_percentile (t-digest) — kept exact here for the oracle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- cube
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (superset of the reference's per-(user,
+    activity) rollups; free in Spark, §2.4 note)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------- frames
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame window (rowsBetween -3..0): the per-series
+    moving average the reference would need for smoothing.  One
+    exchange on the series keys + per-partition sort."""
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.expr("ts DIV 1000000").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg_4"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id, event_type,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id, event_type
+         ORDER BY epoch_ms(ts), event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg_4
+FROM events
+"""
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/first_value in one ordered window — the W1 family
+    surfaced directly (deltas to both neighbors plus series anchor)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.expr("ts DIV 1000000").asc(), F.col("event_id").asc()
+    )
+    ts_ms = F.expr("ts DIV 1000000")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (ts_ms - F.lag(ts_ms, 1).over(w)).alias("delta_prev"),
+        (F.lead(ts_ms, 1).over(w) - ts_ms).alias("delta_next"),
+        F.first(F.col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_event_id"),
+    )
+
+
+LEAD_LAG_SQL = """
+SELECT event_id, user_id, event_type,
+       epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w AS delta_prev,
+       LEAD(epoch_ms(ts)) OVER w - epoch_ms(ts) AS delta_next,
+       FIRST_VALUE(event_id) OVER (PARTITION BY user_id, event_type
+         ORDER BY epoch_ms(ts), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id)
+"""
