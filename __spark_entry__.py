@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier": R.q5_local_supplier,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q17_small_quantity": R.q17_small_quantity,
         # --- join family (J2 + semi/anti/set ops) ---
         "q_broadcast_dim_join": R.q_broadcast_dim_join,
         "q_anti_join": R.q_anti_join,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier": R.Q5_SQL,
         "q6_forecast_revenue": R.Q6_SQL,
+        "q17_small_quantity": R.Q17_SQL,
         "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,

@@ -753,3 +753,43 @@ SELECT event_id, user_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id)
 """
+
+
+# --------------------------------------------------------------- TPC-H Q17
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape through the SQL entry path: a correlated scalar
+    subquery (per-part average quantity) that Catalyst decorrelates
+    into an aggregate + join — no per-row re-execution.  Also exercises
+    spark.sql() + temp views, the engine's second API surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n
+        FROM v_lineitem
+        JOIN v_part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM v_lineitem l2
+          WHERE l2.l_partkey = v_part.p_partkey
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+Q17_SQL = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = part.p_partkey
+)
+GROUP BY p_brand
+"""
