@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": D.q_simhash,
         "q_simhash_near_dup": D.q_simhash_near_dup,
         "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
         # --- LLM-data-pipeline: text analysis ---
         "q_text_stats": T.q_text_stats,
         "q_lang_id": T.q_lang_id,
@@ -149,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": D.SIMHASH_SQL,
         "q_simhash_near_dup": D.SIMHASH_NEAR_DUP_SQL,
         "q_dedup_embedding": D.DEDUP_EMBEDDING_SQL,
+        "q_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
+        "q_corpus_clean": D.CORPUS_CLEAN_SQL,
         "q_text_stats": T.TEXT_STATS_SQL,
         "q_lang_id": T.LANG_ID_SQL,
         "q_token_count": T.TOKEN_COUNT_SQL,

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .text import _TOKENIZE, _TOKENIZE_SPARK
+from .text import STOPWORDS, _TOKENIZE, _TOKENIZE_SPARK, _sql_in_list
 
 N_MINHASH = 16
 SHINGLE_K = 3
@@ -510,4 +510,87 @@ pairs AS (
   WHERE a.label IN (SELECT label FROM small)
 )
 SELECT vec1, vec2, lbl, cosine FROM pairs WHERE cosine >= 0.2
+"""
+
+
+# ------------------------------------------------------------ keep-best
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: among docs sharing a normalized
+    fingerprint, keep the one with the most tokens (tie: lowest
+    doc_id) — the 'keep best duplicate' pattern every training-corpus
+    dedup ends with.  One exchange on the 16-byte digest; row_number
+    picks the survivor without a second self-join."""
+    from .text import _TOKENIZE_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    scored = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.size(F.expr(_TOKENIZE_SPARK)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("keep_doc_id"), "n_tokens")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         LEN({_TOKENIZE}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+             ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT fp, doc_id AS keep_doc_id, n_tokens FROM ranked WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------ corpus clean
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pass a pre-training pipeline runs: quality
+    gate (length + stopword signal) -> exact-dup removal (keep lowest
+    doc_id per digest) -> kept ids.  Everything fuses into one scan +
+    one digest exchange; the quality filters are pure projections that
+    prune before the shuffle."""
+    from .text import STOPWORDS, _TOKENIZE_SPARK, _sql_in_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = _sql_in_list(STOPWORDS["en"])
+    n_tokens = F.size(F.expr(_TOKENIZE_SPARK))
+    stop_hits = F.expr(f"size(filter({_TOKENIZE_SPARK}, x -> x IN ({en})))")
+    gated = docs.filter(
+        (F.length("text") >= 100) & (n_tokens >= 20) & (stop_hits >= 1)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE LENGTH(text) >= 100
+    AND LEN({_TOKENIZE}) >= 20
+    AND LEN(LIST_FILTER({_TOKENIZE},
+            x -> x IN ({_sql_in_list(STOPWORDS['en'])}))) >= 1
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, source FROM ranked WHERE rn = 1
 """
