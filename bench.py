@@ -33,6 +33,10 @@ HEADLINE = [
     "q_window_rank",
     "q_minmax_ts",
     "q_salted_agg",
+    "q_asof_join",
+    "q_range_join",
+    "q_moving_avg",
+    "q17_small_quantity",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
