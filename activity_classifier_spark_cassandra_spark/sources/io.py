@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..constants import TPCH_TABLES
@@ -114,3 +115,32 @@ def sorted_scan(
     return df.orderBy(*[
         F.asc(c) if ascending else F.desc(c) for c in cols
     ])
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-partitioned parquet sink: directory pruning makes reads of
+    one partition value O(that partition), the standard layout for a
+    100 TB feature store keyed by date/type."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time, so later equi-joins / aggregations on those keys plan
+    with ZERO exchange (tests/test_io.py pins the no-Exchange plan).
+    This is the 'repartition once, join many times' pattern for fact
+    tables at scale."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

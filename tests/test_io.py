@@ -47,3 +47,65 @@ def test_write_features_parquet_roundtrip(spark, tmp_path):
     write_features_parquet(df, path)
     back = spark.read.parquet(path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Partitioned sink + partition-pruned read."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want > 0
+    # pruned read touches only the one partition directory
+    import glob
+    dirs = glob.glob(f"{path}/event_type=*")
+    assert len(dirs) == 5
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key: the equi-join must plan
+    with zero shuffle Exchange (co-located by construction)."""
+    import contextlib
+    import io as _io
+    import re
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        write_bucketed_table,
+    )
+
+    # warehouse.dir is static; bucketed tables land in the session's
+    # default warehouse and are dropped at the end
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_bucketed_table(
+        ev.select("event_id", "user_id", "value"),
+        "ev_bucketed_a", ["user_id"], n_buckets=8,
+    )
+    write_bucketed_table(
+        ev.select("event_id", "user_id", "event_type"),
+        "ev_bucketed_b", ["user_id"], n_buckets=8,
+    )
+    a = spark.table("ev_bucketed_a")
+    b = spark.table("ev_bucketed_b").groupBy("user_id").count()
+    joined = a.join(b, "user_id")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    n_exchange = len(re.findall(r"\bExchange \(", tree))
+    try:
+        assert n_exchange == 0, tree
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
