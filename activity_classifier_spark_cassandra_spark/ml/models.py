@@ -275,3 +275,46 @@ def q_ml_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------- tuning
+def tune_tree_depth(
+    spark: SparkSession,
+    df: DataFrame,
+    depths: list[int] | None = None,
+    train_ratio: float = 0.75,
+) -> tuple[PipelineModel, dict]:
+    """Model selection beyond the reference (it hard-codes maxDepth=9):
+    grid-search tree depth with TrainValidationSplit (one split, not
+    k-fold — at 100 TB each fit is expensive; TVS fits |grid|+1 models
+    vs CV's k*|grid|).  Returns (best model, {depth: metric})."""
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    depths = depths or [3, 6, 9]
+    pipeline = build_pipeline("decision_tree")
+    dt = pipeline.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, depths).build()
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        trainRatio=train_ratio,
+        seed=RANDOM_SEED,
+    )
+    model = tvs.fit(df)
+    metrics = dict(zip(depths, [float(m) for m in model.validationMetrics]))
+    return model.bestModel, metrics
+
+
+def feature_importances(
+    model: PipelineModel, feature_cols: list[str] | None = None
+) -> dict[str, float]:
+    """Per-feature importance from the fitted tree/forest — the model
+    introspection surface the reference lacks entirely."""
+    feature_cols = feature_cols or EVENTS_FEATURE_COLS
+    clf = model.stages[-1]
+    imps = clf.featureImportances.toArray()
+    return {c: float(v) for c, v in zip(feature_cols, imps)}
