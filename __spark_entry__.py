@@ -24,6 +24,7 @@ from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.plans import relational as R
+from activity_classifier_spark_cassandra_spark.plans import tpch as TH
 from activity_classifier_spark_cassandra_spark.streaming import sessions as STR
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -72,6 +73,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": R.q5_local_supplier,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q17_small_quantity": R.q17_small_quantity,
+        # --- TPC-H shapes adapted to the reduced schema (plans/tpch.py) ---
+        "q4_priority_count": TH.q4_priority_count,
+        "q7_volume_shipping": TH.q7_volume_shipping,
+        "q8_market_share": TH.q8_market_share,
+        "q9_product_profit": TH.q9_product_profit,
+        "q10_returned_items": TH.q10_returned_items,
+        "q12_late_by_priority": TH.q12_late_by_priority,
+        "q13_customer_distribution": TH.q13_customer_distribution,
+        "q14_promo_revenue": TH.q14_promo_revenue,
+        "q16_supplier_cnt": TH.q16_supplier_cnt,
+        "q18_large_orders": TH.q18_large_orders,
+        "q22_idle_customers": TH.q22_idle_customers,
         # --- join family (J2 + semi/anti/set ops) ---
         "q_broadcast_dim_join": R.q_broadcast_dim_join,
         "q_anti_join": R.q_anti_join,
@@ -138,6 +151,17 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": R.Q5_SQL,
         "q6_forecast_revenue": R.Q6_SQL,
         "q17_small_quantity": R.Q17_SQL,
+        "q4_priority_count": TH.Q4_SQL,
+        "q7_volume_shipping": TH.Q7_SQL,
+        "q8_market_share": TH.Q8_SQL,
+        "q9_product_profit": TH.Q9_SQL,
+        "q10_returned_items": TH.Q10_SQL,
+        "q12_late_by_priority": TH.Q12_SQL,
+        "q13_customer_distribution": TH.Q13_SQL,
+        "q14_promo_revenue": TH.Q14_SQL,
+        "q16_supplier_cnt": TH.Q16_SQL,
+        "q18_large_orders": TH.Q18_SQL,
+        "q22_idle_customers": TH.Q22_SQL,
         "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,
