@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
@@ -94,6 +95,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": AJ.q_range_join,
         # --- skew mitigation (salted two-stage agg == direct groupBy) ---
         "q_salted_agg": K.q_salted_agg,
+        # --- deterministic key-stable sampling (operators/sampling.py) ---
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
         # --- LLM-data-pipeline: dedup ---
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
@@ -169,6 +175,10 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": AJ.ASOF_JOIN_SQL,
         "q_range_join": AJ.RANGE_JOIN_SQL,
         "q_salted_agg": K.SALTED_AGG_SQL,
+        "q_sample_hash": SM.SAMPLE_HASH_SQL,
+        "q_train_test_split": SM.TRAIN_TEST_SPLIT_SQL,
+        "q_user_holdout": SM.USER_HOLDOUT_SQL,
+        "q_stratified_sample": SM.STRATIFIED_SAMPLE_SQL,
         "q_dedup_exact": D.DEDUP_EXACT_SQL,
         "q_dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "q_dedup_minhash": D.DEDUP_MINHASH_SQL,

@@ -1,0 +1,89 @@
+"""Deterministic sampling (operators/sampling.py): the properties that
+make it trustworthy at scale — stability under re-partitioning, whole-
+entity holdout, and approximate rate — plus oracle parity at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from activity_classifier_spark_cassandra_spark.operators.sampling import (
+    deterministic_sample,
+    pct_threshold,
+    train_test_split,
+)
+from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sample_stable_under_repartition(spark):
+    """The sampled key set must be a pure function of the key — identical
+    before and after an arbitrary repartition (rand()-based sampling
+    fails this)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    a = deterministic_sample(orders, F.col("o_orderkey"), 10.0)
+    b = deterministic_sample(
+        orders.repartition(13, "o_custkey"), F.col("o_orderkey"), 10.0
+    )
+    keys_a = {r[0] for r in a.select("o_orderkey").collect()}
+    keys_b = {r[0] for r in b.select("o_orderkey").collect()}
+    assert keys_a == keys_b and len(keys_a) > 0
+
+
+def test_split_is_partition_of_input(spark):
+    """Every row gets exactly one side; no row is dropped or duplicated."""
+    ev = load_table(spark, SF_DIR, "events")
+    split = train_test_split(ev, F.col("event_id"), test_pct=40.0)
+    n = ev.count()
+    by_side = dict(
+        split.groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert set(by_side) == {"train", "test"}
+    assert by_side["train"] + by_side["test"] == n
+    # uniform digest => rate within a few points of 40% even at sf0.001
+    assert 0.30 < by_side["test"] / n < 0.50
+
+
+def test_user_holdout_keeps_whole_users(spark):
+    """Entity-level holdout: the held-out event set must contain every
+    event of each sampled user — no user straddles the boundary."""
+    ev = load_table(spark, SF_DIR, "events")
+    held = deterministic_sample(ev, F.col("user_id"), 20.0)
+    held_counts = held.groupBy("user_id").count()
+    all_counts = ev.groupBy("user_id").count()
+    j = held_counts.alias("h").join(
+        all_counts.alias("a"), "user_id"
+    ).filter(F.col("h.count") != F.col("a.count"))
+    assert j.count() == 0 and held_counts.count() > 0
+
+
+def test_pct_threshold_rejects_degenerate():
+    for bad in (0.0, 100.0, -5.0, 120.0):
+        with pytest.raises(ValueError):
+            pct_threshold(bad)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_sample_hash", "q_train_test_split", "q_user_holdout",
+     "q_stratified_sample"],
+)
+def test_matches_duckdb_oracle(spark, name):
+    con = duckdb.connect()
+    for t in ["orders", "events", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entrymod.oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
+    con.close()
