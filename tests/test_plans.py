@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the scale story (broadcasts, pushdown,
+pruning, partial aggregation, no cartesian blowups) pinned so a refactor
+can't silently regress it.  These only build plans — nothing executes."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries allowed a BroadcastNestedLoopJoin: each broadcasts a tiny,
+# bounded side by construction (k query vectors / one corpus-stats or
+# global-average row).
+BNLJ_OK = {
+    "q_knn_brute", "q_knn_pandas", "q_tfidf_top_terms", "q22_idle_customers",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical-plan NODES (the numbered detail entries), not raw
+    substring hits — 'formatted' mode prints each node twice (tree line
+    + detail header)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_no_cartesian_anywhere(spark):
+    """No registered query may plan a CartesianProduct, and nested-loop
+    joins are allowed only where the build side is provably tiny."""
+    for name in entrymod.queries():
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q5_star_join_broadcasts_all_dimensions(spark):
+    """Q5: every dimension join is broadcast; the single fact-side join
+    is hash (hinted), never sort-merge — no fact-table sort at any SF."""
+    plan = _plan(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Q6: all three predicates reach the parquet scan, and the scan
+    reads exactly the four referenced columns."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q1_partial_aggregation(spark):
+    """Q1: map-side partial agg before the exchange (two HashAggregate
+    levels), so the shuffle carries group rows, not line items."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_exchange_budget(spark):
+    """The sessionize→window→11-feature pipeline runs in at most two
+    exchanges (window partitioning + final agg); a refactor that adds a
+    third shuffle would regress 100 TB wall-clock materially."""
+    plan = _plan(spark, "q_session_features")
+    assert _nodes(plan, "Exchange") <= 2, plan
+
+
+def test_sampling_is_scan_plus_filter_only(spark):
+    """Key-stable sampling must stay a pure row-predicate: exactly one
+    exchange (the summary agg), no join nodes at all."""
+    plan = _plan(spark, "q_sample_hash")
+    assert "Join" not in plan
+    assert _nodes(plan, "Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q10_returned_items", "q_topk"]
+)
+def test_topk_never_total_sorts(spark, name):
+    """orderBy().limit(k) must plan TakeOrderedAndProject — a global
+    sort of the full result would be a scale regression."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
