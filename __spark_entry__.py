@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
@@ -95,6 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": AJ.q_range_join,
         # --- skew mitigation (salted two-stage agg == direct groupBy) ---
         "q_salted_agg": K.q_salted_agg,
+        # --- event-sequence analytics (operators/funnel.py) ---
+        "q_funnel": FN.q_funnel,
+        "q_retention": FN.q_retention,
+        "q_daily_active": FN.q_daily_active,
         # --- deterministic key-stable sampling (operators/sampling.py) ---
         "q_sample_hash": SM.q_sample_hash,
         "q_train_test_split": SM.q_train_test_split,
@@ -175,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": AJ.ASOF_JOIN_SQL,
         "q_range_join": AJ.RANGE_JOIN_SQL,
         "q_salted_agg": K.SALTED_AGG_SQL,
+        "q_funnel": FN.FUNNEL_SQL,
+        "q_retention": FN.RETENTION_SQL,
+        "q_daily_active": FN.DAILY_ACTIVE_SQL,
         "q_sample_hash": SM.SAMPLE_HASH_SQL,
         "q_train_test_split": SM.TRAIN_TEST_SPLIT_SQL,
         "q_user_holdout": SM.USER_HOLDOUT_SQL,

@@ -37,6 +37,10 @@ HEADLINE = [
     "q_range_join",
     "q_moving_avg",
     "q17_small_quantity",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q_train_test_split",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
