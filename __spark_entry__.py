@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": T.q_token_count,
         "q_doc_fingerprint": T.q_doc_fingerprint,
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
         # --- LLM-data-pipeline: similarity search ---
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
@@ -200,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": T.TOKEN_COUNT_SQL,
         "q_doc_fingerprint": T.DOC_FINGERPRINT_SQL,
         "q_tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
+        "q_redact": T.REDACT_SQL,
+        "q_repetition_ratio": T.REPETITION_RATIO_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

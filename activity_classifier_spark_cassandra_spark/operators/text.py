@@ -261,3 +261,97 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
 """
+
+
+# ------------------------------------------------------- redaction
+# PII-scrub plumbing: a list of (pattern, replacement) rules applied in
+# one projection pass.  Real pipelines load rules for emails, phone
+# numbers, ID numbers; the synthetic corpus has none of those, so the
+# registered query demonstrates the machinery on vocabulary tokens —
+# the plan shape (chained regexp_replace, zero shuffle before the
+# summary agg) is identical whatever the rule list holds.
+REDACT_RULES: list[tuple[str, str]] = [
+    (r"\bcustomer\b", "[ENTITY]"),
+    (r"\bspark\b", "[PRODUCT]"),
+]
+
+
+def redact(text_col: F.Column, rules: list[tuple[str, str]]) -> F.Column:
+    """Apply every redaction rule in sequence — one narrow projection,
+    JVM-regex per batch, linear at any corpus size."""
+    out = text_col
+    for pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction summary per language: docs touched and total chars
+    removed (value-sensitive — a wrong rule or a non-global replace
+    shifts both numbers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_before"),
+        F.length(redact(F.col("text"), REDACT_RULES)).alias("len_after"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("len_after") != F.col("len_before"), 1).otherwise(0)
+        ).alias("n_docs_redacted"),
+        F.sum(F.col("len_before") - F.col("len_after")).alias("chars_delta"),
+    )
+
+
+REDACT_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN LENGTH(red) <> LENGTH(text) THEN 1 ELSE 0 END)
+         AS n_docs_redacted,
+       SUM(LENGTH(text) - LENGTH(red)) AS chars_delta
+FROM (
+  SELECT lang, text,
+         regexp_replace(regexp_replace(text, '\bcustomer\b', '[ENTITY]', 'g'),
+                        '\bspark\b', '[PRODUCT]', 'g') AS red
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------- repetition
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the standard LLM-corpus
+    quality gate for degenerate/boilerplate text: top-token fraction
+    and type-token ratio.
+
+    explode → two keyed aggs (both partial) rather than a higher-order
+    aggregate over the token array: HOF lambdas run interpreted per
+    element, while explode+groupBy stays whole-stage-codegen and
+    partial-aggregates map-side, so a hot document never concentrates
+    on one reducer beyond its own token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+    )
+
+
+REPETITION_RATIO_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKENIZE}) AS tok FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, SUM(c) AS n_tokens,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio
+FROM cnt GROUP BY doc_id
+"""

@@ -114,3 +114,38 @@ def test_simhash_near_dup_finds_one_word_edit(spark, tmp_path):
     }
     assert got[(0, 2)] == 0  # identical text -> identical signature
     assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+# ------------------------------------------------- redact / repetition
+def test_redact_is_global_and_word_bounded(spark):
+    """Every occurrence is replaced (not just the first), and the \\b
+    boundary must not touch words containing the pattern."""
+    from activity_classifier_spark_cassandra_spark.operators.text import redact
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("customer customer customerX accustomed",)], ["text"]
+    )
+    out = df.select(
+        redact(F.col("text"), [(r"\bcustomer\b", "[E]")]).alias("r")
+    ).head()["r"]
+    assert out == "[E] [E] customerX accustomed"
+
+
+def test_repetition_ratio_values(spark):
+    """'a a a b' -> top fraction 0.75, type-token ratio 0.5."""
+    import __spark_entry__ as entrymod
+    from activity_classifier_spark_cassandra_spark.operators import text as T
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    toks = docs.select("doc_id", F.explode(T._tokens_col()).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    row = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            (F.max("c") / F.sum("c")).alias("top"),
+            (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
+        )
+        .head()
+    )
+    assert row["n"] == 4 and row["top"] == 0.75 and row["ttr"] == 0.5
