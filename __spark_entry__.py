@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lead_lag": R.q_lead_lag,
         "q_conditional_pivot": R.q_conditional_pivot,
         "q_window_rank": R.q_window_rank,
+        "q_grouping_sets": R.q_grouping_sets,
+        "q_ntile_dist": R.q_ntile_dist,
+        # rows-only: sketch values are algorithm-specific (error bounds
+        # pinned vs exact answers in pytest)
+        "q_approx_sketch": R.q_approx_sketch,
         # --- TPC-H query shapes (joins, star schema, top-k) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -159,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lead_lag": R.LEAD_LAG_SQL,
         "q_conditional_pivot": R.CONDITIONAL_PIVOT_SQL,
         "q_window_rank": R.WINDOW_RANK_SQL,
+        "q_grouping_sets": R.GROUPING_SETS_SQL,
+        "q_ntile_dist": R.NTILE_DIST_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier": R.Q5_SQL,

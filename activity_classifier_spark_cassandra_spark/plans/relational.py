@@ -793,3 +793,84 @@ WHERE l_quantity < (
 )
 GROUP BY p_brand
 """
+
+
+# ------------------------------------------------------ grouping sets
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    three granularities in ONE scan + one exchange — Spark expands the
+    sets map-side, so the fact table is not re-read per set.  grouping()
+    markers disambiguate "NULL key" from "aggregated-away key"."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --------------------------------------------------- ranking windows
+def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + distribution ranks per status partition.
+    One exchange on the partition key; ntile needs a deterministic
+    total order, so the orderkey breaks o_totalprice ties."""
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+NTILE_DIST_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+# ------------------------------------------------------- sketches
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB answer to COUNT(DISTINCT) and exact percentiles:
+    HyperLogLog++ and GK-sketch quantiles.  Both are mergeable partial
+    states — the exchange carries one sketch per partition instead of
+    every distinct value, which is the entire point at scale.
+
+    No DuckDB oracle (different sketch algorithms ⇒ different approx
+    values); registered rows-only, with error bounds pinned against the
+    exact answers in tests/test_relational_sketch.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95], 10000
+        ).alias("price_q50_q95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
