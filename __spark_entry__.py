@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import asof as AJ
+from activity_classifier_spark_cassandra_spark.operators import cdc as C
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
@@ -71,6 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": R.q_window_rank,
         "q_grouping_sets": R.q_grouping_sets,
         "q_ntile_dist": R.q_ntile_dist,
+        "q_unpivot": R.q_unpivot,
+        "q_zscore_anomaly": R.q_zscore_anomaly,
+        "q_upsert_compact": C.q_upsert_compact,
         # rows-only: sketch values are algorithm-specific (error bounds
         # pinned vs exact answers in pytest)
         "q_approx_sketch": R.q_approx_sketch,
@@ -166,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "q_window_rank": R.WINDOW_RANK_SQL,
         "q_grouping_sets": R.GROUPING_SETS_SQL,
         "q_ntile_dist": R.NTILE_DIST_SQL,
+        "q_unpivot": R.UNPIVOT_SQL,
+        "q_zscore_anomaly": R.ZSCORE_ANOMALY_SQL,
+        "q_upsert_compact": C.UPSERT_COMPACT_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier": R.Q5_SQL,

@@ -874,3 +874,76 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_q50_q95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------- unpivot
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): four measure columns become (metric,
+    value) rows via the native unpivot operator — a zero-shuffle
+    generate step; the only exchange is the summary agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, metric, COUNT(*) AS n, ROUND(AVG(val), 6) AS avg_val
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, metric
+"""
+
+
+# ----------------------------------------------------- anomaly scan
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier scan over each user's event series: the
+    monitoring primitive for metric streams.  value is compared to the
+    mean/stddev of the PRECEDING 20 events (never the current row —
+    including it dilutes the very spike being tested).  One exchange on
+    user_id; the frame is a per-partition sort Spark already needs for
+    the window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts DIV 1000000").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        ev.select(
+            "event_id", "user_id", "value", F.round(z, 6).alias("zscore")
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
+
+
+ZSCORE_ANOMALY_SQL = """
+SELECT event_id, user_id, value, zscore
+FROM (
+  SELECT event_id, user_id, value,
+         ROUND((value - AVG(value) OVER w)
+               / NULLIF(STDDEV_SAMP(value) OVER w, 0.0), 6) AS zscore
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+WHERE ABS(zscore) > 2.5
+"""

@@ -1,0 +1,56 @@
+"""Upsert compaction semantics on a hand-built base/update pair, plus
+oracle parity for the registered CDC / reshape / anomaly queries."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from activity_classifier_spark_cassandra_spark.operators.cdc import upsert_compact
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_latest_version_wins_and_inserts_pass_through(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], ["k", "v", "version"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 1), (3, "c", 1)], ["k", "v", "version"]
+    )
+    got = {
+        r["k"]: (r["v"], r["version"])
+        for r in upsert_compact(base, updates, ["k"], "version").collect()
+    }
+    assert got == {1: ("a", 0), 2: ("b2", 1), 3: ("c", 1)}
+
+
+def test_compaction_emits_one_row_per_key(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 0), (1, "a-dup", 2), (1, "a-mid", 1)], ["k", "v", "version"]
+    )
+    empty = base.filter("false")
+    out = upsert_compact(base, empty, ["k"], "version").collect()
+    assert len(out) == 1 and out[0]["v"] == "a-dup"
+
+
+@pytest.mark.parametrize(
+    "name", ["q_upsert_compact", "q_unpivot", "q_zscore_anomaly"]
+)
+def test_matches_duckdb_oracle(spark, name):
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entrymod.oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
+    con.close()
