@@ -28,8 +28,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..sources.io import load_table
 from .text import STOPWORDS, _TOKENIZE, _TOKENIZE_SPARK, _sql_in_list
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    """Materialize a derived table consumed by multiple plan branches
+    (self-join sides, df-filters, count tables).  Without this, each
+    branch recomputes the whole tokenize/window/hash subplan — Spark's
+    ReusedExchange cannot fire because the branches prune/alias the
+    columns differently.  MEMORY_AND_DISK: signature tables are tiny
+    relative to the corpus; shingle rows spill to local disk at worst,
+    still far cheaper than 4x recomputation.  (At warehouse scale the
+    same move is writing the signature table to parquet once per
+    ingest batch.)"""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 N_MINHASH = 16
 SHINGLE_K = 3
@@ -131,7 +146,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts, so capping only prunes candidate generation — a
     pair sharing only ultra-hot shingles is treated as not-near-dup,
     the documented trade of every shingle-LSH system."""
-    ex_all = _doc_shingle_rows(spark, sf_dir)
+    ex_all = _shared(_doc_shingle_rows(spark, sf_dir))
     counts = ex_all.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
     )
@@ -238,7 +253,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     With one row per band the bucket join finds every pair sharing any
     minhash — a superset of every pair with est >= 1/16 — so no
     candidate the brute-force oracle would keep is ever missed."""
-    bands = _minhash_bands(spark, sf_dir)
+    bands = _shared(_minhash_bands(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     matches = (
@@ -386,7 +401,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band (pigeonhole: any pair within hamming distance 3
     must agree on one of 4 bands), then verify hamming(sig1, sig2) <=
     3 exactly with bit_count(xor).  Banded equi-join, no all-pairs."""
-    sigs = _simhash_sigs(spark, sf_dir)
+    sigs = _shared(_simhash_sigs(spark, sf_dir))
     bands = sigs.select(
         "doc_id",
         "simhash",
