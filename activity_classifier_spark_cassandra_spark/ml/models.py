@@ -211,7 +211,11 @@ def q_ml_predict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML6 batch predict (model.transform over the held-out set),
     summarized as per-(label, prediction) counts — the confusion
     matrix, deterministic under the pinned seeds."""
-    df = feature_frame(spark, sf_dir)
+    # M2: cache the feature frame — tree induction makes one pass per
+    # depth level, and without the cache every pass re-runs the whole
+    # sessionize→window→feature pipeline (RecognizeActivity.java:130
+    # caches for the same reason).
+    df = feature_frame(spark, sf_dir).cache()
     train, test = train_test_split(df)
     model = build_pipeline("decision_tree").fit(train)
     return (
