@@ -28,6 +28,7 @@ from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.plans import relational as R
 from activity_classifier_spark_cassandra_spark.plans import tpch as TH
+from activity_classifier_spark_cassandra_spark.streaming import dedup as SD
 from activity_classifier_spark_cassandra_spark.streaming import sessions as STR
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the watermark; stream-vs-batch parity pinned by pytest) ---
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
+        "q_stream_dedup": SD.q_stream_dedup,
         # --- relational coverage over events (S1, P1-P10, A1-A10, O2-O3) ---
         "q_distinct_users": R.q_distinct_users,
         "q_count_gate": R.q_count_gate,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "q_session_features": P.SESSION_FEATURES_SQL,
         "q_stream_session_features": STR.STREAM_SESSION_FEATURES_SQL,
         "q_stream_windowed_features": STR.STREAM_WINDOWED_FEATURES_SQL,
+        "q_stream_dedup": SD.STREAM_DEDUP_SQL,
         "q_distinct_users": R.DISTINCT_USERS_SQL,
         "q_count_gate": R.COUNT_GATE_SQL,
         "q_minmax_ts": R.MINMAX_TS_SQL,

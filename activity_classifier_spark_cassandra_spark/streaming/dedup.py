@@ -66,3 +66,36 @@ def dedup_within_watermark(
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+# ----------------------------------------------------------- query
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup code path executed on a batch frame (the
+    watermark is a no-op outside a stream; stream-vs-batch equivalence
+    is pinned by tests/test_streaming_dedup.py).  Input simulates an
+    at-least-once feed by doubling every event; output summarizes the
+    deduped stream per type, so a single surviving duplicate shifts
+    both count and sum."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return (
+        dedup_stream(doubled)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM events
+  )
+)
+GROUP BY event_type
+"""
