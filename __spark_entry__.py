@@ -21,6 +21,7 @@ from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import cdc as C
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
+from activity_classifier_spark_cassandra_spark.operators import graph as G
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": D.q_dedup_embedding,
         "q_dedup_keep_best": D.q_dedup_keep_best,
         "q_corpus_clean": D.q_corpus_clean,
+        "q_dedup_clusters": G.q_dedup_clusters,
         # --- LLM-data-pipeline: text analysis ---
         "q_text_stats": T.q_text_stats,
         "q_lang_id": T.q_lang_id,
@@ -214,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_embedding": D.DEDUP_EMBEDDING_SQL,
         "q_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
         "q_corpus_clean": D.CORPUS_CLEAN_SQL,
+        "q_dedup_clusters": G.dedup_clusters_sql(),
         "q_text_stats": T.TEXT_STATS_SQL,
         "q_lang_id": T.LANG_ID_SQL,
         "q_token_count": T.TOKEN_COUNT_SQL,

@@ -1,0 +1,55 @@
+"""Connected components: hand-built graph semantics + oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from activity_classifier_spark_cassandra_spark.operators.graph import (
+    connected_components,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _comp(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["id"]: r["comp"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_one_component(spark):
+    """1-2, 2-3, 3-4: transitivity across hops (this is exactly what
+    pairwise dedup output lacks)."""
+    got = _comp(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _comp(spark, [(1, 2), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    """Min label must flow against the listed edge direction too."""
+    got = _comp(spark, [(5, 1), (5, 6)])
+    assert got == {1: 1, 5: 1, 6: 1}
+
+
+def test_matches_recursive_cte_oracle(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sdf = entrymod.queries()["q_dedup_clusters"](spark, SF_DIR).toPandas()
+    odf = con.execute(entrymod.oracle_sql()["q_dedup_clusters"]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+    assert len(s) > 0
+    con.close()
