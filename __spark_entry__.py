@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": R.q_unpivot,
         "q_zscore_anomaly": R.q_zscore_anomaly,
         "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
         # rows-only: sketch values are algorithm-specific (error bounds
         # pinned vs exact answers in pytest)
         "q_approx_sketch": R.q_approx_sketch,
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "q_unpivot": R.UNPIVOT_SQL,
         "q_zscore_anomaly": R.ZSCORE_ANOMALY_SQL,
         "q_upsert_compact": C.UPSERT_COMPACT_SQL,
+        "q_histogram": R.HISTOGRAM_SQL,
+        "q_profile": R.PROFILE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier": R.Q5_SQL,

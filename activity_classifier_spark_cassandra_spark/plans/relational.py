@@ -947,3 +947,98 @@ FROM (
 )
 WHERE ABS(zscore) > 2.5
 """
+
+
+# ----------------------------------------------------- profiling
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (20 bins) of order totals — the profiling
+    primitive behind every data-quality dashboard.  Bin edges come from
+    a 1-row global agg broadcast into the bucketing projection, so the
+    whole thing is two scans and two 1-row-ish exchanges at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    n_bins = 20
+    binned = orders.crossJoin(F.broadcast(edges)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+HISTOGRAM_SQL = """
+WITH edges AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT LEAST(19, FLOOR((o_totalprice - lo) / ((hi - lo) / 20))) AS bin,
+       COUNT(*) AS n
+FROM orders CROSS JOIN edges
+GROUP BY 1
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders: one row per column with
+    null count, distinct count, and min/max rendered as strings.  All
+    columns profile in a single scan (one agg computes every stat);
+    the per-column rows are unpivoted from that 1-row frame, so adding
+    a column adds expressions, not passes."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stacked = one.selectExpr(
+        "stack({n}, {args}) as (column, n_nulls, n_distinct, min_val, max_val)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+                for c in cols
+            ),
+        )
+    )
+    return stacked
+
+
+PROFILE_SQL = """
+WITH one AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+    COUNT(DISTINCT o_orderkey) AS k_distinct,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+    CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    COUNT(DISTINCT o_custkey) AS c_distinct,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
+    CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    COUNT(DISTINCT o_orderstatus) AS s_distinct,
+    CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
+    CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    COUNT(DISTINCT o_totalprice) AS t_distinct,
+    CAST(MIN(o_totalprice) AS VARCHAR) AS t_min,
+    CAST(MAX(o_totalprice) AS VARCHAR) AS t_max
+  FROM orders
+)
+SELECT 'o_orderkey' AS column, k_nulls AS n_nulls, k_distinct AS n_distinct,
+       k_min AS min_val, k_max AS max_val FROM one
+UNION ALL
+SELECT 'o_custkey', c_nulls, c_distinct, c_min, c_max FROM one
+UNION ALL
+SELECT 'o_orderstatus', s_nulls, s_distinct, s_min, s_max FROM one
+UNION ALL
+SELECT 'o_totalprice', t_nulls, t_distinct, t_min, t_max FROM one
+"""

@@ -41,6 +41,11 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_orders",
     "q_train_test_split",
+    "q_funnel",
+    "q_retention",
+    "q_dedup_clusters",
+    "q_upsert_compact",
+    "q_zscore_anomaly",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",

@@ -17,6 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # global-average row).
 BNLJ_OK = {
     "q_knn_brute", "q_knn_pandas", "q_tfidf_top_terms", "q22_idle_customers",
+    "q_histogram",  # 1-row min/max edges frame broadcast into bucketing
 }
 
 
