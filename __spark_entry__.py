@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": TH.q16_supplier_cnt,
         "q18_large_orders": TH.q18_large_orders,
         "q22_idle_customers": TH.q22_idle_customers,
+        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
+        "q11_important_stock": TH.q11_important_stock,
+        "q15_top_supplier": TH.q15_top_supplier,
+        "q20_excess_suppliers": TH.q20_excess_suppliers,
+        "q21_waiting_orders": TH.q21_waiting_orders,
         # --- join family (J2 + semi/anti/set ops) ---
         "q_broadcast_dim_join": R.q_broadcast_dim_join,
         "q_anti_join": R.q_anti_join,
@@ -198,6 +203,11 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_cnt": TH.Q16_SQL,
         "q18_large_orders": TH.Q18_SQL,
         "q22_idle_customers": TH.Q22_SQL,
+        "q2_min_cost_supplier": TH.Q2_SQL,
+        "q11_important_stock": TH.Q11_SQL,
+        "q15_top_supplier": TH.Q15_SQL,
+        "q20_excess_suppliers": TH.Q20_SQL,
+        "q21_waiting_orders": TH.Q21_SQL,
         "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,
         "q_anti_join": R.ANTI_JOIN_SQL,
         "q_semi_join": R.SEMI_JOIN_SQL,

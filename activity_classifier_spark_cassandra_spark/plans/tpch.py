@@ -549,3 +549,235 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   )
 GROUP BY c_nationkey
 """
+
+
+# ------------------------------------------------------------- TPC-H Q2
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min subquery — for each part, keep only the
+    supplier(s) achieving the minimum effective unit price.  No
+    partsupp table: (part, supplier, unit price) pairs derive from
+    lineitem.  The min-per-part table joins back on (partkey, price) —
+    both sides share the partkey exchange; at scale AQE broadcasts the
+    tiny filtered min table."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    unit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) / F.col(
+        "l_quantity"
+    )
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(unit), 6).alias("unit_price"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("unit_price"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(MIN(l_extendedprice * (1 - l_discount) / l_quantity), 6)
+           AS unit_price
+  FROM lineitem
+  WHERE l_quantity > 0
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT o.l_partkey AS p_partkey, s_name, o.unit_price
+FROM offers o
+JOIN (SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM offers GROUP BY l_partkey) b
+  ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+JOIN supplier ON o.l_suppkey = s_suppkey
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q11
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups whose share of a GLOBAL total exceeds a
+    threshold — group agg + 1-row scalar agg + broadcast compare.  The
+    global total reuses the per-group aggregates (sum of sums), so the
+    fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(value).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0006 * F.col("total_value"))
+        .select(
+            "l_partkey", F.round(F.col("part_value"), 2).alias("part_value")
+        )
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(part_value, 2) AS part_value
+FROM per_part
+WHERE part_value > 0.0006 * (SELECT SUM(part_value) FROM per_part)
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q15
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the group(s) attaining the global max — revenue per
+    supplier, then keep suppliers tying the maximum (ties kept, as in
+    the spec's revenue view)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(revenue), 2).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q20
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-joins — suppliers who moved more than 2%
+    (10%) of the total volume of some small-size part.  part filter →
+    per-(part, supplier) volume → threshold vs per-part total →
+    qualifying suppliers (distinct) → semi-join supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    vol = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = vol.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    qualifying = (
+        vol.join(totals, F.col("l_partkey") == F.col("tp"))
+        .filter(F.col("supp_qty") > 0.1 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+Q20_SQL = """
+WITH vol AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+  GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM vol GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT DISTINCT v.l_suppkey
+  FROM vol v JOIN totals t ON v.l_partkey = t.l_partkey
+  WHERE v.supp_qty > 0.1 * t.part_qty
+)
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q21
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS against the same fact — suppliers
+    who were the ONLY late shipper on a multi-supplier order.  Computed
+    with one conditional aggregation per order instead of two
+    correlated subqueries: per (order, supplier) mark lateness, then
+    per order count distinct suppliers and distinct late suppliers —
+    one orderkey exchange replaces the exists/not-exists double probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_suppkey, s_name
+"""

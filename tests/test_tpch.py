@@ -27,6 +27,11 @@ TPCH_QUERIES = [
     "q16_supplier_cnt",
     "q18_large_orders",
     "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_orders",
 ]
 
 
