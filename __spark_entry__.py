@@ -22,6 +22,7 @@ from activity_classifier_spark_cassandra_spark.operators import cdc as C
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import graph as G
+from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
@@ -142,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_redact": T.q_redact,
         "q_repetition_ratio": T.q_repetition_ratio,
+        # --- multimodal plumbing (binary -> typed metadata) ---
+        "q_media_features": MM.q_media_features,
         # --- LLM-data-pipeline: similarity search ---
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
@@ -238,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "q_redact": T.REDACT_SQL,
         "q_repetition_ratio": T.REPETITION_RATIO_SQL,
+        "q_media_features": MM.MEDIA_FEATURES_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

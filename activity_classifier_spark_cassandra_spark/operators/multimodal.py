@@ -161,3 +161,54 @@ def sample_frames(
     """Frame sampling for video rows exploded to (media_id, frame_idx):
     keep every n-th frame — a pure filter, no Python, scales as a scan."""
     return df.filter((F.col(ts_col) % every_n) == 0)
+
+
+# ------------------------------------------------------------ query
+@F.pandas_udf(T.BinaryType())
+def _encode_media_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    """Deterministic in-query media synthesis: dims derived from the
+    document row, so the oracle can predict every decoded field in
+    closed form without ever touching bytes."""
+    return pd.Series(
+        [
+            encode_fake_image(
+                width=int(n % 512) + 1,
+                height=int(d % 512) + 1,
+                channels=3,
+                payload=b"x" * int(n % 64),
+            )
+            for d, n in zip(doc_id, n_chars)
+        ]
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing, driver-checkable: synthesize a
+    binary media column per document (Arrow-batched pandas UDF), run
+    the mapInPandas decode/feature-extract, and return the typed
+    metadata.  The binary payload exists only inside the two Python
+    stages — it is pruned before anything shuffles.  The oracle
+    recomputes every field from the same arithmetic on (doc_id,
+    n_chars), so a wrong header parse, a lost batch, or a truncated
+    payload all hash-mismatch."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_media_udf(F.col("doc_id"), F.col("n_chars")).alias("content"),
+    )
+    return extract_media_features(docs)
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST((n_chars % 512) + 1 AS INTEGER) AS width,
+       CAST((doc_id % 512) + 1 AS INTEGER) AS height,
+       3 AS channels,
+       0 AS modality,
+       CAST(((n_chars % 512) + 1) * ((doc_id % 512) + 1) AS BIGINT)
+         AS n_pixels,
+       CAST(n_chars % 64 AS BIGINT) AS payload_bytes,
+       TRUE AS decode_ok
+FROM documents
+"""

@@ -94,3 +94,26 @@ def test_modality_label_usable_downstream(spark):
     )
     got = {r["modality"]: r["n"] for r in by_modality}
     assert got == {MODALITY_IMAGE: 2, MODALITY_AUDIO: 1}
+
+
+def test_q_media_features_matches_closed_form(spark):
+    """The registered end-to-end query (synth binary -> mapInPandas
+    decode) must equal the closed-form arithmetic oracle."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sdf = entrymod.queries()["q_media_features"](spark, sf).toPandas()
+    odf = con.execute(entrymod.oracle_sql()["q_media_features"]).df()
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+    con.close()
