@@ -65,15 +65,34 @@ def connected_components(
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == F.col("id2"), "left"
+        ).select(
+            "id",
+            F.col("comp").alias("old_comp"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # Path halving (pointer jumping): also adopt the label OF my
+        # label.  Pure min-propagation needs diameter rounds — long
+        # chains in a near-dup graph make that dozens of full shuffles
+        # at corpus scale; following one extra pointer per round brings
+        # convergence to O(log diameter).
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            stepped.join(ptr, stepped["comp"] == F.col("pid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                 ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+                "old_comp",
             )
+            .withColumn("_changed", F.col("comp") < F.col("old_comp"))
+            .drop("old_comp")
         ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
