@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_redact": T.q_redact,
         "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
         # --- multimodal plumbing (binary -> typed metadata) ---
         "q_media_features": MM.q_media_features,
         # --- LLM-data-pipeline: similarity search ---
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "q_redact": T.REDACT_SQL,
         "q_repetition_ratio": T.REPETITION_RATIO_SQL,
+        "q_unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "q_media_features": MM.MEDIA_FEATURES_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,

@@ -355,3 +355,50 @@ SELECT doc_id, SUM(c) AS n_tokens,
        ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio
 FROM cnt GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- unigram log-prob
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality gate: score each document by its average
+    unigram negative log-probability under the corpus's own token
+    distribution (the cheap stand-in for KenLM perplexity filtering).
+
+    Two linear stages: (1) one agg builds the unigram table, (2) each
+    doc's tokens join it and average.  The token table at 100 TB is
+    Zipf-bounded (vocabulary ≪ corpus), so the probability table is
+    broadcast-size after the first agg; here Spark's AQE makes that
+    call.  High scores = improbable token mix = candidates for the
+    quality cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return scored
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKENIZE}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+),
+total AS (SELECT SUM(tf) AS n_total FROM vocab)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-LN(tf * 1.0 / n_total)), 6) AS avg_neg_logprob
+FROM toks JOIN vocab USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""

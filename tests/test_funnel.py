@@ -91,3 +91,13 @@ def test_retention_day0_is_full_cohort(spark):
     from activity_classifier_spark_cassandra_spark.sources.io import load_table
     n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert int(df.loc[0, "n_users"]) == n_users
+
+
+def test_funnel_counts_monotonically_decrease(spark):
+    """Each stage's survivor count can never exceed the previous
+    stage's — on real data at the driver's correctness SF."""
+    df = entrymod.queries()["q_funnel"](spark, "/root/testdata/sf0.01")
+    rows = sorted(df.collect(), key=lambda r: r["stage_idx"])
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > counts[-1] > -1

@@ -87,3 +87,16 @@ def test_matches_duckdb_oracle(spark, name):
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
     con.close()
+
+
+def test_sample_and_complement_partition_the_keyspace(spark):
+    """pct and (100-pct) thresholds split keys into disjoint sets whose
+    union is the whole table — no key is lost or double-counted."""
+    orders = load_table(spark, SF_DIR, "orders")
+    kept = deterministic_sample(orders, F.col("o_orderkey"), 30.0)
+    dropped = orders.filter(
+        ~(F.md5(F.col("o_orderkey").cast("string")) < pct_threshold(30.0))
+    )
+    n, k, d = orders.count(), kept.count(), dropped.count()
+    assert k + d == n
+    assert kept.join(dropped, "o_orderkey").count() == 0
