@@ -27,10 +27,12 @@ from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
+from activity_classifier_spark_cassandra_spark.operators import udaf as U
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.plans import relational as R
 from activity_classifier_spark_cassandra_spark.plans import tpch as TH
 from activity_classifier_spark_cassandra_spark.streaming import dedup as SD
+from activity_classifier_spark_cassandra_spark.streaming import joins as SJ
 from activity_classifier_spark_cassandra_spark.streaming import sessions as STR
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -52,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_dedup": SD.q_stream_dedup,
+        "q_stream_join_attribution": SJ.q_stream_join_attribution,
         # --- relational coverage over events (S1, P1-P10, A1-A10, O2-O3) ---
         "q_distinct_users": R.q_distinct_users,
         "q_count_gate": R.q_count_gate,
@@ -114,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_distinct": R.q_union_distinct,
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
+        # --- UDAF surface (grouped-agg pandas UDF vs exact SQL) ---
+        "q_pandas_udaf": U.q_pandas_udaf,
         # --- skew mitigation (salted two-stage agg == direct groupBy) ---
         "q_salted_agg": K.q_salted_agg,
         # --- event-sequence analytics (operators/funnel.py) ---
@@ -164,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_session_features": STR.STREAM_SESSION_FEATURES_SQL,
         "q_stream_windowed_features": STR.STREAM_WINDOWED_FEATURES_SQL,
         "q_stream_dedup": SD.STREAM_DEDUP_SQL,
+        "q_stream_join_attribution": SJ.STREAM_JOIN_ATTRIBUTION_SQL,
         "q_distinct_users": R.DISTINCT_USERS_SQL,
         "q_count_gate": R.COUNT_GATE_SQL,
         "q_minmax_ts": R.MINMAX_TS_SQL,
@@ -218,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "q_union_distinct": R.UNION_DISTINCT_SQL,
         "q_asof_join": AJ.ASOF_JOIN_SQL,
         "q_range_join": AJ.RANGE_JOIN_SQL,
+        "q_pandas_udaf": U.PANDAS_UDAF_SQL,
         "q_salted_agg": K.SALTED_AGG_SQL,
         "q_funnel": FN.FUNNEL_SQL,
         "q_retention": FN.RETENTION_SQL,

@@ -18,6 +18,9 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_OK = {
     "q_knn_brute", "q_knn_pandas", "q_tfidf_top_terms", "q22_idle_customers",
     "q_histogram",  # 1-row min/max edges frame broadcast into bucketing
+    "q11_important_stock",  # 1-row global-total broadcast
+    "q15_top_supplier",  # 1-row max-revenue broadcast
+    "q_unigram_logprob",  # 1-row corpus-token-total broadcast
 }
 
 
