@@ -43,7 +43,6 @@ HEADLINE = [
     "q_train_test_split",
     "q_funnel",
     "q_retention",
-    "q_dedup_clusters",
     "q_upsert_compact",
     "q_zscore_anomaly",
     "q_dedup_exact",
@@ -51,6 +50,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_simhash",
     "q_simhash_near_dup",
+    "q_dedup_clusters",
     "q_dedup_embedding",
     "q_knn_brute",
     "q_knn_pandas",
