@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_best": D.q_dedup_keep_best,
         "q_corpus_clean": D.q_corpus_clean,
         "q_dedup_clusters": G.q_dedup_clusters,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
         # --- LLM-data-pipeline: text analysis ---
         "q_text_stats": T.q_text_stats,
         "q_lang_id": T.q_lang_id,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
         "q_corpus_clean": D.CORPUS_CLEAN_SQL,
         "q_dedup_clusters": G.dedup_clusters_sql(),
+        "q_corpus_pipeline": G.corpus_pipeline_sql(),
         "q_text_stats": T.TEXT_STATS_SQL,
         "q_lang_id": T.LANG_ID_SQL,
         "q_token_count": T.TOKEN_COUNT_SQL,

@@ -143,3 +143,59 @@ SELECT comp AS representative, COUNT(*) AS cluster_size,
        STRING_AGG(id, ',' ORDER BY id) AS members
 FROM labels GROUP BY comp
 """
+
+
+# ------------------------------------------------ full-pipeline query
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data pipeline as ONE lazy plan: quality
+    gate → exact-dup removal (q_corpus_clean) → near-dup clustering
+    (SimHash pairs → connected components) → drop every cluster member
+    except its representative → per-language corpus summary.
+
+    Composition is the point: each stage is an already-verified
+    operator, and Catalyst fuses the whole chain — the quality
+    projections prune before any shuffle, the near-dup side is the
+    banded LSH join (never all-pairs), and the final anti-join carries
+    only non-representative ids (≪ corpus)."""
+    from .dedup import q_corpus_clean
+
+    kept = q_corpus_clean(spark, sf_dir)
+    pairs = q_simhash_near_dup(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components(pairs, src="doc1", dst="doc2")
+    non_rep = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    final = kept.join(non_rep, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def corpus_pipeline_sql() -> str:
+    from .dedup import CORPUS_CLEAN_SQL, SIMHASH_NEAR_DUP_SQL
+
+    pairs_sql = SIMHASH_NEAR_DUP_SQL.strip().rstrip(";")
+    kept_sql = CORPUS_CLEAN_SQL.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+nonrep AS (SELECT id AS doc_id FROM labels WHERE id <> comp),
+kept AS ({kept_sql})
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
+GROUP BY lang
+"""
