@@ -45,7 +45,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate: the driver's correctness run
+    covers a ~50-entry window from the front, so the families with no
+    round-2 oracle verdict (dedup / text / similarity / sampling /
+    funnel / join / TPC-H tail), the round-2 red rows (now fixed), and
+    the new queries come FIRST; the 45 queries already green in
+    CORRECTNESS_r02 sit at the back."""
     return {
+        # ==== block A: needs a (re-)verdict this round ====
+        # --- LLM-data-pipeline: dedup ---
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
+        "q_dedup_clusters": G.q_dedup_clusters,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
+        # --- LLM-data-pipeline: text analysis ---
+        "q_text_stats": T.q_text_stats,
+        "q_lang_id": T.q_lang_id,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
+        # --- multimodal plumbing (binary -> typed metadata) ---
+        "q_media_features": MM.q_media_features,
+        # --- LLM-data-pipeline: similarity search ---
+        "q_knn_brute": S.q_knn_brute,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_pandas": S.q_knn_pandas,
+        # --- deterministic key-stable sampling (operators/sampling.py) ---
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
+        # --- event-sequence analytics (operators/funnel.py) ---
+        "q_funnel": FN.q_funnel,
+        "q_retention": FN.q_retention,
+        "q_daily_active": FN.q_daily_active,
+        # --- join family (J2 + semi/anti/set ops) ---
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        "q_asof_join": AJ.q_asof_join,
+        "q_range_join": AJ.q_range_join,
+        # --- UDAF surface (grouped-agg pandas UDF vs exact SQL) ---
+        "q_pandas_udaf": U.q_pandas_udaf,
+        # --- skew mitigation (salted two-stage agg == direct groupBy) ---
+        "q_salted_agg": K.q_salted_agg,
+        # --- TPC-H tail (never checked in r2) + newly registered Q19 ---
+        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
+        "q11_important_stock": TH.q11_important_stock,
+        "q15_top_supplier": TH.q15_top_supplier,
+        "q19_disjunctive": TH.q19_disjunctive,
+        "q20_excess_suppliers": TH.q20_excess_suppliers,
+        "q21_waiting_orders": TH.q21_waiting_orders,
+        # --- round-2 red rows, fixed (engine-stable numerics) ---
+        "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
+        "q12_late_by_priority": TH.q12_late_by_priority,
+        # rows-only: sketch values are algorithm-specific (error bounds
+        # pinned vs exact answers in pytest); scalar columns only so the
+        # rows-only canonicalization is hashable
+        "q_approx_sketch": R.q_approx_sketch,
+        # --- new: full 11-feature 3-axis flagship variant ---
+        "q_session_features_3axis": P.q_session_features_3axis,
+        # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
+        "q_ml_train_eval": M.q_ml_train_eval,
+        # ==== block B: green in CORRECTNESS_r02 ====
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
         "q_session_features": P.q_session_features,
@@ -81,12 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_dist": R.q_ntile_dist,
         "q_unpivot": R.q_unpivot,
         "q_zscore_anomaly": R.q_zscore_anomaly,
-        "q_upsert_compact": C.q_upsert_compact,
-        "q_histogram": R.q_histogram,
-        "q_profile": R.q_profile,
-        # rows-only: sketch values are algorithm-specific (error bounds
-        # pinned vs exact answers in pytest)
-        "q_approx_sketch": R.q_approx_sketch,
         # --- TPC-H query shapes (joins, star schema, top-k) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -99,65 +167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": TH.q8_market_share,
         "q9_product_profit": TH.q9_product_profit,
         "q10_returned_items": TH.q10_returned_items,
-        "q12_late_by_priority": TH.q12_late_by_priority,
         "q13_customer_distribution": TH.q13_customer_distribution,
         "q14_promo_revenue": TH.q14_promo_revenue,
         "q16_supplier_cnt": TH.q16_supplier_cnt,
         "q18_large_orders": TH.q18_large_orders,
         "q22_idle_customers": TH.q22_idle_customers,
-        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
-        "q11_important_stock": TH.q11_important_stock,
-        "q15_top_supplier": TH.q15_top_supplier,
-        "q20_excess_suppliers": TH.q20_excess_suppliers,
-        "q21_waiting_orders": TH.q21_waiting_orders,
-        # --- join family (J2 + semi/anti/set ops) ---
-        "q_broadcast_dim_join": R.q_broadcast_dim_join,
-        "q_anti_join": R.q_anti_join,
-        "q_semi_join": R.q_semi_join,
-        "q_union_distinct": R.q_union_distinct,
-        "q_asof_join": AJ.q_asof_join,
-        "q_range_join": AJ.q_range_join,
-        # --- UDAF surface (grouped-agg pandas UDF vs exact SQL) ---
-        "q_pandas_udaf": U.q_pandas_udaf,
-        # --- skew mitigation (salted two-stage agg == direct groupBy) ---
-        "q_salted_agg": K.q_salted_agg,
-        # --- event-sequence analytics (operators/funnel.py) ---
-        "q_funnel": FN.q_funnel,
-        "q_retention": FN.q_retention,
-        "q_daily_active": FN.q_daily_active,
-        # --- deterministic key-stable sampling (operators/sampling.py) ---
-        "q_sample_hash": SM.q_sample_hash,
-        "q_train_test_split": SM.q_train_test_split,
-        "q_user_holdout": SM.q_user_holdout,
-        "q_stratified_sample": SM.q_stratified_sample,
-        # --- LLM-data-pipeline: dedup ---
-        "q_dedup_exact": D.q_dedup_exact,
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
-        "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_embedding": D.q_dedup_embedding,
-        "q_dedup_keep_best": D.q_dedup_keep_best,
-        "q_corpus_clean": D.q_corpus_clean,
-        "q_dedup_clusters": G.q_dedup_clusters,
-        "q_corpus_pipeline": G.q_corpus_pipeline,
-        # --- LLM-data-pipeline: text analysis ---
-        "q_text_stats": T.q_text_stats,
-        "q_lang_id": T.q_lang_id,
-        "q_token_count": T.q_token_count,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
-        # --- multimodal plumbing (binary -> typed metadata) ---
-        "q_media_features": MM.q_media_features,
-        # --- LLM-data-pipeline: similarity search ---
-        "q_knn_brute": S.q_knn_brute,
-        "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_pandas": S.q_knn_pandas,
-        # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
-        "q_ml_train_eval": M.q_ml_train_eval,
+        # --- ML (rows-only) ---
         "q_ml_predict_counts": M.q_ml_predict_counts,
         "q_ml_serve": M.q_ml_serve,
     }
@@ -167,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_sessionize": P.SESSIONIZE_SQL,
         "q_session_features": P.SESSION_FEATURES_SQL,
+        "q_session_features_3axis": P.SESSION_FEATURES_3AXIS_SQL,
         "q_stream_session_features": STR.STREAM_SESSION_FEATURES_SQL,
         "q_stream_windowed_features": STR.STREAM_WINDOWED_FEATURES_SQL,
         "q_stream_dedup": SD.STREAM_DEDUP_SQL,
@@ -217,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": TH.Q2_SQL,
         "q11_important_stock": TH.Q11_SQL,
         "q15_top_supplier": TH.Q15_SQL,
+        "q19_disjunctive": TH.Q19_SQL,
         "q20_excess_suppliers": TH.Q20_SQL,
         "q21_waiting_orders": TH.Q21_SQL,
         "q_broadcast_dim_join": R.BROADCAST_DIM_JOIN_SQL,

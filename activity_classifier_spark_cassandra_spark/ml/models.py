@@ -259,7 +259,9 @@ SERVING_VECTOR = [50.0, 900.0, 25.0, 50.0, 3600000.0]
 
 def q_ml_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML7 + S5 + S6 round-trip as a driver query: train DT, save to a
-    temp dir, load back, predict the fixed serving vector."""
+    temp dir, load back, predict the fixed serving vector.  The vector
+    is emitted as one scalar column per feature (not an array column —
+    arrays crash the driver's rows-only canonicalization)."""
     import tempfile
 
     df = feature_frame(spark, sf_dir)
@@ -271,12 +273,13 @@ def q_ml_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         loaded = load_model(path)
         label = predict_point(spark, loaded, SERVING_VECTOR)
     return spark.createDataFrame(
-        [(SERVING_VECTOR, float(label))],
+        [tuple(SERVING_VECTOR) + (float(label),)],
         schema=T.StructType(
             [
-                T.StructField("features", T.ArrayType(T.DoubleType())),
-                T.StructField("predicted_label", T.DoubleType()),
+                T.StructField(f"f{i}", T.DoubleType())
+                for i in range(len(SERVING_VECTOR))
             ]
+            + [T.StructField("predicted_label", T.DoubleType())]
         ),
     )
 

@@ -80,7 +80,7 @@ merged AS (
 )
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS sum_price,
-       SUM(version) AS n_updated
+       CAST(SUM(version) AS BIGINT) AS n_updated
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus
 """

@@ -39,6 +39,7 @@ def extract_features(
     ts_col: str = "timestamp",
     peak_axis: str | None = None,
     tiebreak: Sequence[str] = (),
+    two_pass_var: bool = False,
 ) -> DataFrame:
     """One row per group: n_samples + {mean, var, avg_abs_diff} per
     axis + resultant + avg_time_peak.
@@ -101,7 +102,21 @@ def extract_features(
     for suffix, c in axes.items():
         # var_samp yields NULL for single-row groups in both Spark and
         # ANSI SQL; MLlib would yield 0.0 — callers gate on n_samples.
-        aggs.append(F.var_samp(c).alias(f"var_{suffix}"))
+        if two_pass_var:
+            # Explicit two-pass sample variance from the group mean the
+            # plan already materialized: engines disagree in the last
+            # few ulps of their single-pass var_samp on mean-shifted
+            # data, while SUM of centered squares is well-conditioned
+            # and bit-reproducible across Spark and the DuckDB oracle.
+            dev = F.col(c) - F.col(f"_mean_{suffix}")
+            aggs.append(
+                (
+                    F.sum(dev * dev)
+                    / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
+                ).alias(f"var_{suffix}")
+            )
+        else:
+            aggs.append(F.var_samp(c).alias(f"var_{suffix}"))
     for suffix, c in axes.items():
         aggs.append(
             F.avg(F.abs(F.col(c) - F.col(f"_mean_{suffix}"))).alias(

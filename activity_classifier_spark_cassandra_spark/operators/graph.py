@@ -2,25 +2,36 @@
 
 Every near-dup operator in operators/dedup.py emits pairs; a real
 corpus clean needs the transitive closure (A~B, B~C ⇒ {A,B,C} is one
-cluster with one survivor).  This is iterative min-label propagation:
+cluster with one survivor).  Two interchangeable distributed
+algorithms, both returning (id, comp = min reachable vertex):
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+``connected_components`` — min-label propagation with a self-loop
+trick: label(v) ← min over N(v) ∪ {v} of label(u) is ONE join + ONE
+min-aggregate per round (the self-loop edge carries v's own label
+through the same dataflow, eliminating the left-join-and-least step a
+naive implementation needs).  Converges in diameter rounds — and
+dedup-similarity graphs are short-diameter by construction (clusters
+are near-cliques), so a handful of rounds suffices at any corpus size.
+Optional path halving (adopt the label OF my label) costs one more
+join per applied round and brings chain-shaped graphs to O(log d).
 
-repeated to fixpoint.  Each round is two keyed shuffles (join labels to
-edge endpoints + min-aggregate), converging in at most the graph
-diameter — and dedup-similarity graphs are short-diameter by
-construction (clusters are near-cliques), so a handful of rounds
-suffices at any corpus size.  For adversarial long-chain graphs the
-large-star/small-star variant (pointer jumping, O(log n) rounds) is the
-upgrade path; the per-round dataflow below is unchanged.
+``connected_components_star`` — alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): each round rewrites the EDGE set, provably converging in
+O(log² n) (O(log n) in practice) rounds on ANY graph, including the
+adversarial long chains where plain propagation needs diameter rounds.
+This is the 100 TB safety choice when the similarity graph's shape is
+unknown.
 
-Iterative Spark mechanics this demonstrates deliberately:
+Iterative Spark mechanics both demonstrate deliberately:
 - ``localCheckpoint(eager=True)`` per round — truncates lineage so the
-  plan doesn't grow by two joins every iteration (the classic iterative-
-  algorithm OOM/stack blowup);
-- early exit on a converged-count action per round, not a fixed
-  iteration count;
-- the edge list is persisted once and reused every round.
+  plan doesn't grow by two joins every iteration (the classic
+  iterative-algorithm OOM/stack blowup);
+- convergence detected by a CHEAP scalar action on the just-
+  materialized frame (decimal label-sum / edge-set fingerprint —
+  monotone, so equality ⇔ fixpoint), never a full frame compare;
+- the edge frame is persisted pre-partitioned on the join key, so each
+  round shuffles only the (small) label frame, not the edges.
 
 The DuckDB oracle computes the same components with a recursive CTE —
 exact reachability, so any propagation bug (dropped vertex, one-way
@@ -35,70 +46,160 @@ from pyspark.storagelevel import StorageLevel
 
 from .dedup import q_simhash_near_dup
 
-MAX_ITER = 25
+MAX_ITER = 50
+
+#: rounds taken by the last connected_components* call (logged for the
+#: bench: the sf0.1 dedup graph should converge in a handful).
+LAST_ROUNDS: int = 0
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    path_halving_every: int = 2,
 ) -> DataFrame:
     """(vertex_id, component) with component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair listed once, either
-    order); vertices are exactly the ids appearing in edges."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
+    order); vertices are exactly the ids appearing in edges.
+
+    Per round: join labels to the cached symmetric+self-loop edge
+    frame on its partitioning key, min-aggregate by the other endpoint
+    — two exchanges, one of them only over the label frame.  Every
+    ``path_halving_every``-th round additionally follows one pointer
+    (label-of-label), which is what keeps chain-y graphs at O(log d)
+    without paying the extra join on the near-clique common case."""
+    global LAST_ROUNDS
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = sym.select("a").distinct()
+    # self-loops: the join+min below then computes min over N(v) ∪ {v}
+    # in one pass — no left join, no coalesce
+    sym2 = (
+        sym.unionByName(nodes.select("a", F.col("a").alias("b")))
         .distinct()
+        .repartition("b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        nodes.select(F.col("a").alias("id"), F.col("a").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_ITER):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy(F.col("a").alias("id2"))
-            .agg(F.min("comp").alias("nbr_comp"))
+    # labels only ever decrease ⇒ sum(comp) strictly decreases until
+    # the fixpoint; decimal keeps the 100 TB id-sum overflow-proof
+    prev = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).first()[0]
+    LAST_ROUNDS = 0
+    for i in range(MAX_ITER):
+        LAST_ROUNDS += 1
+        nxt = (
+            sym2.join(labels, sym2["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("comp"))
         )
-        stepped = labels.join(
-            neighbor_min, labels["id"] == F.col("id2"), "left"
-        ).select(
-            "id",
-            F.col("comp").alias("old_comp"),
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
-        )
-        # Path halving (pointer jumping): also adopt the label OF my
-        # label.  Pure min-propagation needs diameter rounds — long
-        # chains in a near-dup graph make that dozens of full shuffles
-        # at corpus scale; following one extra pointer per round brings
-        # convergence to O(log diameter).
-        ptr = stepped.select(
-            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
-        )
-        updated = (
-            stepped.join(ptr, stepped["comp"] == F.col("pid"), "left")
-            .select(
+        if path_halving_every and (i + 1) % path_halving_every == 0:
+            ptr = nxt.select(
+                F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+            )
+            nxt = nxt.join(ptr, nxt["comp"] == F.col("pid"), "left").select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                 ).alias("comp"),
-                "old_comp",
             )
-            .withColumn("_changed", F.col("comp") < F.col("old_comp"))
-            .drop("old_comp")
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+        nxt = nxt.localCheckpoint(eager=True)
+        cur = nxt.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+        labels = nxt
+        if cur == prev:
             break
+        prev = cur
+    sym2.unpersist()
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge frame: connect every
+    strictly-larger neighbor of u to m(u) = min(N(u) ∪ {u})."""
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+    )
+    return (
+        sym.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge at its larger endpoint,
+    connect all smaller neighbors AND the endpoint itself to the min."""
+    ori = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = ori.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        ori.join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Large-star/small-star alternation — same (id, comp) contract as
+    ``connected_components``, O(log n)-ish rounds on ANY graph shape.
+
+    Convergence = the edge set stops changing; detected by a
+    (count, order-insensitive xxhash64 fingerprint) pair computed in
+    one scalar action per round on the just-checkpointed frame."""
+    global LAST_ROUNDS
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    LAST_ROUNDS = 0
+    for _ in range(MAX_ITER):
+        LAST_ROUNDS += 1
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        e = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        cur = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("a", "b").cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        cur = (cur["n"], cur["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: e is a star forest (child -> root); roots appear only
+    # on the b side (and point to themselves implicitly)
+    roots = (
+        e.select(F.col("b").alias("id"))
+        .distinct()
+        .join(e.select(F.col("a").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return e.select(
+        F.col("a").alias("id"), F.col("b").alias("comp")
+    ).unionByName(roots)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -157,7 +157,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRATIFIED_SAMPLE_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR)) <
       CASE WHEN lang = 'en' THEN '40000000'

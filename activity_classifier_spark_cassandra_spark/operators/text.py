@@ -307,9 +307,9 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REDACT_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN LENGTH(red) <> LENGTH(text) THEN 1 ELSE 0 END)
-         AS n_docs_redacted,
-       SUM(LENGTH(text) - LENGTH(red)) AS chars_delta
+       CAST(SUM(CASE WHEN LENGTH(red) <> LENGTH(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_redacted,
+       CAST(SUM(LENGTH(text) - LENGTH(red)) AS BIGINT) AS chars_delta
 FROM (
   SELECT lang, text,
          regexp_replace(regexp_replace(text, '\bcustomer\b', '[ENTITY]', 'g'),
@@ -350,7 +350,7 @@ WITH toks AS (
 cnt AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
 )
-SELECT doc_id, SUM(c) AS n_tokens,
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
        ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac,
        ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS type_token_ratio
 FROM cnt GROUP BY doc_id

@@ -120,6 +120,54 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_features_3axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL 11-feature vector shape
+    (job/RecognizeActivity.java:173-185): mean/var/mean-abs-dev per
+    axis (x,y,z) + resultant over all three + peak timing on the y
+    axis.  The test events table carries one sensor value, so the
+    three axes are synthesized with fixed arithmetic (x=v, y=0.2v+1,
+    z=v-2) — deterministic, engine-exact IEEE ops, so the DuckDB
+    oracle reproduces them bit-for-bit.  The y multiplier is chosen so
+    derived variances stay OFF ROUND(…,6) half-ties: the source values
+    sit on a 0.01 grid, so an n=2 window has var = (c·0.01k)²/2; with
+    c=0.2 that is 2e-6·k² (exact micro-grid multiples, tie-free — the
+    same property x and z enjoy), while c=0.5 or 0.3 yields odd
+    multiples of 5e-7, exact .5-ties that Spark (BigDecimal HALF_UP)
+    and DuckDB (scaled std::round) break differently.  The plan is identical to the
+    1-axis flagship: one exchange, all-builtin aggregates."""
+    tri = (
+        windowed(spark, sf_dir)
+        .withColumn("acc_x", F.col("value"))
+        .withColumn("acc_y", F.col("value") * 0.2 + 1.0)
+        .withColumn("acc_z", F.col("value") - 2.0)
+    )
+    feats = extract_features(
+        tri,
+        group_cols=GROUP,
+        axes={"x": "acc_x", "y": "acc_y", "z": "acc_z"},
+        ts_col="ts_ms",
+        peak_axis="acc_y",
+        tiebreak=["event_id"],
+        two_pass_var=True,
+    )
+    out = feats.select(
+        "user_id",
+        "event_type",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("window_id").cast("long").alias("window_id"),
+        "n_samples",
+        *[
+            F.round(f"{stat}_{ax}", 6).alias(f"{stat}_{ax}")
+            for stat in ("mean", "var", "avg_abs_diff")
+            for ax in ("x", "y", "z")
+        ],
+        F.round("resultant", 6).alias("resultant"),
+        F.round("avg_time_peak", 6).alias("avg_time_peak"),
+        encode_event_type().alias("label"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------- oracles
 
 _BASE_CTES = f"""
@@ -189,6 +237,66 @@ SELECT user_id, event_type, session_id, window_id,
   ROUND(VAR_SAMP(value), 6) AS var_v,
   ROUND(AVG(ABS(value - mean_in_group)), 6) AS avg_abs_diff_v,
   ROUND(AVG(SQRT(value * value)), 6) AS resultant,
+  ROUND(COALESCE(AVG(CASE WHEN peak_ts IS NOT NULL
+                           AND peak_ts - prev_peak > 0
+                          THEN CAST(peak_ts - prev_peak AS DOUBLE) END),
+                 0.0), 6) AS avg_time_peak,
+  {label_case_sql("event_type", EVENT_TYPE_LABELS)} AS label
+FROM peaked
+GROUP BY user_id, event_type, session_id, window_id
+"""
+)
+
+
+SESSION_FEATURES_3AXIS_SQL = (
+    _BASE_CTES
+    + f""", tri AS (
+  SELECT *, value AS acc_x, value * 0.2 + 1.0 AS acc_y,
+         value - 2.0 AS acc_z
+  FROM sess
+), win AS (
+  SELECT *,
+    MIN(ts_ms) OVER (PARTITION BY user_id, event_type, session_id)
+      AS session_start
+  FROM tri
+), winid AS (
+  SELECT *,
+    CAST(FLOOR((ts_ms - session_start) / {EVENTS_WINDOW_MS}) AS BIGINT)
+      AS window_id
+  FROM win
+), helpers AS (
+  SELECT *,
+    AVG(acc_x) OVER g AS mean_x_g,
+    AVG(acc_y) OVER g AS mean_y_g,
+    AVG(acc_z) OVER g AS mean_z_g,
+    CASE WHEN CAST(TRUNC(acc_y) AS BIGINT) > 0.9 * (MAX(acc_y) OVER g)
+         THEN ts_ms END AS peak_ts
+  FROM winid
+  WINDOW g AS (PARTITION BY user_id, event_type, session_id, window_id)
+), peaked AS (
+  SELECT *,
+    LAST_VALUE(peak_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id, event_type, session_id, window_id
+      ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_peak
+  FROM helpers
+)
+SELECT user_id, event_type, session_id, window_id,
+  COUNT(*) AS n_samples,
+  ROUND(AVG(acc_x), 6) AS mean_x,
+  ROUND(AVG(acc_y), 6) AS mean_y,
+  ROUND(AVG(acc_z), 6) AS mean_z,
+  ROUND(SUM((acc_x - mean_x_g) * (acc_x - mean_x_g))
+        / NULLIF(COUNT(*) - 1, 0), 6) AS var_x,
+  ROUND(SUM((acc_y - mean_y_g) * (acc_y - mean_y_g))
+        / NULLIF(COUNT(*) - 1, 0), 6) AS var_y,
+  ROUND(SUM((acc_z - mean_z_g) * (acc_z - mean_z_g))
+        / NULLIF(COUNT(*) - 1, 0), 6) AS var_z,
+  ROUND(AVG(ABS(acc_x - mean_x_g)), 6) AS avg_abs_diff_x,
+  ROUND(AVG(ABS(acc_y - mean_y_g)), 6) AS avg_abs_diff_y,
+  ROUND(AVG(ABS(acc_z - mean_z_g)), 6) AS avg_abs_diff_z,
+  ROUND(AVG(SQRT(acc_x * acc_x + acc_y * acc_y + acc_z * acc_z)), 6)
+    AS resultant,
   ROUND(COALESCE(AVG(CASE WHEN peak_ts IS NOT NULL
                            AND peak_ts - prev_peak > 0
                           THEN CAST(peak_ts - prev_peak AS DOUBLE) END),

@@ -863,15 +863,20 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No DuckDB oracle (different sketch algorithms ⇒ different approx
     values); registered rows-only, with error bounds pinned against the
-    exact answers in tests/test_relational_sketch.py."""
+    exact answers in tests/test_relational_sketch.py.  Quantiles are
+    emitted as scalar columns (not one array column) so the rows-only
+    canonicalization stays hashable."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
             "approx_orders"
         ),
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95], 10000
-        ).alias("price_q50_q95"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "price_q50"
+        ),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias(
+            "price_q95"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -976,7 +981,8 @@ HISTOGRAM_SQL = """
 WITH edges AS (
   SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
 )
-SELECT LEAST(19, FLOOR((o_totalprice - lo) / ((hi - lo) / 20))) AS bin,
+SELECT CAST(LEAST(19, FLOOR((o_totalprice - lo) / ((hi - lo) / 20)))
+            AS BIGINT) AS bin,
        COUNT(*) AS n
 FROM orders CROSS JOIN edges
 GROUP BY 1
@@ -1015,19 +1021,23 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_SQL = """
 WITH one AS (
   SELECT
-    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS k_nulls,
     COUNT(DISTINCT o_orderkey) AS k_distinct,
     CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
     CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
-    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS c_nulls,
     COUNT(DISTINCT o_custkey) AS c_distinct,
     CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
     CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
-    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS s_nulls,
     COUNT(DISTINCT o_orderstatus) AS s_distinct,
     CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
     CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
-    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS t_nulls,
     COUNT(DISTINCT o_totalprice) AS t_distinct,
     CAST(MIN(o_totalprice) AS VARCHAR) AS t_min,
     CAST(MAX(o_totalprice) AS VARCHAR) AS t_max

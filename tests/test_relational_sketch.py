@@ -37,7 +37,7 @@ def test_sketches_within_error_bounds(spark):
         e, g = exact.loc[flag], got.loc[flag]
         # HLL++ at rsd=0.02: allow 3 sigma
         assert abs(g["approx_orders"] - e["n_orders"]) <= 0.06 * e["n_orders"]
-        q50, q95 = g["price_q50_q95"]
+        q50, q95 = g["price_q50"], g["price_q95"]
         # GK sketch with accuracy 10000 on ~20k rows/group: near-exact;
         # allow 2% relative slack
         assert abs(q50 - e["q50"]) <= 0.02 * e["q50"]
