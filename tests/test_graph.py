@@ -53,3 +53,40 @@ def test_matches_recursive_cte_oracle(spark):
     pd.testing.assert_frame_equal(s, o, check_dtype=False)
     assert len(s) > 0
     con.close()
+
+
+# ---------------------------------------------- large-star/small-star
+def _comp_star(spark, edges):
+    from activity_classifier_spark_cassandra_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["id"]: r["comp"]
+        for r in connected_components_star(df).collect()
+    }
+
+
+def test_star_long_chain(spark):
+    """A 12-hop chain — the adversarial shape where min-propagation
+    needs diameter rounds; star rounds must still find one component
+    (and each vertex must get exactly one label)."""
+    edges = [(i, i + 1) for i in range(1, 13)]
+    got = _comp_star(spark, edges)
+    assert got == {i: 1 for i in range(1, 14)}
+
+
+def test_star_matches_minprop_on_mixed_graph(spark):
+    """Cliques + chains + isolated pairs, shuffled ids: both
+    algorithms must produce the identical labeling."""
+    edges = (
+        [(100, 7), (7, 55), (55, 100)]          # triangle
+        + [(2, 9), (9, 30), (30, 4)]            # chain
+        + [(77, 78)]                            # pair
+        + [(40, 41), (41, 42), (42, 40), (42, 43)]  # clique + tail
+    )
+    star = _comp_star(spark, edges)
+    prop = _comp(spark, edges)
+    assert star == prop
+    assert set(star.values()) == {7, 2, 77, 40}
