@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import cdc as C
+from activity_classifier_spark_cassandra_spark.operators import corpus as CP
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import graph as G
@@ -119,6 +120,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features_3axis": P.q_session_features_3axis,
         # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
         "q_ml_train_eval": M.q_ml_train_eval,
+        # ==== block A2: new in round 3 (operators/corpus.py) — verified
+        #      locally via tools/verify_oracle.py; enters the driver's
+        #      correctness window next round ====
+        "q_decontaminate": CP.q_decontaminate,
+        "q_chunk_sequences": CP.q_chunk_sequences,
+        "q_domain_mix": CP.q_domain_mix,
+        "q_quality_funnel": CP.q_quality_funnel,
+        "q_incremental_dedup": CP.q_incremental_dedup,
+        "q_pack_greedy": CP.q_pack_greedy,
         # ==== block B: green in CORRECTNESS_r02 ====
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
@@ -274,5 +284,11 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path
         "q_knn_pandas": S.KNN_BRUTE_SQL,
+        "q_decontaminate": CP.DECONTAMINATE_SQL,
+        "q_chunk_sequences": CP.CHUNK_SEQUENCES_SQL,
+        "q_domain_mix": CP.DOMAIN_MIX_SQL,
+        "q_quality_funnel": CP.QUALITY_FUNNEL_SQL,
+        "q_incremental_dedup": CP.INCREMENTAL_DEDUP_SQL,
+        # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -1,0 +1,499 @@
+"""Corpus-construction operators for LLM training-data pipelines:
+benchmark decontamination, training-sequence assembly, domain mixing,
+quality-gate funnels, and incremental-batch dedup — over ``documents``.
+
+These are the pipeline stages *between* raw dedup (operators/dedup.py)
+and model training: decide what may enter the corpus (decontaminate,
+quality funnel), decide how much of each slice enters (domain mix),
+merge a new crawl batch against the standing corpus (incremental
+dedup), and assemble the kept text into fixed-length training
+sequences (chunk / pack).
+
+Scale design:
+- Decontamination joins the corpus against the *benchmark* shingle
+  set, which is tiny (benchmarks are MBs, the corpus is TBs) — so the
+  join side is broadcast and the corpus is never shuffled except for
+  its own per-doc aggregation.
+- Sequence chunking needs a global running token count, which is the
+  classic distributed prefix-sum: range-partition by the global order
+  key, aggregate one narrow per-partition total, window a cumulative
+  offset over that tiny frame (≤ n_partitions rows), broadcast it
+  back, and finish with a partition-local window.  No global
+  single-partition window, no driver collect — the whole thing is one
+  lazy plan whose widest exchange carries (doc_id, n_tok) pairs.
+- Everything else is a pure projection + one keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .dedup import _DOC_SHINGLES_CTE, _doc_shingle_rows
+from .text import STOPWORDS, _TOKENIZE, _TOKENIZE_SPARK, _sql_in_list
+
+# Benchmark membership is keyed on doc_id so the oracle can reproduce
+# the split exactly: every 97th document plays the held-out benchmark.
+BENCH_MOD = 97
+# Fixed training-sequence length (tokens) for chunk/pack assembly.
+SEQ_LEN = 512
+# Range partitions for the distributed prefix sum (would be O(cluster
+# cores) at 100 TB; the algorithm is identical at any count).
+CHUNK_PARTITIONS = 8
+# Greedy packer: docs are hash-grouped into this many independent
+# packing domains — deterministic (doc_id % N), not sampling-based.
+PACK_DOMAINS = 8
+
+
+# ---------------------------------------------------- decontamination
+def decontaminate(shingle_rows: DataFrame) -> DataFrame:
+    """Benchmark-overlap decontamination over (doc_id, sh) shingle rows.
+
+    Docs with ``doc_id % BENCH_MOD == 0`` form the held-out benchmark;
+    every other (training-candidate) document is scored by how many of
+    its distinct word-3-grams appear anywhere in the benchmark.  This
+    is the standard pre-training decontamination gate (report overlap,
+    drop high-overlap docs before training).
+
+    The benchmark shingle set is distinct-reduced then **broadcast** —
+    at 100 TB the corpus side streams through a broadcast-hash semi
+    join with zero shuffle; the only exchange is the per-doc count
+    aggregation, keyed on doc_id (32 B + a long per row).
+    """
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    bench_sh = shingle_rows.filter(is_bench).select("sh").distinct()
+    train = shingle_rows.filter(~is_bench)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlap = (
+        train.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(_doc_shingle_rows(spark, sf_dir))
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_DOC_SHINGLES_CTE.strip()},
+rows AS (
+  SELECT doc_id, UNNEST(shingles) AS sh FROM doc_shingles
+),
+bench AS (
+  SELECT DISTINCT sh FROM rows WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT * FROM rows WHERE doc_id % {BENCH_MOD} <> 0
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+),
+overlap AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM train t JOIN bench USING (sh) GROUP BY t.doc_id
+)
+SELECT o.doc_id, tt.n_shingles, o.n_overlap,
+       ROUND(o.n_overlap * 1.0 / tt.n_shingles, 6) AS overlap_frac
+FROM overlap o JOIN totals tt USING (doc_id)
+"""
+
+
+# ------------------------------------------------- sequence chunking
+def chunk_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Concatenate-and-chunk training-sequence assembly: documents in
+    doc_id order are laid end-to-end on a global token tape and cut
+    into fixed ``seq_len``-token sequences; each document belongs to
+    the sequence where it *starts* (the standard straddle-allowed
+    pretraining layout).
+
+    ``seq_id = (tokens before this doc) DIV seq_len`` needs a global
+    prefix sum, distributed as: range-partition on doc_id →
+    per-partition token totals (one narrow agg) → cumulative offsets
+    via a window over that ≤ CHUNK_PARTITIONS-row frame → broadcast
+    the offsets back → partition-local cumulative window.  The single-
+    partition window runs over n_partitions rows, never over data.
+    """
+    n_tok = F.size(F.expr(_TOKENIZE_SPARK)).cast("long")
+    t = (
+        docs.select("doc_id", n_tok.alias("n_tok"))
+        .repartitionByRange(CHUNK_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    part_totals = t.groupBy("pid").agg(F.sum("n_tok").alias("part_tok"))
+    w_offs = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = part_totals.select(
+        "pid",
+        F.coalesce(F.sum("part_tok").over(w_offs), F.lit(0)).alias("offset"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tape = t.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tok",
+        (
+            F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+            + F.col("offset")
+        ).alias("cum_before"),
+    )
+    return (
+        tape.select(
+            F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
+            "doc_id",
+            "n_tok",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_sequences(load_table(spark, sf_dir, "documents"))
+
+
+CHUNK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, LEN({_TOKENIZE}) AS n_tok FROM documents
+),
+tape AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT CAST(cum_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM tape GROUP BY 1
+"""
+
+
+# -------------------------------------------------------- domain mix
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Corpus composition + reweighting: per source, document/char
+    share of the corpus and the sampling weight that would flatten the
+    mix to uniform-per-source (the domain-reweighting step every
+    pretraining mix applies — DoReMi-style weights would just replace
+    the uniform target).
+
+    One keyed agg over the scan; the share window runs over the
+    aggregated frame (n_sources rows), so the post-shuffle work is
+    O(domains), not O(corpus)."""
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round(share, 6).alias("doc_share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix(load_table(spark, sf_dir, "documents"))
+
+
+DOMAIN_MIX_SQL = """
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, sum_chars,
+  ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
+  ROUND((1.0 / COUNT(*) OVER ())
+        / (n_docs * 1.0 / SUM(n_docs) OVER ()), 6) AS mix_weight
+FROM agg
+"""
+
+
+# ----------------------------------------------------- quality funnel
+# Gates applied cumulatively, in order — the per-stage survivor count
+# is the standard corpus-cleaning report ("N docs in, M out, here is
+# where the rest went").
+_FUNNEL_STAGES: list[tuple[str, str]] = [
+    ("00_all", "TRUE"),
+    ("01_min_length", "n_chars >= 200"),
+    ("02_stopword_ratio", "stop_ratio >= 0.05"),
+    ("03_punct_ratio", "punct_ratio <= 0.2"),
+]
+
+
+def _funnel_flags() -> tuple[Column, Column]:
+    en = _sql_in_list(STOPWORDS["en"])
+    n_tokens = F.size(F.expr(_TOKENIZE_SPARK))
+    stop_hits = F.expr(f"size(filter({_TOKENIZE_SPARK}, x -> x IN ({en})))")
+    stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
+    punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    punct_ratio = punct / F.nullif(F.length("text"), F.lit(0))
+    return stop_ratio, punct_ratio
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """Survivor count + surviving chars after each cumulative quality
+    gate.  A single scan computes every per-doc signal in one
+    projection; the funnel is 2×len(stages) conditional sums in ONE
+    aggregate (no per-stage scan), unpivoted to rows afterwards."""
+    stop_ratio, punct_ratio = _funnel_flags()
+    flagged = docs.select(
+        "n_chars",
+        (F.col("n_chars") >= 200).alias("g1"),
+        (stop_ratio >= 0.05).alias("g2"),
+        (punct_ratio <= 0.2).alias("g3"),
+    )
+    conds = {
+        "00_all": F.lit(True),
+        "01_min_length": F.col("g1"),
+        "02_stopword_ratio": F.col("g1") & F.col("g2"),
+        "03_punct_ratio": F.col("g1") & F.col("g2") & F.col("g3"),
+    }
+    aggs = []
+    for name, c in conds.items():
+        safe = F.coalesce(c, F.lit(False))
+        aggs.append(
+            F.sum(F.when(safe, 1).otherwise(0)).alias(f"n__{name}")
+        )
+        aggs.append(
+            F.sum(F.when(safe, F.col("n_chars")).otherwise(0)).alias(
+                f"c__{name}"
+            )
+        )
+    wide = flagged.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', n__{name}, c__{name}" for name in conds
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(conds)}, {stack}) AS (stage, n_docs, sum_chars)"
+        )
+    )
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_funnel(load_table(spark, sf_dir, "documents"))
+
+
+def _funnel_sql() -> str:
+    en = _sql_in_list(STOPWORDS["en"])
+    sigs = f"""
+flagged AS (
+  SELECT n_chars,
+    (n_chars >= 200) AS g1,
+    (LEN(LIST_FILTER({_TOKENIZE}, x -> x IN ({en})))
+       / NULLIF(LEN({_TOKENIZE}), 0) >= 0.05) AS g2,
+    (LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g'))
+       / NULLIF(LENGTH(text), 0) <= 0.2) AS g3
+  FROM documents
+)"""
+    conds = {
+        "00_all": "TRUE",
+        "01_min_length": "COALESCE(g1, FALSE)",
+        "02_stopword_ratio": "COALESCE(g1 AND g2, FALSE)",
+        "03_punct_ratio": "COALESCE(g1 AND g2 AND g3, FALSE)",
+    }
+    selects = [
+        f"SELECT '{name}' AS stage,"
+        f" CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,"
+        f" CAST(SUM(CASE WHEN {c} THEN n_chars ELSE 0 END) AS BIGINT)"
+        f" AS sum_chars FROM flagged"
+        for name, c in conds.items()
+    ]
+    return "WITH " + sigs + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUALITY_FUNNEL_SQL = _funnel_sql()
+
+
+# ------------------------------------------------- incremental dedup
+def incremental_dedup(docs: DataFrame) -> DataFrame:
+    """Merge a new crawl batch against the standing corpus: batch docs
+    (doc_id % 10 < 2) are kept only if their normalized fingerprint is
+    (a) unseen in the standing corpus — broadcast/shuffle ANTI join on
+    the 32-byte digest — and (b) unique within the batch (keep the min
+    doc_id per fingerprint).  Per-source admission report.
+
+    At 100 TB the corpus side is a parquet fingerprint index (digest
+    only — never the text), so the anti join exchanges 32 B rows; the
+    in-batch dedup aggregates the (small) batch alone."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = docs.select(
+        "doc_id", "source", F.md5(norm).alias("fp")
+    )
+    is_batch = (F.col("doc_id") % 10) < 2
+    corpus_fp = fp.filter(~is_batch).select("fp").distinct()
+    batch = fp.filter(is_batch)
+    unseen = batch.join(corpus_fp, "fp", "left_anti")
+    kept = (
+        unseen.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+        .join(
+            batch.select(F.col("doc_id").alias("keep_doc_id"), "source"),
+            "keep_doc_id",
+        )
+    )
+    n_batch = batch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch_docs")
+    )
+    n_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_in_batch") - 1).alias("n_batch_dups"),
+    )
+    return (
+        n_batch.join(n_kept, "source", "left")
+        .select(
+            "source",
+            "n_batch_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_batch_dups", F.lit(0)).alias("n_batch_dups"),
+            (
+                F.col("n_batch_docs")
+                - F.coalesce("n_kept", F.lit(0))
+                - F.coalesce("n_batch_dups", F.lit(0))
+            ).alias("n_corpus_dups"),
+        )
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+batch AS (SELECT * FROM fp WHERE doc_id % 10 < 2),
+corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 >= 2),
+unseen AS (
+  SELECT b.* FROM batch b ANTI JOIN corpus c USING (fp)
+),
+kept AS (
+  SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_in_batch
+  FROM unseen GROUP BY fp
+),
+kept_src AS (
+  SELECT k.*, b.source FROM kept k
+  JOIN batch b ON b.doc_id = k.keep_doc_id
+),
+nb AS (
+  SELECT source, COUNT(*) AS n_batch_docs FROM batch GROUP BY source
+),
+nk AS (
+  SELECT source, COUNT(*) AS n_kept,
+         CAST(SUM(n_in_batch - 1) AS BIGINT) AS n_batch_dups
+  FROM kept_src GROUP BY source
+)
+SELECT nb.source, nb.n_batch_docs,
+       COALESCE(nk.n_kept, 0) AS n_kept,
+       COALESCE(nk.n_batch_dups, 0) AS n_batch_dups,
+       nb.n_batch_docs - COALESCE(nk.n_kept, 0)
+         - COALESCE(nk.n_batch_dups, 0) AS n_corpus_dups
+FROM nb LEFT JOIN nk USING (source)
+"""
+
+
+# ------------------------------------------------------ greedy packer
+def pack_greedy(docs: DataFrame, capacity: int = SEQ_LEN) -> DataFrame:
+    """No-straddle sequence packing: first-fit-decreasing bin packing
+    of documents into ``capacity``-token bins, independently within
+    deterministic hash domains (doc_id % PACK_DOMAINS).
+
+    Packing is inherently sequential, so it cannot be a pure SQL
+    window; the scalable shape is *domain-local* packing — each domain
+    packs its own docs in one Arrow batch via ``applyInPandas``, and
+    domains run in parallel across the cluster.  Oversize docs (n_tok
+    > capacity) get a singleton bin.  Output is the per-bin summary;
+    correctness is pinned by pytest invariants (no bin over capacity
+    except singletons, every doc packed exactly once, FFD fill factor).
+    """
+    import pandas as pd
+
+    n_tok = F.size(F.expr(_TOKENIZE_SPARK)).cast("long")
+    t = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.col("doc_id") % PACK_DOMAINS).alias("domain"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for tok in pdf["n_tok"]:
+            placed = -1
+            for i, rem in enumerate(bins):
+                if tok <= rem:
+                    placed = i
+                    break
+            if placed < 0:
+                bins.append(capacity)
+                placed = len(bins) - 1
+            bins[placed] -= min(tok, capacity)
+            assign.append(placed)
+        pdf = pdf.assign(bin_id=assign)
+        out = (
+            pdf.groupby("bin_id", as_index=False)
+            .agg(
+                domain=("domain", "first"),
+                n_docs=("doc_id", "size"),
+                bin_tokens=("n_tok", "sum"),
+                min_doc_id=("doc_id", "min"),
+            )
+        )
+        return out[
+            ["domain", "bin_id", "n_docs", "bin_tokens", "min_doc_id"]
+        ]
+
+    schema = (
+        "domain long, bin_id long, n_docs long, "
+        "bin_tokens long, min_doc_id long"
+    )
+    return t.groupBy("domain").applyInPandas(_pack, schema=schema)
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only registry entry (bin packing is not SQL-expressible);
+    per-domain bin counts are deterministic because domains are
+    hash-assigned and FFD order is a total order (n_tok desc, doc_id)."""
+    return pack_greedy(load_table(spark, sf_dir, "documents"))
