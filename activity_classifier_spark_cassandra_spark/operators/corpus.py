@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .dedup import _DOC_SHINGLES_CTE, _doc_shingle_rows
+from .dedup import _DOC_SHINGLES_CTE, _doc_shingle_rows, _shared
 from .text import STOPWORDS, _TOKENIZE, _TOKENIZE_SPARK, _sql_in_list
 
 # Benchmark membership is keyed on doc_id so the oracle can reproduce
@@ -61,6 +61,10 @@ def decontaminate(shingle_rows: DataFrame) -> DataFrame:
     join with zero shuffle; the only exchange is the per-doc count
     aggregation, keyed on doc_id (32 B + a long per row).
     """
+    # Three consumers (bench set, per-doc totals, overlap join) — share
+    # one materialization of the tokenize/window/distinct subplan
+    # instead of recomputing it per branch (same move as dedup._shared).
+    shingle_rows = _shared(shingle_rows)
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     bench_sh = shingle_rows.filter(is_bench).select("sh").distinct()
     train = shingle_rows.filter(~is_bench)
@@ -129,7 +133,12 @@ def chunk_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     partition window runs over n_partitions rows, never over data.
     """
     n_tok = F.size(F.expr(_TOKENIZE_SPARK)).cast("long")
-    t = (
+    # Shared materialization: the per-partition totals branch and the
+    # final window both consume the range-partitioned tape.  The persist
+    # also guarantees both branches see the identical pid assignment
+    # (range boundaries are deterministic anyway, but one physical copy
+    # makes that a non-question) and halves the scan+tokenize work.
+    t = _shared(
         docs.select("doc_id", n_tok.alias("n_tok"))
         .repartitionByRange(CHUNK_PARTITIONS, "doc_id")
         .withColumn("pid", F.spark_partition_id())

@@ -58,6 +58,8 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_doc_fingerprint",
     "q_ml_predict_counts",
+    "q_decontaminate",
+    "q_chunk_sequences",
 ]
 
 

@@ -94,6 +94,27 @@ def test_sampling_is_scan_plus_filter_only(spark):
     assert _nodes(plan, "Exchange") == 1
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark shingle set
+    and never sort-merge the corpus against it; the shingle subplan is
+    shared, so only one parquet scan of documents survives."""
+    plan = _plan(spark, "q_decontaminate")
+    assert _nodes(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "Scan parquet") <= 1, plan
+
+
+def test_chunk_sequences_prefix_sum_is_distributed(spark):
+    """Sequence chunking must window the data partition-locally (hash
+    on pid), keeping any SinglePartition exchange confined to the
+    n_partitions-row offsets frame; the offsets side joins broadcast."""
+    plan = _plan(spark, "q_chunk_sequences")
+    assert "hashpartitioning(pid" in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "Scan parquet") <= 1, plan
+
+
 @pytest.mark.parametrize(
     "name", ["q3_shipping_priority", "q10_returned_items", "q_topk"]
 )
