@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_pack_greedy": CP.q_pack_greedy,
+        "q_knn_lsh": S.q_knn_lsh,
         # ==== block B: green in CORRECTNESS_r02 ====
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_mix": CP.DOMAIN_MIX_SQL,
         "q_quality_funnel": CP.QUALITY_FUNNEL_SQL,
         "q_incremental_dedup": CP.INCREMENTAL_DEDUP_SQL,
+        "q_knn_lsh": S.KNN_LSH_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

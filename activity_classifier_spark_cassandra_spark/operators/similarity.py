@@ -202,3 +202,163 @@ def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------- sign-LSH
+# The LSH-bucketed ANN scale path: 16 random-hyperplane sign bits per
+# vector, split into 4 bands of 4 bits.  Two vectors are candidate
+# neighbors iff they agree on at least one full band (standard banded
+# LSH for cosine similarity); exact cosine then ranks the candidates.
+# At 100 TB the band join replaces the corpus scan per query with a
+# bucket lookup: each query touches only rows sharing a band value.
+#
+# The hyperplanes are DETERMINISTIC module constants (an LCG, 3-decimal
+# entries), embedded as literals in both the Spark plan and the DuckDB
+# oracle — no RNG state, no cross-engine divergence.
+EMB_DIM = 64
+N_PLANES = 16
+N_BANDS = 4
+BAND_BITS = 4
+LSH_TOP_K = 3
+
+
+def _lcg_unit(idx: int) -> float:
+    """Deterministic pseudo-random value in [-1, 1] with 3 decimals —
+    short decimal literals parse to identical float64 in any engine."""
+    s = (1103515245 * (idx + 12345) + 12345) % (2**31)
+    return ((s >> 8) % 2001 - 1000) / 1000.0
+
+
+PLANES: list[list[float]] = [
+    [_lcg_unit(j * EMB_DIM + i) for i in range(EMB_DIM)]
+    for j in range(N_PLANES)
+]
+
+
+def _band_udf():
+    """Arrow-batched band signatures: one (batch × dim) @ (dim × 16)
+    float64 matmul per record batch, then 4-bit packing per band."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(PLANES, dtype=np.float64)
+    weights = (1 << np.arange(BAND_BITS)).astype(np.int64)
+
+    def bands(e: pd.Series) -> pd.Series:
+        a = np.stack(e.to_numpy()).astype(np.float64)
+        bits = (a @ P.T) >= 0.0
+        out = np.zeros((len(a), N_BANDS), dtype=np.int64)
+        for b in range(N_BANDS):
+            out[:, b] = bits[:, b * BAND_BITS:(b + 1) * BAND_BITS] @ weights
+        return pd.Series(list(out))
+
+    bands.__annotations__ = {"e": pd.Series, "return": pd.Series}
+    return pandas_udf(bands, "array<bigint>")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH ANN: candidates share >= 1 of 4 band values with
+    the query; exact cosine ranks them, top-3 per query.
+
+    Plan shape: one corpus scan computes signatures (Arrow matmul),
+    explodes to 4 (band_idx, band_val) rows; the query-side band rows
+    (tiny) broadcast into the bucket join; pair dedup is one exchange
+    keyed on (query, neighbor); queries broadcast again for the exact
+    rescore.  The corpus is never shuffled whole and never cross-joined.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        _band_udf()(F.col("embedding")).alias("bands"),
+    )
+    rows = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    qrows = (
+        rows.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), "band_idx", "band_val"
+        )
+    )
+    cand = (
+        rows.join(F.broadcast(qrows), ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.first("embedding").alias("e2"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    scored = cand.join(F.broadcast(queries), "query_id").withColumn(
+        "cosine", F.round(cos, 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_literal(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in PLANES[j]) + "]::DOUBLE[]"
+
+
+def _band_sql(b: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+        f" {_plane_literal(b * BAND_BITS + k)}) >= 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(BAND_BITS)
+    ]
+    return " + ".join(terms)
+
+
+KNN_LSH_SQL = f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         [{_band_sql(0)}, {_band_sql(1)},
+          {_band_sql(2)}, {_band_sql(3)}] AS bands
+  FROM embeddings
+),
+band_rows AS (
+  SELECT s.vec_id, s.embedding, g.band_idx,
+         s.bands[g.band_idx + 1] AS band_val
+  FROM sig s CROSS JOIN generate_series(0, {N_BANDS - 1}) g(band_idx)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM band_rows q
+  JOIN band_rows c ON c.band_idx = q.band_idx
+   AND c.band_val = q.band_val AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    ROUND(
+      list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])))), 6)
+      AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {LSH_TOP_K}
+"""
