@@ -21,6 +21,8 @@ from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import cdc as C
 from activity_classifier_spark_cassandra_spark.operators import corpus as CP
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import dq as DQ
+from activity_classifier_spark_cassandra_spark.operators import timeseries as TS
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import graph as G
 from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
@@ -130,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_pack_greedy": CP.q_pack_greedy,
         "q_knn_lsh": S.q_knn_lsh,
+        "q_resample_gapfill": TS.q_resample_gapfill,
+        "q_scd2": C.q_scd2,
+        "q_dq_audit": DQ.q_dq_audit,
         # ==== block B: green in CORRECTNESS_r02 ====
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
@@ -291,6 +296,9 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_funnel": CP.QUALITY_FUNNEL_SQL,
         "q_incremental_dedup": CP.INCREMENTAL_DEDUP_SQL,
         "q_knn_lsh": S.KNN_LSH_SQL,
+        "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,
+        "q_scd2": C.SCD2_SQL,
+        "q_dq_audit": DQ.DQ_AUDIT_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

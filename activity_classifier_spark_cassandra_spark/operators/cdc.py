@@ -84,3 +84,101 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus
 """
+
+
+# ------------------------------------------------------------- SCD2
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event stream into validity intervals of their current event_type —
+    the gaps-and-islands pattern (change flag via lag -> running sum =
+    run id -> one row per run with [valid_from, valid_to)).
+
+    ``events`` needs (user_id, event_id, ts_ms, event_type); the total
+    order (ts_ms, event_id) makes run boundaries deterministic even
+    when millisecond timestamps tie.  Two windows + one agg, all
+    hash-partitioned on user_id — one exchange end to end, no global
+    sort, which is the whole trick for building SCD2 tables from a
+    100 TB change stream."""
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    runs = (
+        flagged.withColumn(
+            "run_id",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "run_id")
+        .agg(
+            # all rows in a run share event_type; min == that value and
+            # is deterministic where first() would not be
+            F.min("event_type").alias("event_type"),
+            F.min("ts_ms").alias("valid_from_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w_run).alias("valid_to_ms"),
+        "n_events",
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        "event_type",
+    )
+    return scd2_intervals(ev)
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS is_start
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+runs_raw AS (
+  SELECT *,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         MIN(event_type) AS event_type,
+         MIN(ts_ms) AS valid_from_ms,
+         COUNT(*) AS n_events
+  FROM runs_raw GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, event_type, valid_from_ms,
+       LEAD(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to_ms,
+       n_events
+FROM runs
+"""

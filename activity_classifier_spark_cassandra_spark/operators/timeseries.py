@@ -1,0 +1,93 @@
+"""Time-series regularization over the event stream: resample to a
+fixed calendar grid, fill gaps, and forward-fill the last observation.
+
+The reference's sensor pipeline implicitly assumes a dense regular
+sample stream (RecognizeActivity windows by fixed time buckets); real
+event data has holes.  Gap-fill = densify (per-key calendar spine via
+``sequence``/``explode``) + left join the observed buckets + a
+``last(..., ignorenulls)`` running window — all built-ins, so the plan
+is two keyed aggregations and one shuffle join on (key, bucket).
+
+Scale: the spine is generated from per-key min/max bounds — O(keys ×
+span) rows, independent of the raw event count; the raw stream is
+touched exactly once (the per-bucket aggregation, map-side partial).
+The forward-fill window partitions by key — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .dedup import _shared
+
+DAY_MS = 86_400_000
+
+
+def resample_gapfill(events: DataFrame) -> DataFrame:
+    """Per-user daily grid from first to last active day: event count,
+    daily value sum, gap flag, and forward-filled value.
+
+    ``events`` needs (user_id, ts_ms, value); ``ts_ms`` epoch millis.
+    """
+    per_day = _shared(
+        events.groupBy(
+            "user_id",
+            F.expr(f"ts_ms DIV {DAY_MS}").alias("day"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+    )
+    bounds = per_day.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        grid.join(per_day, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("day_value").isNull().alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias(
+                "value_ffill"
+            ),
+        )
+    )
+
+
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    return resample_gapfill(ev)
+
+
+RESAMPLE_GAPFILL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+per_day AS (
+  SELECT user_id, CAST(ts_ms // {DAY_MS} AS BIGINT) AS day,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS day_value
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+  FROM per_day GROUP BY 1
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+)
+SELECT g.user_id, g.day,
+       CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+       (p.day_value IS NULL) AS is_gap,
+       last_value(p.day_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day) AS value_ffill
+FROM grid g LEFT JOIN per_day p USING (user_id, day)
+"""

@@ -21,6 +21,7 @@ BNLJ_OK = {
     "q11_important_stock",  # 1-row global-total broadcast
     "q15_top_supplier",  # 1-row max-revenue broadcast
     "q_unigram_logprob",  # 1-row corpus-token-total broadcast
+    "q_dq_audit",  # 1-row violation×checked count joins per audit rule
 }
 
 
