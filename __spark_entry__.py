@@ -21,8 +21,10 @@ from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import cdc as C
 from activity_classifier_spark_cassandra_spark.operators import corpus as CP
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
+from activity_classifier_spark_cassandra_spark.operators import bucketing as BK
 from activity_classifier_spark_cassandra_spark.operators import dq as DQ
 from activity_classifier_spark_cassandra_spark.operators import timeseries as TS
+from activity_classifier_spark_cassandra_spark.operators import transitions as TR
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import graph as G
 from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
@@ -120,12 +122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_sketch": R.q_approx_sketch,
         # --- new: full 11-feature 3-axis flagship variant ---
         "q_session_features_3axis": P.q_session_features_3axis,
-        # --- ML (rows-only: not SQL-expressible; pytest pins values) ---
-        "q_ml_train_eval": M.q_ml_train_eval,
+        # (q_decontaminate pulled forward into the ~50-row correctness
+        # window in place of rows-only q_ml_train_eval: hash-checked
+        # rows are stronger evidence than rows-only ones)
+        "q_decontaminate": CP.q_decontaminate,
         # ==== block A2: new in round 3 (operators/corpus.py) — verified
         #      locally via tools/verify_oracle.py; enters the driver's
         #      correctness window next round ====
-        "q_decontaminate": CP.q_decontaminate,
+        "q_ml_train_eval": M.q_ml_train_eval,
         "q_chunk_sequences": CP.q_chunk_sequences,
         "q_domain_mix": CP.q_domain_mix,
         "q_quality_funnel": CP.q_quality_funnel,
@@ -135,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_gapfill": TS.q_resample_gapfill,
         "q_scd2": C.q_scd2,
         "q_dq_audit": DQ.q_dq_audit,
+        "q_event_transitions": TR.q_event_transitions,
+        "q_time_rollup": TS.q_time_rollup,
+        "q_bucketed_join": BK.q_bucketed_join,
+        "q_approx_distinct": R.q_approx_distinct,
         # ==== block B: green in CORRECTNESS_r02 ====
         # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
         "q_sessionize": P.q_sessionize,
@@ -299,6 +307,10 @@ def oracle_sql() -> dict[str, str]:
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,
         "q_scd2": C.SCD2_SQL,
         "q_dq_audit": DQ.DQ_AUDIT_SQL,
+        "q_event_transitions": TR.EVENT_TRANSITIONS_SQL,
+        "q_time_rollup": TS.TIME_ROLLUP_SQL,
+        "q_bucketed_join": BK.BUCKETED_JOIN_SQL,
+        "q_approx_distinct": R.APPROX_DISTINCT_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -68,6 +68,66 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gapfill(ev)
 
 
+# --------------------------------------------- hierarchical rollup
+HOUR_MS = 3_600_000
+
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Multi-granularity continuous aggregate (the hypertable rollup
+    pattern): hour buckets from the raw stream, then day from hour and
+    week from day — each coarser grain re-aggregates the one below it
+    instead of rescanning the fact table.
+
+    At 100 TB this is the whole game: the raw stream is shuffled ONCE
+    (into hour buckets, map-side partial so each task emits at most
+    |hours| rows), and the day/week grains aggregate frames of
+    O(hours) / O(days) rows — the cascade costs asymptotically nothing
+    beyond the first rollup, exactly how TimescaleDB/Druid maintain
+    their rollup hierarchies.  Sums ride in decimal so hour->day->week
+    re-aggregation is bit-identical to a direct day/week aggregation
+    (float addition order would not be).
+
+    ``events`` needs (ts_ms, value).
+    """
+    hourly = _shared(
+        events.groupBy(
+            F.expr(f"ts_ms DIV {HOUR_MS}").alias("b")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    daily = _shared(
+        hourly.groupBy(F.expr("b DIV 24").alias("b")).agg(
+            F.sum("n").alias("n"), F.sum("sv").alias("sv")
+        )
+    )
+    weekly = daily.groupBy(F.expr("b DIV 7").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+
+    def out(df: DataFrame, grain: str, bucket_ms: int) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            (F.col("b") * bucket_ms).cast("long").alias("bucket_start_ms"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("sv").cast("double"), 2).alias("sum_value"),
+        )
+
+    return (
+        out(hourly, "hour", HOUR_MS)
+        .unionByName(out(daily, "day", 24 * HOUR_MS))
+        .unionByName(out(weekly, "week", 7 * 24 * HOUR_MS))
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 1000000").alias("ts_ms"), "value"
+    )
+    return time_rollup(ev)
+
+
 RESAMPLE_GAPFILL_SQL = f"""
 WITH ev AS (
   SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
@@ -90,4 +150,36 @@ SELECT g.user_id, g.day,
        last_value(p.day_value IGNORE NULLS)
          OVER (PARTITION BY g.user_id ORDER BY g.day) AS value_ffill
 FROM grid g LEFT JOIN per_day p USING (user_id, day)
+"""
+
+
+TIME_ROLLUP_SQL = f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+hourly AS (
+  SELECT ts_ms // {HOUR_MS} AS b, COUNT(*) AS n, SUM(v) AS sv
+  FROM ev GROUP BY 1
+),
+daily AS (
+  SELECT b // 24 AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM hourly GROUP BY 1
+),
+weekly AS (
+  SELECT b // 7 AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS grain, CAST(b * {HOUR_MS} AS BIGINT) AS bucket_start_ms,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(sv AS DOUBLE), 2) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day', CAST(b * {24 * HOUR_MS} AS BIGINT), CAST(n AS BIGINT),
+       ROUND(CAST(sv AS DOUBLE), 2)
+FROM daily
+UNION ALL
+SELECT 'week', CAST(b * {7 * 24 * HOUR_MS} AS BIGINT), CAST(n AS BIGINT),
+       ROUND(CAST(sv AS DOUBLE), 2)
+FROM weekly
 """

@@ -881,6 +881,38 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ with a HARD oracle: emit the exact per-group distinct
+    count plus a boolean asserting the sketch landed within 3× its
+    configured rsd (2% ⇒ 6% gate); the oracle emits the exact count
+    plus literal TRUE.  The value hash therefore fails iff the sketch
+    drifts out of tolerance — an approx operator checked by the same
+    hash gate as the exact ones, instead of being demoted to
+    rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("approx_in_tolerance"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_in_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------- unpivot
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (melt): four measure columns become (metric,

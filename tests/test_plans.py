@@ -87,6 +87,37 @@ def test_flagship_exchange_budget(spark):
     assert _nodes(plan, "Exchange") <= 2, plan
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """The bucketed orders⋈lineitem join: with broadcast disabled (the
+    100 TB regime — neither fact side fits), the join must plan as a
+    SortMergeJoin over the two bucketed scans with NO exchange below
+    it; the only shuffle in the whole query is the final tiny groupBy.
+    This is the pin that the ingest-time bucket layout actually
+    eliminates the big join shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert _nodes(plan, "SortMergeJoin") == 1, plan
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_time_rollup_cascade_reuses_lower_grains(spark):
+    """Hour→day→week cascade: the day and week grains aggregate the
+    persisted hourly frame (InMemoryTableScan), so the raw events scan
+    appears exactly once in the plan — coarser grains never rescan the
+    fact table."""
+    plan = _plan(spark, "q_time_rollup")
+    # All three union branches read cached frames ('formatted' mode also
+    # re-prints the cached relation's plan inside each InMemoryTableScan
+    # node, so count NODES, not substrings): the raw scan only exists
+    # inside the hourly cache, executed once.
+    assert _nodes(plan, "InMemoryTableScan") >= 3, plan
+    assert _nodes(plan, "Scan parquet") == 1, plan
+
+
 def test_sampling_is_scan_plus_filter_only(spark):
     """Key-stable sampling must stay a pure row-predicate: exactly one
     exchange (the summary agg), no join nodes at all."""
