@@ -17,6 +17,7 @@ bounded stream, the final emitted row per key equals the plain batch
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Iterator, Sequence
 from typing import Any
 
@@ -90,3 +91,66 @@ def stateful_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------------- query
+_SINK_SEQ = 0
+
+
+def q_stream_stateful(spark, sf_dir: str) -> DataFrame:
+    """The custom stateful operator driven end-to-end: stream the
+    events table file-by-file (every parquet part is one micro-batch,
+    so state genuinely evolves), drain with availableNow into a memory
+    sink, and reduce update-mode emissions to the final state per key
+    (the row with max n — running totals are monotone).  Oracle: the
+    plain batch aggregate, which the converged state must equal."""
+    from pyspark.sql import functions as F
+
+    from ..sources.io import load_table
+
+    cols = ["user_id", "event_type", "value"]
+    batch = load_table(spark, sf_dir, "events").select(*cols)
+    # The file stream source needs a directory; stage the (pruned)
+    # frame into scratch as 4 part files so availableNow +
+    # maxFilesPerTrigger=1 yields several micro-batches and the state
+    # genuinely evolves across triggers.
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    name = f"stateful_totals_sink_{_SINK_SEQ}"
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max_by("total", "n"), 2).alias("total"),
+            F.max_by("min_v", "n").alias("min_v"),
+            F.max_by("max_v", "n").alias("max_v"),
+        )
+    )
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events
+GROUP BY user_id, event_type
+"""

@@ -124,6 +124,7 @@ def test_dq_audit_flags_seeded_violations(spark, tmp_path):
         "q_time_rollup",
         "q_bucketed_join",
         "q_approx_distinct",
+        "q_stream_stateful",
     ],
 )
 def test_matches_duckdb_oracle(spark, name):
