@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": R.q_approx_distinct,
         # --- custom stateful streaming op, drained end-to-end ---
         "q_stream_stateful": ST.q_stream_stateful,
+        # --- skew-join rewrite (salt fact, replicate dim) ---
+        "q_salted_join": K.q_salted_join,
         # --- TPC-H tail (never checked in r2) ---
         "q2_min_cost_supplier": TH.q2_min_cost_supplier,
         "q11_important_stock": TH.q11_important_stock,
@@ -317,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bucketed_join": BK.BUCKETED_JOIN_SQL,
         "q_approx_distinct": R.APPROX_DISTINCT_SQL,
         "q_stream_stateful": ST.STREAM_STATEFUL_SQL,
+        "q_salted_join": K.SALTED_JOIN_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

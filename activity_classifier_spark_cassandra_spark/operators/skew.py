@@ -79,6 +79,40 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*stage2_aggs)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-join rewrite for a hot equi-join key when the dim side is
+    too big to broadcast outright: salt the fact rows uniformly and
+    replicate every dim row across all ``n_salts`` salt values, then
+    join on (key, salt) — the hot key's fact rows land on ``n_salts``
+    reducers instead of one.  Pure physical rewrite: the result is
+    row-identical to ``fact.join(dim, fact_key == dim_key)``.
+
+    Cost model: dim shuffle volume grows ×n_salts, fact volume is
+    unchanged — the right trade whenever the straggler task on the hot
+    key dominates wall-clock (at 100 TB a single hot key can hold a
+    1000-executor stage hostage; 16× dim replication is noise).  AQE's
+    skew-join splitting handles the moderate cases at runtime; this is
+    the explicit shape for the pathological ones, and for the
+    bucketed/sorted layouts AQE can't re-split."""
+    fact_s = with_salt(fact, n_salts)
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
+        ),
+    )
+    cond = (fact_s[fact_key] == dim_s[dim_key]) & (
+        fact_s["_salt"] == dim_s["_salt"]
+    )
+    return fact_s.join(dim_s, cond, "inner").drop("_salt")
+
+
 # ---------------------------------------------------------------- driver
 def q_salted_agg(spark, sf_dir: str) -> DataFrame:
     """Driver registration of the salted two-stage aggregate: identical
@@ -116,4 +150,36 @@ SELECT user_id, event_type,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Driver registration of the skew-join rewrite: per-user event
+    revenue joined to the customer dim through the salted (key, salt)
+    join, then aggregated per market segment.  The oracle is the plain
+    join — identical rows prove the rewrite is physical-only."""
+    from ..sources.io import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(events, cust, "user_id", "c_custkey")
+    # decimal sum: the per-segment groups are large (10k+ doubles), so
+    # a float sum is addition-order-sensitive across engines (the r2
+    # q_upsert_compact lesson) — decimal re-association is exact
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
 """

@@ -75,6 +75,31 @@ def test_stateful_totals_converge_to_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_salted_join_equals_plain_join(spark):
+    from activity_classifier_spark_cassandra_spark.operators.skew import salted_join
+
+    events = load_table(spark, SF, "events").select("user_id", "value")
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    got = sorted(
+        (r["user_id"], round(r["value"], 9), r["c_mktsegment"])
+        for r in salted_join(events, cust, "user_id", "c_custkey")
+        .select("user_id", "value", "c_mktsegment")
+        .collect()
+    )
+    want = sorted(
+        (r["user_id"], round(r["value"], 9), r["c_mktsegment"])
+        for r in events.join(
+            cust, events.user_id == cust.c_custkey, "inner"
+        )
+        .select("user_id", "value", "c_mktsegment")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
 def test_salted_agg_equals_direct_groupby(spark):
     df = load_table(spark, SF, "events").select(
         "user_id", "event_type", "value"

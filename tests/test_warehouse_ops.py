@@ -125,6 +125,7 @@ def test_dq_audit_flags_seeded_violations(spark, tmp_path):
         "q_bucketed_join",
         "q_approx_distinct",
         "q_stream_stateful",
+        "q_salted_join",
     ],
 )
 def test_matches_duckdb_oracle(spark, name):
