@@ -52,119 +52,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a ~50-entry window from the front, so the families with no
-    round-2 oracle verdict (dedup / text / similarity / sampling /
-    funnel / join / TPC-H tail), the round-2 red rows (now fixed), and
-    the new queries come FIRST; the 45 queries already green in
-    CORRECTNESS_r02 sit at the back."""
+    covers a ~50-entry window from the front.  Round 4 front-loads the
+    whole family broken by the events.ts encoding change (flagship,
+    streaming, asof/range, funnel, time-series, warehouse, ordered
+    windows) plus everything that has never had a driver verdict
+    (TPC-H tail, the r02-only relational block); the 43 queries green
+    in CORRECTNESS_r03 (dedup / text / similarity / sampling / corpus)
+    rotate to the back — every family then has a verdict across r2-r4."""
     return {
-        # ==== block A: needs a (re-)verdict this round ====
-        # --- LLM-data-pipeline: dedup ---
-        "q_dedup_exact": D.q_dedup_exact,
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
-        "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_embedding": D.q_dedup_embedding,
-        "q_dedup_keep_best": D.q_dedup_keep_best,
-        "q_corpus_clean": D.q_corpus_clean,
-        "q_dedup_clusters": G.q_dedup_clusters,
-        "q_corpus_pipeline": G.q_corpus_pipeline,
-        # --- LLM-data-pipeline: text analysis ---
-        "q_text_stats": T.q_text_stats,
-        "q_lang_id": T.q_lang_id,
-        "q_token_count": T.q_token_count,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
-        # --- multimodal plumbing (binary -> typed metadata) ---
-        "q_media_features": MM.q_media_features,
-        # --- LLM-data-pipeline: similarity search ---
-        "q_knn_brute": S.q_knn_brute,
-        "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_pandas": S.q_knn_pandas,
-        # --- deterministic key-stable sampling (operators/sampling.py) ---
-        "q_sample_hash": SM.q_sample_hash,
-        "q_train_test_split": SM.q_train_test_split,
-        "q_user_holdout": SM.q_user_holdout,
-        "q_stratified_sample": SM.q_stratified_sample,
-        # --- event-sequence analytics (operators/funnel.py) ---
-        "q_funnel": FN.q_funnel,
-        "q_retention": FN.q_retention,
-        "q_daily_active": FN.q_daily_active,
-        # --- join family (J2 + semi/anti/set ops) ---
-        "q_broadcast_dim_join": R.q_broadcast_dim_join,
-        "q_anti_join": R.q_anti_join,
-        "q_semi_join": R.q_semi_join,
-        "q_union_distinct": R.q_union_distinct,
-        "q_asof_join": AJ.q_asof_join,
-        "q_range_join": AJ.q_range_join,
-        # --- UDAF surface (grouped-agg pandas UDF vs exact SQL) ---
-        "q_pandas_udaf": U.q_pandas_udaf,
-        # --- skew mitigation (salted two-stage agg == direct groupBy) ---
-        "q_salted_agg": K.q_salted_agg,
-        # --- newly registered Q19 (VERDICT r2 item 4) ---
-        "q19_disjunctive": TH.q19_disjunctive,
-        # --- round-2 red rows, fixed (engine-stable numerics) ---
-        "q_upsert_compact": C.q_upsert_compact,
-        "q_histogram": R.q_histogram,
-        "q_profile": R.q_profile,
-        "q12_late_by_priority": TH.q12_late_by_priority,
-        # --- new: full 11-feature 3-axis flagship variant ---
-        "q_session_features_3axis": P.q_session_features_3axis,
-        # --- new in round 3: corpus construction / similarity /
-        #     time-series (hash-checked; fills the window to 50) ---
-        "q_decontaminate": CP.q_decontaminate,
-        "q_chunk_sequences": CP.q_chunk_sequences,
-        "q_domain_mix": CP.q_domain_mix,
-        "q_quality_funnel": CP.q_quality_funnel,
-        "q_incremental_dedup": CP.q_incremental_dedup,
-        "q_knn_lsh": S.q_knn_lsh,
-        "q_resample_gapfill": TS.q_resample_gapfill,
-        # ==== block A2 (positions 50+): hash-checked but past the
-        #      ~50-entry window if the driver caps there — verified
-        #      locally via tools/verify_oracle.py; next round these
-        #      rotate to the front ====
-        "q_scd2": C.q_scd2,
-        "q_dq_audit": DQ.q_dq_audit,
-        "q_event_transitions": TR.q_event_transitions,
-        "q_time_rollup": TS.q_time_rollup,
-        "q_bucketed_join": BK.q_bucketed_join,
-        "q_approx_distinct": R.q_approx_distinct,
-        # --- custom stateful streaming op, drained end-to-end ---
-        "q_stream_stateful": ST.q_stream_stateful,
-        # --- skew-join rewrite (salt fact, replicate dim) ---
-        "q_salted_join": K.q_salted_join,
-        # --- TPC-H tail (never checked in r2) ---
-        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
-        "q11_important_stock": TH.q11_important_stock,
-        "q15_top_supplier": TH.q15_top_supplier,
-        "q20_excess_suppliers": TH.q20_excess_suppliers,
-        "q21_waiting_orders": TH.q21_waiting_orders,
-        # rows-only entries (weaker signal — kept out of the hash-check
-        # window): sketch values are algorithm-specific (error bounds
-        # pinned vs exact answers in pytest); packing/ML are not
-        # SQL-expressible
-        "q_approx_sketch": R.q_approx_sketch,
-        "q_ml_train_eval": M.q_ml_train_eval,
-        "q_pack_greedy": CP.q_pack_greedy,
-        # ==== block B: green in CORRECTNESS_r02 ====
-        # --- sessionization / windowing / feature pipeline (W1-W5, A3-A8) ---
-        "q_sessionize": P.q_sessionize,
+        # ==== block A: the ts-regression family, fixed this round —
+        #      needs fresh driver verdicts ====
+        # --- flagship pipeline (W1-W5, A3-A8, P6-P10) ---
         "q_session_features": P.q_session_features,
+        "q_sessionize": P.q_sessionize,
+        "q_session_features_3axis": P.q_session_features_3axis,
         # --- streaming operators, batch-executed (same code path minus
         #     the watermark; stream-vs-batch parity pinned by pytest) ---
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
-        # --- relational coverage over events (S1, P1-P10, A1-A10, O2-O3) ---
-        "q_distinct_users": R.q_distinct_users,
-        "q_count_gate": R.q_count_gate,
+        "q_stream_stateful": ST.q_stream_stateful,
+        # --- as-of / range join ---
+        "q_asof_join": AJ.q_asof_join,
+        "q_range_join": AJ.q_range_join,
+        # --- event-sequence analytics ---
+        "q_funnel": FN.q_funnel,
+        "q_retention": FN.q_retention,
+        "q_daily_active": FN.q_daily_active,
+        # --- time-series / warehouse ops ---
+        "q_resample_gapfill": TS.q_resample_gapfill,
+        "q_time_rollup": TS.q_time_rollup,
+        "q_scd2": C.q_scd2,
+        "q_event_transitions": TR.q_event_transitions,
+        "q_bucketed_join": BK.q_bucketed_join,
+        "q_salted_join": K.q_salted_join,
+        "q_dq_audit": DQ.q_dq_audit,
+        "q_approx_distinct": R.q_approx_distinct,
+        # --- ts-ordered windows / scans over events ---
         "q_minmax_ts": R.q_minmax_ts,
         "q_range_filter": R.q_range_filter,
+        "q_moving_avg": R.q_moving_avg,
+        "q_lead_lag": R.q_lead_lag,
+        "q_zscore_anomaly": R.q_zscore_anomaly,
+        # --- ML family (rows-only; rides on the flagship frame) ---
+        "q_ml_train_eval": M.q_ml_train_eval,
+        "q_ml_predict_counts": M.q_ml_predict_counts,
+        "q_ml_serve": M.q_ml_serve,
+        # ==== block A2: never driver-checked before (TPC-H tail) or
+        #      only checked in r02 — rotate into the window ====
+        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
+        "q11_important_stock": TH.q11_important_stock,
+        "q15_top_supplier": TH.q15_top_supplier,
+        "q20_excess_suppliers": TH.q20_excess_suppliers,
+        "q21_waiting_orders": TH.q21_waiting_orders,
+        # --- relational coverage over events (S1, P1-P10, A1-A10) ---
+        "q_distinct_users": R.q_distinct_users,
+        "q_count_gate": R.q_count_gate,
         "q_label_encode": R.q_label_encode,
         "q_truncate_cast": R.q_truncate_cast,
         "q_string_cast": R.q_string_cast,
@@ -178,34 +122,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
         "q_cube": R.q_cube,
-        "q_moving_avg": R.q_moving_avg,
-        "q_lead_lag": R.q_lead_lag,
         "q_conditional_pivot": R.q_conditional_pivot,
         "q_window_rank": R.q_window_rank,
         "q_grouping_sets": R.q_grouping_sets,
         "q_ntile_dist": R.q_ntile_dist,
         "q_unpivot": R.q_unpivot,
-        "q_zscore_anomaly": R.q_zscore_anomaly,
-        # --- TPC-H query shapes (joins, star schema, top-k) ---
+        # --- rows-only sketch (error bounds pinned in pytest) ---
+        "q_approx_sketch": R.q_approx_sketch,
+        "q_pack_greedy": CP.q_pack_greedy,
+        # ==== block B: TPC-H main shapes (green r02; unchanged) ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier": R.q5_local_supplier,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q17_small_quantity": R.q17_small_quantity,
-        # --- TPC-H shapes adapted to the reduced schema (plans/tpch.py) ---
         "q4_priority_count": TH.q4_priority_count,
         "q7_volume_shipping": TH.q7_volume_shipping,
         "q8_market_share": TH.q8_market_share,
         "q9_product_profit": TH.q9_product_profit,
         "q10_returned_items": TH.q10_returned_items,
+        "q12_late_by_priority": TH.q12_late_by_priority,
         "q13_customer_distribution": TH.q13_customer_distribution,
         "q14_promo_revenue": TH.q14_promo_revenue,
         "q16_supplier_cnt": TH.q16_supplier_cnt,
         "q18_large_orders": TH.q18_large_orders,
+        "q19_disjunctive": TH.q19_disjunctive,
         "q22_idle_customers": TH.q22_idle_customers,
-        # --- ML (rows-only) ---
-        "q_ml_predict_counts": M.q_ml_predict_counts,
-        "q_ml_serve": M.q_ml_serve,
+        # ==== block C: green in CORRECTNESS_r03 (data-pipeline
+        #      families; hash-checked last round, rotate to the back) ====
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
+        "q_dedup_clusters": G.q_dedup_clusters,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
+        "q_text_stats": T.q_text_stats,
+        "q_lang_id": T.q_lang_id,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
+        "q_media_features": MM.q_media_features,
+        "q_knn_brute": S.q_knn_brute,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_pandas": S.q_knn_pandas,
+        "q_knn_lsh": S.q_knn_lsh,
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        "q_pandas_udaf": U.q_pandas_udaf,
+        "q_salted_agg": K.q_salted_agg,
+        "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
+        "q_decontaminate": CP.q_decontaminate,
+        "q_chunk_sequences": CP.q_chunk_sequences,
+        "q_domain_mix": CP.q_domain_mix,
+        "q_quality_funnel": CP.q_quality_funnel,
+        "q_incremental_dedup": CP.q_incremental_dedup,
     }
 
 

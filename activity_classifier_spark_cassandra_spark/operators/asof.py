@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ticks
 
 _TAG = "_asof_is_left"
 
@@ -79,8 +79,12 @@ def asof_join(
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event joined to the user's most recent signup event at or
     before it (the canonical 'state as of event time' query)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts"
+    raw = load_table(spark, sf_dir, "events")
+    # exact integer timeline (sources/io.ts_ticks): the as-of tie rule
+    # must see full source precision, not ms truncation
+    ticks, per_ms = ts_ticks(raw)
+    events = raw.select(
+        "event_id", "user_id", "event_type", ticks.alias("ts")
     )
     signups = (
         events.filter(F.col("event_type") == "signup")
@@ -99,8 +103,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.expr("ts DIV 1000000").alias("ts_ms"),
-        F.expr("asof_signup_ts DIV 1000000").alias("signup_ts_ms"),
+        F.expr(f"ts DIV {per_ms}").alias("ts_ms"),
+        F.expr(f"asof_signup_ts DIV {per_ms}").alias("signup_ts_ms"),
         "asof_signup_event_id",
     )
 
@@ -171,23 +175,19 @@ def range_join(
     return joined.withColumnRenamed(rts, out_name)
 
 
-_DAY_NS = 24 * 3_600_000_000_000
+_DAY_MS = 24 * 3_600_000
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each signup, the user's event count in the following 24 h —
     the canonical post-conversion activity window."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts"
-    )
-    signups = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "signup")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            "user_id",
-            F.col("ts").alias("signup_ts"),
-        )
+    raw = load_table(spark, sf_dir, "events")
+    ticks, per_ms = ts_ticks(raw)
+    events = raw.select("event_id", "user_id", ticks.alias("ts"))
+    signups = raw.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        ticks.alias("signup_ts"),
     )
     joined = range_join(
         signups,
@@ -195,14 +195,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         left_ts="signup_ts",
         right_ts="ts",
-        upper=_DAY_NS,
+        upper=_DAY_MS * per_ms,
     )
     return (
         joined.filter(F.col("event_id") != F.col("signup_id"))
         .groupBy("signup_id", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events_24h"),
-            F.min(F.expr("ts DIV 1000000")).alias("first_ts_ms"),
+            F.min(F.expr(f"ts DIV {per_ms}")).alias("first_ts_ms"),
         )
     )
 

@@ -45,6 +45,14 @@ def bucketed_table(
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
     tbl = f"bkt_{name}_{tag}"
     if not spark.catalog.tableExists(tbl):
+        # a fresh metastore (new derby) + a leftover directory from a
+        # previous session would raise LOCATION_ALREADY_EXISTS: the
+        # catalog no longer vouches for the path, so clear it first
+        leftover = os.path.join(_WAREHOUSE, tbl)
+        if os.path.isdir(leftover):
+            import shutil
+
+            shutil.rmtree(leftover, ignore_errors=True)
         (
             load_table(spark, sf_dir, name)
             .write.bucketBy(n_buckets, key)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ms
 
 
 def upsert_compact(
@@ -141,10 +141,11 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
 
 
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
         "user_id",
         "event_id",
-        F.expr("ts DIV 1000000").alias("ts_ms"),
+        ts_ms(raw).alias("ts_ms"),
         "event_type",
     )
     return scd2_intervals(ev)

@@ -19,9 +19,11 @@ Scale design (100 TB of events):
   raw events a hot user produced — then joins day-0 per user and
   re-aggregates by offset (≤ horizon rows out).
 
-Timestamps: events.ts arrives as long epoch *nanoseconds*
-(nanosAsLong); integer `DIV` keeps exactness (double division loses
-precision at 1e18).  Days since epoch = ts DIV 1e6 (ms) DIV 86.4e6,
+Timestamps: the raw events.ts is normalized by sources/io.ts_ticks to
+an exact integer timeline (epoch micros for the current timestamp[us]
+encoding; epoch nanos for legacy long data) — integer arithmetic keeps
+window adds and day bucketing exact where double math would lose
+precision.  Days since epoch = ticks DIV (ticks/ms) DIV 86.4e6,
 matching DuckDB's `epoch_ms(ts) // 86400000`.
 """
 
@@ -30,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ms_sql, ts_ticks
 
 DAY_MS = 86_400_000
 
@@ -39,22 +41,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def _day(col: str = "ts"):
-    return F.expr(f"{col} DIV 1000000 DIV {DAY_MS}")
-
-
 def funnel_counts(
     events: DataFrame,
     stages: list[str],
-    ts_col: str = "ts",
-    within_ms: int | None = None,
+    ts_col: str = "ts_ticks",
+    within: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: a user is at stage k iff their earliest
     qualifying stage-k event is strictly after their earliest
-    qualifying stage-(k-1) event — and, when ``within_ms`` is set, no
-    later than that plus the conversion window (without a window every
-    user of a long-lived product eventually "converts", which measures
-    nothing).  Returns one row per stage with the surviving count."""
+    qualifying stage-(k-1) event — and, when ``within`` is set (in the
+    units of ``ts_col``), no later than that plus the conversion window
+    (without a window every user of a long-lived product eventually
+    "converts", which measures nothing).  Returns one row per stage
+    with the surviving count.  ``ts_col`` must be an exact integer
+    timeline (see sources/io.ts_ticks) so the window add is exact."""
     ts = F.col(ts_col)
     reached = (
         events.filter(F.col("event_type") == stages[0])
@@ -64,9 +64,8 @@ def funnel_counts(
     out = [(stages[0], reached)]
     for stage in stages[1:]:
         gate = ts > F.col("stage_ts")
-        if within_ms is not None:
-            # ts is epoch nanos (long): the window add is exact.
-            gate = gate & (ts <= F.col("stage_ts") + within_ms * 1_000_000)
+        if within is not None:
+            gate = gate & (ts <= F.col("stage_ts") + within)
         nxt = (
             events.filter(F.col("event_type") == stage)
             .join(reached, "user_id")
@@ -92,10 +91,13 @@ def funnel_counts(
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase with a 24-hour conversion window per hop."""
+    ev = _events(spark, sf_dir)
+    ticks, per_ms = ts_ticks(ev)
+    ev = ev.select("user_id", "event_type", ticks.alias("ts_ticks"))
     return funnel_counts(
-        _events(spark, sf_dir),
+        ev,
         ["view", "click", "purchase"],
-        within_ms=86_400_000,
+        within=86_400_000 * per_ms,
     )
 
 
@@ -130,9 +132,8 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic retention curve: for each day-offset k since a user's
     first event, how many distinct users were active."""
     ev = _events(spark, sf_dir)
-    user_days = (
-        ev.select("user_id", _day().alias("day")).distinct()
-    )
+    day = F.expr(f"({ts_ms_sql(ev)}) DIV {DAY_MS}")
+    user_days = ev.select("user_id", day.alias("day")).distinct()
     day0 = user_days.groupBy("user_id").agg(F.min("day").alias("day0"))
     return (
         user_days.join(day0, "user_id")
@@ -158,7 +159,8 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + event volume per day — the monitoring query every event
     pipeline runs; one partial-agg exchange keyed by day."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy(_day().alias("day")).agg(
+    day = F.expr(f"({ts_ms_sql(ev)}) DIV {DAY_MS}")
+    return ev.groupBy(day.alias("day")).agg(
         F.countDistinct("user_id").alias("dau"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ms
 from .dedup import _shared
 
 DAY_MS = 86_400_000
@@ -62,9 +62,8 @@ def resample_gapfill(events: DataFrame) -> DataFrame:
 
 
 def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_ms(raw).alias("ts_ms"), "value")
     return resample_gapfill(ev)
 
 
@@ -122,9 +121,8 @@ def time_rollup(events: DataFrame) -> DataFrame:
 
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        F.expr("ts DIV 1000000").alias("ts_ms"), "value"
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(ts_ms(raw).alias("ts_ms"), "value")
     return time_rollup(ev)
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ms
 
 
 def transition_matrix(events: DataFrame) -> DataFrame:
@@ -44,10 +44,11 @@ def transition_matrix(events: DataFrame) -> DataFrame:
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
         "user_id",
         "event_id",
-        F.expr("ts DIV 1000000").alias("ts_ms"),
+        ts_ms(raw).alias("ts_ms"),
         "event_type",
     )
     return transition_matrix(ev)

@@ -37,7 +37,7 @@ from ..functions.labels import encode_event_type, label_case_sql
 from ..operators.features import extract_features
 from ..operators.sessions import session_bounds, with_session_id
 from ..operators.windows import with_window_id
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_ms
 
 KEYS = ["user_id", "event_type"]
 GROUP = ["user_id", "event_type", "session_id", "window_id"]
@@ -46,14 +46,14 @@ GROUP = ["user_id", "event_type", "session_id", "window_id"]
 def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The S1 scan + P1 projection: events as (series keys, ms ticks,
     value).  Column pruning reaches the parquet reader via Catalyst."""
-    return load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
         "event_id",
         "user_id",
         "event_type",
-        # ts is a long of epoch nanos (nanosAsLong read); integer DIV
-        # keeps the ns->ms conversion exact (double division would lose
-        # precision at 1e18) and matches DuckDB's epoch_ms truncation.
-        F.expr("ts DIV 1000000").alias("ts_ms"),
+        # canonical epoch-ms long (sources/io.ts_ms): integer arithmetic
+        # either encoding, matching DuckDB's epoch_ms truncation.
+        ts_ms(ev).alias("ts_ms"),
         "value",
     )
 

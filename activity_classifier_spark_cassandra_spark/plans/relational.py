@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..constants import EVENT_TYPE_LABELS, EVENTS_MIN_SAMPLES
 from ..functions.labels import encode_event_type, label_case_sql
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_literal, ts_ms
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,14 +66,13 @@ def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: the reference gets min/max by sorting and taking first()
     (RecognizeActivity.java:152-153) — never sort for an extremum;
     min/max are one-pass partial aggregates."""
+    ev = _t(spark, sf_dir, "events")
     return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id", "event_type")
+        ev.groupBy("user_id", "event_type")
         .agg(
-            # ts arrives as long epoch nanos (nanosAsLong); integer DIV
-            # is exact and matches DuckDB's epoch_ms truncation.
-            F.min(F.expr("ts DIV 1000000")).alias("first_ts"),
-            F.max(F.expr("ts DIV 1000000")).alias("last_ts"),
+            # min/max commute with the monotone ts->ms normalization
+            F.min(ts_ms(ev)).alias("first_ts"),
+            F.max(ts_ms(ev)).alias("last_ts"),
         )
     )
 
@@ -92,18 +91,23 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan (PushedFilters) — at 100 TB this is row-group
     pruning, not a post-scan filter."""
     lo, hi = 1705276800000, 1705536000000  # 2024-01-15 .. 2024-01-18 (excl)
-    ts_ms = F.expr("ts DIV 1000000")
-    # Predicates are rewritten onto the raw nanos column (ts_ms > lo
-    # <=> ts >= (lo+1)*1e6) so they reach the parquet scan as
-    # PushedFilters — a DIV expression in the predicate would not.
+    ev = _t(spark, sf_dir, "events")
+    # Predicates are rewritten onto the RAW stored column (ts_ms > lo
+    # <=> ts >= lo+1 ms, exact at any sub-ms precision) so they reach
+    # the parquet scan as PushedFilters — a conversion expression in
+    # the predicate would not.  ts_literal emits a matching-typed
+    # constant for either physical encoding.
     return (
-        _t(spark, sf_dir, "events")
-        .filter(
-            (F.col("ts") >= F.lit((lo + 1) * 1_000_000))
-            & (F.col("ts") < F.lit(hi * 1_000_000))
+        ev.filter(
+            (F.col("ts") >= ts_literal(ev, lo + 1))
+            & (F.col("ts") < ts_literal(ev, hi))
         )
         .select(
-            "event_id", "user_id", "event_type", ts_ms.alias("ts_ms"), "value"
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_ms(ev).alias("ts_ms"),
+            "value",
         )
     )
 
@@ -701,12 +705,13 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding row-frame window (rowsBetween -3..0): the per-series
     moving average the reference would need for smoothing.  One
     exchange on the series keys + per-partition sort."""
+    ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id", "event_type")
-        .orderBy(F.expr("ts DIV 1000000").asc(), F.col("event_id").asc())
+        .orderBy(ts_ms(ev).asc(), F.col("event_id").asc())
         .rowsBetween(-3, 0)
     )
-    return _t(spark, sf_dir, "events").select(
+    return ev.select(
         "event_id",
         "user_id",
         "event_type",
@@ -727,16 +732,17 @@ FROM events
 def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag/first_value in one ordered window — the W1 family
     surfaced directly (deltas to both neighbors plus series anchor)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = ts_ms(ev)
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.expr("ts DIV 1000000").asc(), F.col("event_id").asc()
+        ms.asc(), F.col("event_id").asc()
     )
-    ts_ms = F.expr("ts DIV 1000000")
-    return _t(spark, sf_dir, "events").select(
+    return ev.select(
         "event_id",
         "user_id",
         "event_type",
-        (ts_ms - F.lag(ts_ms, 1).over(w)).alias("delta_prev"),
-        (F.lead(ts_ms, 1).over(w) - ts_ms).alias("delta_next"),
+        (ms - F.lag(ms, 1).over(w)).alias("delta_prev"),
+        (F.lead(ms, 1).over(w) - ms).alias("delta_next"),
         F.first(F.col("event_id")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("first_event_id"),
@@ -957,7 +963,7 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.expr("ts DIV 1000000").asc(), F.col("event_id").asc())
+        .orderBy(ts_ms(ev).asc(), F.col("event_id").asc())
         .rowsBetween(-20, -1)
     )
     mean = F.avg("value").over(w)

@@ -42,16 +42,96 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-testdata table (parquet; pushdown-friendly).
 
     ``spark.sql.legacy.parquet.nanosAsLong`` is set here at runtime (it
-    is a dynamic SQL conf) so sessions not built by our factory — e.g.
-    the driver's own — can still read events.parquet's TIMESTAMP(NANOS)
-    column, which arrives as a long of epoch nanoseconds.
+    is a dynamic SQL conf) so a TIMESTAMP(NANOS) events.ts encoding
+    (older testdata generations) loads as a long of epoch nanoseconds
+    instead of failing the parquet reader.  The current testdata stores
+    ts as ``timestamp[us]`` (loads as TIMESTAMP_NTZ) — the ts_* helpers
+    below normalize both encodings to one canonical timeline.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # UTC parity with the DuckDB oracle (naive timestamps = UTC): a
     # session built elsewhere (the driver's) may carry a local tz,
-    # which would shift string->timestamp casts in date filters.
+    # which would shift NTZ<->instant casts and string->timestamp casts.
+    # The ts_* helpers below rely on this pin for tz-exactness.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------- ts normalization
+# The events.ts column has shipped in two physical encodings across
+# testdata generations:
+#   * parquet TIMESTAMP(NANOS)  -> long of epoch nanoseconds (with the
+#     nanosAsLong conf above) — the round-1..2 encoding;
+#   * parquet timestamp[us]     -> TIMESTAMP_NTZ — the current encoding.
+# Every consumer goes through these helpers instead of assuming a unit,
+# so the next schema drift is absorbed in exactly one place
+# (tests/test_contract.py pins the current encoding).  All helpers are
+# pure Column constructors: they fold into the scan-side projection and
+# stay inside whole-stage codegen.
+
+
+def _ts_dtype(df: DataFrame, col: str) -> str:
+    for name, dt in df.dtypes:
+        if name == col:
+            return dt
+    raise KeyError(f"column {col!r} not in {df.columns}")
+
+
+def ts_ticks(df: DataFrame, col: str = "ts") -> tuple:
+    """(exact integer timeline Column, ticks-per-millisecond).
+
+    The exact unit preserves full source precision for ordering, as-of
+    matching and band joins (ms truncation would merge distinct
+    sub-millisecond instants).  NTZ wall-clock is UTC by contract
+    (load_table pins the session tz, so the NTZ->instant cast is the
+    identity mapping the DuckDB oracle's epoch_us(ts) applies)."""
+    dt = _ts_dtype(df, col)
+    if dt.startswith("timestamp"):
+        return F.expr(f"unix_micros(cast({col} as timestamp))"), 1_000
+    return F.col(col), 1_000_000  # legacy long = epoch nanos
+
+
+def ts_ms_sql(df: DataFrame, col: str = "ts") -> str:
+    """The canonical epoch-ms expression as a SQL fragment, for callers
+    that need to compose further *integer* arithmetic (e.g. day
+    bucketing with DIV) without a double-division round trip."""
+    dt = _ts_dtype(df, col)
+    if dt.startswith("timestamp"):
+        return f"unix_millis(cast({col} as timestamp))"
+    return f"{col} DIV 1000000"
+
+
+def ts_ms(df: DataFrame, col: str = "ts"):
+    """Canonical epoch-milliseconds long — matches DuckDB ``epoch_ms(ts)``
+    (truncation toward -inf; all testdata instants are positive, where
+    integer DIV agrees).  Integer arithmetic end-to-end: double division
+    of epoch-scale longs loses precision past 2^53."""
+    return F.expr(ts_ms_sql(df, col))
+
+
+def ts_event_time(df: DataFrame, col: str = "ts"):
+    """A real TIMESTAMP for watermarks / session_window / F.window.
+    For the NTZ encoding this is the (UTC-pinned) cast; for legacy
+    nanos it is timestamp_micros(ns DIV 1000) — integer, exact."""
+    dt = _ts_dtype(df, col)
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("timestamp")
+    return F.expr(f"timestamp_micros({col} DIV 1000)")
+
+
+def ts_literal(df: DataFrame, epoch_ms_value: int, col: str = "ts"):
+    """A literal comparable against the raw ts column — used so range
+    predicates stay on the stored column and reach the parquet scan as
+    PushedFilters (row-group pruning at 100 TB), instead of wrapping
+    the column in a conversion that blocks pushdown."""
+    dt = _ts_dtype(df, col)
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"cast(timestamp_millis({epoch_ms_value}) as timestamp_ntz)"
+        )
+    if dt.startswith("timestamp"):
+        return F.expr(f"timestamp_millis({epoch_ms_value})")
+    return F.lit(epoch_ms_value * 1_000_000)  # legacy epoch nanos
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -149,7 +229,23 @@ def write_bucketed_table(
     WRITE time, so later equi-joins / aggregations on those keys plan
     with ZERO exchange (tests/test_io.py pins the no-Exchange plan).
     This is the 'repartition once, join many times' pattern for fact
-    tables at scale."""
+    tables at scale.
+
+    Idempotent against stale state: a managed-table LOCATION left by a
+    previous session (after its metastore-derby was discarded) makes a
+    bare ``mode("overwrite").saveAsTable`` raise LOCATION_ALREADY_EXISTS
+    — drop the catalog entry AND clear the leftover warehouse directory
+    first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, table.split(".")[-1].lower())
+    if os.path.isdir(leftover):
+        import shutil
+
+        shutil.rmtree(leftover, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )

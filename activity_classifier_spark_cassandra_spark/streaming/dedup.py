@@ -19,9 +19,10 @@ Two variants:
   watermark gap and be treated as new (the right semantics when
   event_ids are only unique within a producer epoch).
 
-events.ts is long epoch nanos (nanosAsLong); the watermark needs a real
-timestamp column, derived with timestamp_micros(ts DIV 1000) — integer
-division, exact.
+The watermark needs a real timestamp column; ``sources/io.ts_event_time``
+derives it for either physical ts encoding (TIMESTAMP_NTZ cast under
+the UTC session pin, or timestamp_micros(ns DIV 1000) for legacy
+long-nanos data — integer division, exact).
 """
 
 from __future__ import annotations
@@ -29,14 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.io import ts_event_time
+
 DEFAULT_WATERMARK = "1 hour"
 
 
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Derive the watermarkable timestamp from the long-nanos column."""
-    return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
-    )
+    """Derive the watermarkable timestamp from the raw ts column."""
+    return events.withColumn("event_time", ts_event_time(events, ts_col))
 
 
 def dedup_stream(

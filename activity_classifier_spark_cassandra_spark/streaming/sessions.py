@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_event_time
 
 
 def _feature_aggs(value_col: str) -> list[Column]:
@@ -61,11 +61,9 @@ STREAM_FEATURE_AGGS = [
 def _with_event_time(
     df: DataFrame, ts_col: str, out_col: str = "event_time"
 ) -> DataFrame:
-    """Events carry epoch-nanos longs (nanosAsLong read); watermarks
-    need a timestamp column.  ns -> µs integer division is exact."""
-    return df.withColumn(
-        out_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)")
-    )
+    """Watermarks need a timestamp column; ts_event_time normalizes
+    either physical ts encoding (see sources/io.py)."""
+    return df.withColumn(out_col, ts_event_time(df, ts_col))
 
 
 def session_stream_features(

@@ -12,7 +12,8 @@ import __spark_entry__ as entrymod
 from activity_classifier_spark_cassandra_spark.operators.funnel import funnel_counts
 
 SF_DIR = "/root/testdata/sf0.001"
-MS = 1_000_000  # ns per ms
+MS = 1_000_000  # synthetic frames use an exact long-nanos timeline;
+# funnel_counts takes any exact integer ts unit (within in the same unit)
 
 
 def _events(spark, rows):
@@ -33,7 +34,7 @@ def test_funnel_strict_order(spark):
         (1, "click", 10 * MS), (1, "view", 20 * MS),          # click too early
         (2, "view", 10 * MS), (2, "click", 30 * MS),          # in order
     ])
-    c = _counts(funnel_counts(ev, ["view", "click"]))
+    c = _counts(funnel_counts(ev, ["view", "click"], ts_col="ts"))
     assert c == {"view": 2, "click": 1}
 
 
@@ -44,7 +45,10 @@ def test_funnel_conversion_window(spark):
         (1, "view", 0), (1, "click", 5 * MS), (1, "buy", 100 * MS),
         (2, "view", 0), (2, "click", 50 * MS),                # past window
     ])
-    c = _counts(funnel_counts(ev, ["view", "click", "buy"], within_ms=10))
+    c = _counts(
+        funnel_counts(ev, ["view", "click", "buy"], ts_col="ts",
+                      within=10 * MS)
+    )
     # user 1: click at 5ms (≤10ms) anchors buy window (5..15ms]; buy at
     # 100ms is out.  user 2's click at 50ms is past the view window.
     assert c == {"view": 2, "click": 1, "buy": 0}
@@ -58,10 +62,16 @@ def test_funnel_uses_earliest_stage_event(spark):
         (1, "click", 2 * MS), (1, "click", 9 * MS),
         (1, "buy", 11 * MS),
     ])
-    c = _counts(funnel_counts(ev, ["view", "click", "buy"], within_ms=10))
+    c = _counts(
+        funnel_counts(ev, ["view", "click", "buy"], ts_col="ts",
+                      within=10 * MS)
+    )
     # buy window anchored at click@2ms -> (2..12ms]; buy@11ms is in.
     assert c == {"view": 1, "click": 1, "buy": 1}
-    c2 = _counts(funnel_counts(ev, ["view", "click", "buy"], within_ms=5))
+    c2 = _counts(
+        funnel_counts(ev, ["view", "click", "buy"], ts_col="ts",
+                      within=5 * MS)
+    )
     # window 5ms: click@2 in; buy window (2..7]; buy@11 out.
     assert c2 == {"view": 1, "click": 1, "buy": 0}
 
