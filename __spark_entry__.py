@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
+        # --- new in round 4: sliding windows + bigram LM ---
+        "q_stream_sliding_features": STR.q_stream_sliding_features,
+        "q_bigram_logprob": T.q_bigram_logprob,
         # --- as-of / range join ---
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
@@ -304,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bucketed_join": BK.BUCKETED_JOIN_SQL,
         "q_approx_distinct": R.APPROX_DISTINCT_SQL,
         "q_stream_stateful": ST.STREAM_STATEFUL_SQL,
+        "q_stream_sliding_features": STR.STREAM_SLIDING_FEATURES_SQL,
+        "q_bigram_logprob": T.BIGRAM_LOGPROB_SQL,
         "q_salted_join": K.SALTED_JOIN_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.

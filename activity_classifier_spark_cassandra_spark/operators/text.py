@@ -402,3 +402,69 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM toks JOIN vocab USING (tok) CROSS JOIN total
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- bigram log-prob
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: each document's average negative log of
+    the corpus-estimated conditional P(w2 | w1) over its adjacent token
+    pairs — one notch of context above q_unigram_logprob, and the same
+    shape KenLM-style perplexity filters use at corpus scale.
+
+    Plan: bigrams come from a pure projection (slice + transform over
+    the token array — no self-join on positions, which would shuffle
+    the whole corpus once per order of the model); then one groupBy
+    builds the bigram table, one the w1 marginal, and each doc's
+    bigrams equi-join both.  All three joins are keyed on Zipf-bounded
+    vocab keys, so at 100 TB the count tables are tiny relative to the
+    corpus and AQE broadcasts them; the corpus itself is scanned twice
+    and never re-keyed by anything wider than a token pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", _tokens_col().alias("toks")
+    ).filter(F.size("toks") >= 2)
+    # adjacent pairs: transform is 0-based; slice keeps the first n-1
+    bigrams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    w1_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(w1_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENIZE} AS toks FROM documents
+), tt AS (
+  SELECT * FROM t WHERE len(toks) >= 2
+), bigrams AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tt, UNNEST(range(1, len(toks))) AS u(i)
+), bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+), w1_counts AS (
+  SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN(c12 * 1.0 / c1)), 6) AS avg_neg_logprob
+FROM bigrams JOIN bg_counts USING (w1, w2) JOIN w1_counts USING (w1)
+GROUP BY doc_id
+"""

@@ -31,9 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver testdata's events.parquet carries TIMESTAMP(NANOS),
-        # which Spark 4 rejects by default; read it as a long of epoch
-        # nanoseconds instead (converted downstream with `ts DIV 1e6`).
+        # Older testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark 4 rejects by default; accept it as a long of epoch
+        # nanoseconds.  Current drops use timestamp[us].  Either way the
+        # sources/io ts_* helpers normalize at the scan — nothing else
+        # may assume a unit.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

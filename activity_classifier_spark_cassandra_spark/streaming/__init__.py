@@ -5,6 +5,7 @@ the same feature expressions as operators/features.py."""
 from .sessions import (  # noqa: F401
     STREAM_FEATURE_AGGS,
     session_stream_features,
+    sliding_stream_features,
     windowed_stream_features,
 )
 from .stateful import stateful_running_totals  # noqa: F401

@@ -220,3 +220,81 @@ SELECT user_id, event_type,
 FROM events
 GROUP BY 1, 2, 3, 4
 """
+
+
+def sliding_stream_features(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "24 hours",
+    slide: str = "12 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Sliding-window features — the third window shape next to
+    tumbling (``windowed_stream_features``) and gap-session
+    (``session_stream_features``).  Each event lands in window/slide
+    overlapping windows (2 here), which is the monitoring shape for
+    "rolling 24 h metrics refreshed every 12 h".  State cost scales by
+    the same factor; the watermark still bounds it.  Batch-compatible
+    for parity testing, like the other two."""
+    d = _with_event_time(events, ts_col)
+    if events.isStreaming:
+        d = d.withWatermark("event_time", watermark)
+    return (
+        d.groupBy(*keys, F.window("event_time", window, slide).alias("win"))
+        .agg(*_feature_aggs(value_col))
+        .select(
+            *keys,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *STREAM_FEATURE_AGGS,
+        )
+    )
+
+
+_SLIDE_US = 12 * 3_600_000_000  # 12 h in microseconds
+
+
+def q_stream_sliding_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sliding-window operator, batch-executed for the oracle."""
+    out = sliding_stream_features(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "n_samples",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        "min_v",
+        "max_v",
+        F.round("resultant", 6).alias("resultant"),
+    )
+
+
+# Spark assigns an event at t to every epoch-aligned slide-multiple
+# window start in (t - W, t]; with W = 2*S that is exactly the two
+# starts floor(t/S)*S and floor(t/S)*S - S, which the oracle explodes
+# directly (k in {0, 1}).
+STREAM_SLIDING_FEATURES_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+), expl AS (
+  SELECT *, (us // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US}
+    AS win_start_us
+  FROM ev, UNNEST([0, 1]) AS u(k)
+)
+SELECT user_id, event_type,
+  win_start_us // 1000 AS window_start_ms,
+  (win_start_us + {_WIN_US}) // 1000 AS window_end_ms,
+  COUNT(*) AS n_samples,
+  ROUND(AVG(value), 6) AS mean_v,
+  ROUND(VAR_SAMP(value), 6) AS var_v,
+  MIN(value) AS min_v,
+  MAX(value) AS max_v,
+  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+FROM expl GROUP BY 1, 2, 3, 4
+"""

@@ -8,8 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from activity_classifier_spark_cassandra_spark.sources.io import load_table
-from activity_classifier_spark_cassandra_spark.streaming import (
+from activity_classifier_spark_cassandra_spark.streaming.sessions import (
     session_stream_features,
+    sliding_stream_features,
     windowed_stream_features,
 )
 
@@ -32,7 +33,12 @@ def _stream_events(spark, tmp_path, batch_df):
 
 
 @pytest.mark.parametrize(
-    "op", [session_stream_features, windowed_stream_features]
+    "op",
+    [
+        session_stream_features,
+        windowed_stream_features,
+        sliding_stream_features,
+    ],
 )
 def test_stream_matches_batch(spark, tmp_path, op):
     batch_events = load_table(spark, SF, "events").select(

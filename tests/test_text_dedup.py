@@ -149,3 +149,34 @@ def test_repetition_ratio_values(spark):
         .head()
     )
     assert row["n"] == 4 and row["top"] == 0.75 and row["ttr"] == 0.5
+
+
+def test_bigram_logprob_hand_computed(spark, tmp_path):
+    """Two docs over a 3-token corpus: conditional bigram probabilities
+    checked against hand-derived counts."""
+    import math
+
+    from activity_classifier_spark_cassandra_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf_bigram")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in TX.q_bigram_logprob(spark, sf).collect()
+    }
+    # corpus bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b),(b,c)
+    # c12: (a,b)=3, (b,a)=1, (b,c)=1;  c1: a=3, b=2
+    # doc1 avg = -(ln(3/3) + ln(1/2) + ln(3/3)) / 3
+    # doc2 avg = -(ln(3/3) + ln(1/2)) / 2
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[1]["n_bigrams"] == 3
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[1]["avg_neg_logprob"] - round(-math.log(0.5) / 3, 6)) < 1e-9
+    assert abs(out[2]["avg_neg_logprob"] - round(-math.log(0.5) / 2, 6)) < 1e-9
