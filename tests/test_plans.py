@@ -155,3 +155,15 @@ def test_topk_never_total_sorts(spark, name):
     sort of the full result would be a scale regression."""
     plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan, name
+
+
+def test_range_filter_pushes_ts_predicates_to_scan(spark):
+    """The events range filter must reach the parquet scan as
+    PushedFilters on the RAW ts column (row-group pruning at scale) —
+    the regression guard for the ts_literal rewrite: wrapping ts in a
+    conversion expression inside the predicate would silently turn
+    pruning off while staying result-correct."""
+    plan = _plan(spark, "q_range_filter")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+    assert "GreaterThanOrEqual(ts" in pushed, pushed
+    assert "LessThan(ts" in pushed, pushed
