@@ -64,7 +64,12 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PANDAS_UDAF_SQL = """
 SELECT event_type,
-       ROUND(EXP(AVG(LN(value)) FILTER (WHERE value > 0)), 6) AS geo_value,
+       -- CASE, not FILTER: DuckDB evaluates the aggregate argument
+       -- before applying FILTER, so LN(value) raises on a value of 0
+       -- (first appears at sf0.1); AVG skips the CASE's NULLs, which
+       -- is the same positive-only semantics as the pandas UDF.
+       ROUND(EXP(AVG(CASE WHEN value > 0 THEN LN(value) END)), 6)
+         AS geo_value,
        COUNT(*) AS n,
        ROUND(AVG(value), 6) AS mean_value
 FROM events
