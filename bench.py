@@ -60,6 +60,16 @@ HEADLINE = [
     "q_ml_predict_counts",
     "q_decontaminate",
     "q_chunk_sequences",
+    # added in round 4 (headline grew — compare per-query across rounds,
+    # not totals): the repaired ts family + the new operators
+    "q_session_features_3axis",
+    "q_scd2",
+    "q_time_rollup",
+    "q_event_transitions",
+    "q_resample_gapfill",
+    "q_daily_active",
+    "q_stream_sliding_features",
+    "q_bigram_logprob",
 ]
 
 
