@@ -136,3 +136,28 @@ def test_ts_literal_matches_ms(spark):
     direct = ev.filter(F.col("ts") >= ts_literal(ev, int(cut))).count()
     via_ms = ev.filter(ts_ms(ev) >= F.lit(int(cut))).count()
     assert direct == via_ms
+
+
+def test_ts_helpers_legacy_long_nanos(spark):
+    """The dual-encoding claim must stay true for the legacy encoding
+    too (long of epoch nanoseconds), which no current testdata
+    exercises: all four helpers agree on a synthetic long-nanos frame."""
+    ms = 1_705_276_800_123  # 2024-01-15T00:00:00.123Z
+    df = spark.createDataFrame(
+        [(1, (ms - 1) * 1_000_000), (2, ms * 1_000_000)],
+        "event_id long, ts long",
+    )
+    ticks, per_ms = ts_ticks(df)
+    assert per_ms == 1_000_000
+    rows = {
+        r["event_id"]: r
+        for r in df.select(
+            "event_id",
+            ts_ms(df).alias("ms"),
+            F.unix_millis(ts_event_time(df)).alias("evt_ms"),
+            (F.col("ts") >= ts_literal(df, ms)).alias("ge_cut"),
+        ).collect()
+    }
+    assert rows[1]["ms"] == ms - 1 and rows[2]["ms"] == ms
+    assert rows[1]["evt_ms"] == ms - 1 and rows[2]["evt_ms"] == ms
+    assert not rows[1]["ge_cut"] and rows[2]["ge_cut"]
