@@ -39,7 +39,7 @@ def test_funnel_strict_order(spark):
 
 
 def test_funnel_conversion_window(spark):
-    """With within_ms, a next-stage event after the window is out; the
+    """With a conversion window, a next-stage event after it is out; the
     EARLIEST qualifying event is what anchors the following hop."""
     ev = _events(spark, [
         (1, "view", 0), (1, "click", 5 * MS), (1, "buy", 100 * MS),
