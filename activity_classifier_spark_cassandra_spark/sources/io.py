@@ -252,3 +252,68 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+# ------------------------------------------------------- other formats
+# The reference reads exactly one store (Cassandra); a production
+# ingest surface needs the common interchange formats too.  All four
+# are thin wrappers over Spark's native readers/writers so pushdown
+# and schema enforcement behave exactly like the parquet path:
+# - JSONL is the lingua franca of web-scraped / LLM corpus drops;
+#   ALWAYS pass an explicit schema (schema inference is a full extra
+#   pass over 100 TB, and silently types everything it can't prove).
+# - ORC is the other columnar format with predicate pushdown; reading
+#   it costs nothing extra to support since Spark bundles the reader.
+
+
+# Spark's default JSON timestamp pattern is millisecond-precision —
+# a silent 999-in-1000 row corruption on microsecond data.  Pin the
+# full-precision pattern on BOTH sides of the roundtrip.
+_JSON_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Newline-delimited JSON scan with a mandatory explicit schema."""
+    return spark.read.options(**_JSON_TS_OPTS).schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.options(**_JSON_TS_OPTS).mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a directory of many undersized
+    parquet parts into ceil(input_bytes / target) files.
+
+    The operational companion to every incremental sink in this repo —
+    streaming and per-batch writers at 100 TB/day emit thousands of
+    sub-HDFS-block files per hour, and scan throughput dies on open()
+    overhead and footer reads long before data volume matters.  Uses
+    coalesce (narrow — no shuffle: compaction must not pay a full
+    exchange just to merge files); returns the chosen file count."""
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -147,3 +147,92 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[1]["activity"] == "Walking"
     assert abs(rows[2]["var_v"] - 340.2) < 1e-9
+
+
+def test_jsonl_roundtrip_preserves_events(spark, tmp_path):
+    """JSONL sink->scan roundtrip: same rows, schema enforced by the
+    reader (timestamps survive as ISO strings and parse back)."""
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_jsonl")
+    write_jsonl(ev, path)
+    back = read_jsonl(spark, path, ev.schema)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    assert (
+        back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    )
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink->scan roundtrip plus predicate pushdown reaching the
+    ORC scan (searchArgument / PushedFilters)."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+    assert (
+        back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    )
+    plan = (
+        back.filter(F.col("user_id") > 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), GreaterThan(user_id,100)" in plan
+
+
+def test_compact_small_files(spark, tmp_path):
+    """32 tiny parts -> 1 compacted file, same rows."""
+    import glob
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        compact_small_files,
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+    n = compact_small_files(spark, src, dst)
+    assert n == 1  # 1000 rows ≪ 128 MiB target
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned sink + a partition-value filter: the scan must
+    show PartitionFilters (directory pruning), the scale contract of
+    write_partitioned."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "view")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_all = ev.filter(F.col("event_type") == "view").count()
+    assert back.count() == n_all
