@@ -73,9 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
-        # --- new in round 4: sliding windows + bigram LM ---
+        # --- new in round 4: sliding windows, bigram LM, BM25,
+        #     per-group deterministic top-k ---
         "q_stream_sliding_features": STR.q_stream_sliding_features,
         "q_bigram_logprob": T.q_bigram_logprob,
+        "q_bm25_search": T.q_bm25_search,
+        "q_group_topk_sample": SM.q_group_topk_sample,
         # --- as-of / range join ---
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
@@ -309,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_stateful": ST.STREAM_STATEFUL_SQL,
         "q_stream_sliding_features": STR.STREAM_SLIDING_FEATURES_SQL,
         "q_bigram_logprob": T.BIGRAM_LOGPROB_SQL,
+        "q_bm25_search": T.BM25_SEARCH_SQL,
+        "q_group_topk_sample": SM.GROUP_TOPK_SAMPLE_SQL,
         "q_salted_join": K.SALTED_JOIN_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.

@@ -26,7 +26,7 @@ costs an exchange).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -165,4 +165,56 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
            WHEN lang = 'de' THEN '80000000'
            ELSE 'fd70a3d7' END
 GROUP BY lang
+"""
+
+
+# ------------------------------------------- per-group deterministic top-k
+def group_topk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col,
+    k: int,
+) -> DataFrame:
+    """Keep exactly min(k, group size) rows per group, chosen by md5
+    order of the key — the deterministic replacement for per-group
+    reservoir sampling.  Unlike the threshold samplers above (Bernoulli
+    by hash: group yield varies), this bounds EVERY group to k rows,
+    which is what per-user eval sets and skew-capped exports need.  One
+    exchange on the group keys; the window's sort is the per-partition
+    sort Spark already pays for any per-group ranking."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(key_col.cast("string")).asc(), key_col.asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤5 events per (user, event_type), summarized per type: value-
+    sensitive check that the SAME rows are chosen on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    kept = group_topk_sample(
+        ev, ["user_id", "event_type"], F.col("event_id"), k=5
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+GROUP_TOPK_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+    ) AS rk
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM ranked WHERE rk <= 5
+GROUP BY event_type
 """

@@ -468,3 +468,116 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
 FROM bigrams JOIN bg_counts USING (w1, w2) JOIN w1_counts USING (w1)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------ BM25 search
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = 20,
+) -> DataFrame:
+    """Lexical retrieval next to the ANN family: score every document
+    against a bag of query terms with BM25 and keep the top_n.
+
+    Plan shape at corpus scale: tokens explode once, the tiny query
+    term set prunes them immediately (broadcast hash semi-filter via
+    isin — the filter reaches the exploded stream before any shuffle),
+    tf aggregates per (doc, term) and df per term; both count tables
+    are at most |query| rows wide, so the scoring join broadcasts.
+    The corpus is scanned once (plus the doclen scan the optimizer
+    shares); nothing ever shuffles more than the matched postings.
+    IDF uses the Robertson-Sparck Jones form LN(1 + (N - df + 0.5) /
+    (df + 0.5)) — always positive, standard in Lucene."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    )
+    doclen = docs.select(
+        "doc_id", F.size(_tokens_col()).alias("dl")
+    )
+    n_and_avg = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matched = toks.filter(F.col("tok").isin(query_terms))
+    tf = matched.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(score_term), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(top_n)
+
+
+#: fixed demo query — terms chosen to hit a spread of testdata docs
+BM25_QUERY_TERMS = ["data", "model", "the", "pipeline"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERY_TERMS)
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+BM25_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKENIZE}) AS tok FROM documents
+),
+doclen AS (
+  SELECT doc_id, len({_TOKENIZE}) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({", ".join(f"'{t}'" for t in ["data", "model", "the", "pipeline"])})
+  GROUP BY doc_id, tok
+),
+df_t AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+)
+SELECT doc_id,
+  ROUND(SUM(
+    LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    * tf * ({BM25_K1} + 1.0)
+    / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+  ), 6) AS bm25,
+  COUNT(*) AS n_terms_matched
+FROM tf JOIN df_t USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""

@@ -100,3 +100,29 @@ def test_sample_and_complement_partition_the_keyspace(spark):
     n, k, d = orders.count(), kept.count(), dropped.count()
     assert k + d == n
     assert kept.join(dropped, "o_orderkey").count() == 0
+
+
+def test_group_topk_bounds_every_group(spark):
+    """Exactly min(k, group size) rows per group, stable under
+    repartitioning (md5 order is data-derived, not partition-derived)."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.operators.sampling import (
+        group_topk_sample,
+    )
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    k = 3
+    kept = group_topk_sample(ev, ["user_id", "event_type"], F.col("event_id"), k)
+    sizes = kept.groupBy("user_id", "event_type").count()
+    assert sizes.filter(F.col("count") > k).count() == 0
+    src_sizes = ev.groupBy("user_id", "event_type").count()
+    expected_total = src_sizes.select(
+        F.sum(F.least(F.col("count"), F.lit(k)))
+    ).first()[0]
+    assert kept.count() == expected_total
+    again = group_topk_sample(
+        ev.repartition(13), ["user_id", "event_type"], F.col("event_id"), k
+    )
+    assert again.exceptAll(kept).count() == 0 and kept.exceptAll(again).count() == 0

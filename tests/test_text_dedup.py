@@ -180,3 +180,29 @@ def test_bigram_logprob_hand_computed(spark, tmp_path):
     assert out[2]["n_bigrams"] == 2
     assert abs(out[1]["avg_neg_logprob"] - round(-math.log(0.5) / 3, 6)) < 1e-9
     assert abs(out[2]["avg_neg_logprob"] - round(-math.log(0.5) / 2, 6)) < 1e-9
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    """Two-doc corpus, one query term: BM25 verified against the
+    closed-form formula."""
+    import math
+    import os
+
+    from activity_classifier_spark_cassandra_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf_bm25")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    raw = TX.load_table(spark, sf, "documents")
+    out = {r["doc_id"]: r for r in TX.bm25_search(raw, ["apple"]).collect()}
+    assert list(out) == [1]  # only doc 1 matches
+    k1, b = TX.BM25_K1, TX.BM25_B
+    n_docs, df, tf, dl, avgdl = 2, 1, 2, 3, 2.5
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(out[1]["bm25"] - round(want, 6)) < 1e-9
+    assert out[1]["n_terms_matched"] == 1
