@@ -74,3 +74,72 @@ def test_watermark_present_in_plan(spark, tmp_path):
     stream_events = _stream_events(spark, tmp_path, batch_events)
     plan = session_stream_features(stream_events)._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: drain a file stream with a
+    checkpoint, stop, add a new file, restart from the same checkpoint
+    — the second run must pick up ONLY the new file (no reprocessing,
+    no loss), converging to the batch aggregate over everything."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    raw = load_table(spark, SF, "events")
+    ev = raw.select("user_id", "event_type", "ts", "value")
+    # split by TIME, not by id: a later drain may only add data that is
+    # newer than what the first drain finalized — replayed history for a
+    # closed window is late by definition and the watermark drops it
+    from activity_classifier_spark_cassandra_spark.sources.io import ts_ms
+
+    cut = ev.select(ts_ms(ev).alias("ms")).agg(
+        F.expr("percentile_approx(ms, 0.5)")
+    ).first()[0]
+    first = ev.filter(ts_ms(ev) <= cut)
+    second = ev.filter(ts_ms(ev) > cut)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            windowed_stream_features(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q.lastProgress
+
+    drain()
+    n_rows_first = spark.read.parquet(out).count()
+    assert n_rows_first > 0
+    # windows are append-finalized only when the watermark passes; with
+    # availableNow the watermark advances between restarts, so the
+    # second drain emits the remaining windows from the union of data.
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    result = spark.read.parquet(out)
+    n_rows_final = result.count()
+    assert n_rows_final > n_rows_first  # the restart finalized new windows
+    # restart must not duplicate: every (key, window) appears at most once
+    keys = ["user_id", "event_type", "window_start"]
+    assert (
+        result.groupBy(*keys).count().filter(F.col("count") > 1).count() == 0
+    )
+    # every finalized window must agree exactly with the batch
+    # computation over the full data (append mode never emits the tail
+    # windows still inside the watermark, so completeness is one-sided)
+    batch = windowed_stream_features(ev)
+    joined = result.join(batch, keys, "inner")
+    assert joined.count() == result.count() == n_rows_final
+    mismatch = joined.filter(
+        (F.abs(result["mean_v"] - batch["mean_v"]) > 1e-9)
+        | (result["n_samples"] != batch["n_samples"])
+    )
+    assert mismatch.count() == 0
