@@ -22,6 +22,7 @@ BNLJ_OK = {
     "q15_top_supplier",  # 1-row max-revenue broadcast
     "q_unigram_logprob",  # 1-row corpus-token-total broadcast
     "q_dq_audit",  # 1-row violation×checked count joins per audit rule
+    "q_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
 }
 
 
