@@ -70,6 +70,8 @@ HEADLINE = [
     "q_daily_active",
     "q_stream_sliding_features",
     "q_bigram_logprob",
+    "q_bm25_search",
+    "q_group_topk_sample",
 ]
 
 
