@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_logprob": T.q_bigram_logprob,
         "q_bm25_search": T.q_bm25_search,
         "q_group_topk_sample": SM.q_group_topk_sample,
+        "q_key_skew_profile": K.q_key_skew_profile,
         # --- as-of / range join ---
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_logprob": T.BIGRAM_LOGPROB_SQL,
         "q_bm25_search": T.BM25_SEARCH_SQL,
         "q_group_topk_sample": SM.GROUP_TOPK_SAMPLE_SQL,
+        "q_key_skew_profile": K.KEY_SKEW_PROFILE_SQL,
         "q_salted_join": K.SALTED_JOIN_SQL,
         # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.

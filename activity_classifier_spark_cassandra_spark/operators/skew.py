@@ -183,3 +183,48 @@ SELECT c_mktsegment, COUNT(*) AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# ------------------------------------------------- skew diagnostics
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """The diagnostic that decides WHEN the salted rewrites above are
+    worth their overhead: per-key row counts for the ``top_n`` heaviest
+    keys, with each key's share of the table and of a perfectly uniform
+    partition.  At 100 TB this is one partial-agg exchange (map-side
+    combine collapses each partition to its distinct keys first) and a
+    top_n-row result — run it on the join key BEFORE the join, and salt
+    only when max share says one reducer would own the key."""
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .limit(top_n)
+    )
+
+
+def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Heaviest event users — the exact table a platform engineer reads
+    before enabling the salted aggregation for this key."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH total AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT user_id, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(n_total), 6) AS share
+FROM events CROSS JOIN total
+GROUP BY user_id
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+"""
