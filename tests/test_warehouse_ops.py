@@ -143,3 +143,20 @@ def test_matches_duckdb_oracle(spark, name):
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
     con.close()
+
+
+def test_key_skew_profile_orders_and_bounds(spark):
+    from activity_classifier_spark_cassandra_spark.operators.skew import (
+        key_skew_profile,
+    )
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    prof = key_skew_profile(ev, "user_id", top_n=5).collect()
+    assert len(prof) == 5
+    counts = [r["n"] for r in prof]
+    assert counts == sorted(counts, reverse=True)
+    total = ev.count()
+    for r in prof:
+        assert abs(r["share"] - round(r["n"] / total, 6)) < 1e-12
+    assert sum(r["share"] for r in prof) <= 1.0
