@@ -168,3 +168,19 @@ def test_range_filter_pushes_ts_predicates_to_scan(spark):
     pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
     assert "GreaterThanOrEqual(ts" in pushed, pushed
     assert "LessThan(ts" in pushed, pushed
+
+
+def test_sliding_window_single_exchange(spark):
+    """Sliding-window features: one hash exchange on the grouping keys
+    (the window explode is a projection, not a shuffle)."""
+    plan = _plan(spark, "q_stream_sliding_features")
+    assert _nodes(plan, "Exchange") == 1, plan[:600]
+
+
+def test_group_topk_single_exchange_no_global_sort(spark):
+    """Per-group top-k sample: one exchange on the group keys and no
+    global Sort — the ranking sort is the per-partition window sort."""
+    plan = _plan(spark, "q_group_topk_sample")
+    # window exchange + final per-type agg exchange
+    assert _nodes(plan, "Exchange") <= 2, plan[:600]
+    assert "rangepartitioning" not in plan.lower()
