@@ -568,7 +568,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part.select("p_partkey")),
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.min(unit), 6).alias("unit_price"))
+        # NO rounding: unit is a pure per-row product and MIN is
+        # order-independent, so the raw double is bit-identical across
+        # engines — ROUND(.,6) would INTRODUCE a representation-boundary
+        # divergence here (observed: 1 row in 3501 at sf0.1), it cannot
+        # remove one.  Rounding is for order-sensitive accumulations
+        # (SUM/AVG), not projections of extrema.
+        .agg(F.min(unit).alias("unit_price"))
     )
     best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
         F.min("unit_price").alias("best_price")
@@ -592,7 +598,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q2_SQL = """
 WITH offers AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(MIN(l_extendedprice * (1 - l_discount) / l_quantity), 6)
+         MIN(l_extendedprice * (1 - l_discount) / l_quantity)
            AS unit_price
   FROM lineitem
   WHERE l_quantity > 0
