@@ -23,6 +23,7 @@ BNLJ_OK = {
     "q_unigram_logprob",  # 1-row corpus-token-total broadcast
     "q_dq_audit",  # 1-row violation×checked count joins per audit rule
     "q_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
+    "q_key_skew_profile",  # 1-row table-total broadcast
 }
 
 
