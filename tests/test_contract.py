@@ -16,6 +16,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from activity_classifier_spark_cassandra_spark.sources.io import (
     load_table,
@@ -161,3 +162,39 @@ def test_ts_helpers_legacy_long_nanos(spark):
     assert rows[1]["ms"] == ms - 1 and rows[2]["ms"] == ms
     assert rows[1]["evt_ms"] == ms - 1 and rows[2]["evt_ms"] == ms
     assert not rows[1]["ge_cut"] and rows[2]["ge_cut"]
+
+
+def test_ts_helpers_cross_encoding_property(spark):
+    """Property: for ANY epoch instant (µs precision), the two physical
+    encodings (timestamp[us] wall-clock UTC vs long epoch-nanos) must
+    normalize to the SAME canonical values through every helper."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(
+            min_value=1_000_000_000_000_000,  # 2001-09-09 in epoch µs
+            max_value=3_000_000_000_000_000,  # 2065-01-24
+        )
+    )
+    def check(us):
+        naive = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+        df_ts = spark.createDataFrame(
+            [(naive,)], T.StructType([T.StructField("ts", T.TimestampNTZType())])
+        )
+        df_ns = spark.createDataFrame([(us * 1_000,)], "ts long")
+        rows = []
+        for df in (df_ts, df_ns):
+            ticks, per_ms = ts_ticks(df)
+            r = df.select(
+                (ticks * F.lit(1_000_000 // per_ms)).alias("ns"),
+                ts_ms(df).alias("ms"),
+                F.unix_micros(ts_event_time(df)).alias("evt_us"),
+            ).first()
+            rows.append((r["ns"], r["ms"], r["evt_us"]))
+        assert rows[0] == rows[1] == (us * 1_000, us // 1_000, us)
+
+    check()
+
