@@ -34,6 +34,7 @@ from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.operators import udaf as U
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
+from activity_classifier_spark_cassandra_spark.sources import io as IO
 from activity_classifier_spark_cassandra_spark.plans import relational as R
 from activity_classifier_spark_cassandra_spark.plans import tpch as TH
 from activity_classifier_spark_cassandra_spark.streaming import dedup as SD
@@ -52,16 +53,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a ~50-entry window from the front.  Round 4 front-loads the
-    whole family broken by the events.ts encoding change (flagship,
-    streaming, asof/range, funnel, time-series, warehouse, ordered
-    windows) plus everything that has never had a driver verdict
-    (TPC-H tail, the r02-only relational block); the 43 queries green
-    in CORRECTNESS_r03 (dedup / text / similarity / sampling / corpus)
-    rotate to the back — every family then has a verdict across r2-r4."""
+    covers a 50-entry window from the front.  Round 5 front-loads the
+    23 TPC-H/relational queries whose last hash verdict was round 2
+    (two testdata generations ago), the two queries that have NEVER
+    had a driver verdict (q_approx_sketch — now with a tolerance-gate
+    oracle — and rows-only q_pack_greedy), the new q_jsonl_roundtrip,
+    and then the round-3-green dedup/text/similarity families (the
+    stalest of the rest).  The 47 queries green in CORRECTNESS_r04
+    rotate to the very back; the remaining r3-green entries sit just
+    behind the window so round 6's rotation picks them up first."""
     return {
-        # ==== block A: the ts-regression family, fixed this round —
-        #      needs fresh driver verdicts ====
+        # ==== positions 1-25: last hash-verified in round 2 —
+        #      the whole point of this round's rotation ====
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_priority_count": TH.q4_priority_count,
+        "q5_local_supplier": R.q5_local_supplier,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q7_volume_shipping": TH.q7_volume_shipping,
+        "q8_market_share": TH.q8_market_share,
+        "q9_product_profit": TH.q9_product_profit,
+        "q10_returned_items": TH.q10_returned_items,
+        "q12_late_by_priority": TH.q12_late_by_priority,
+        "q13_customer_distribution": TH.q13_customer_distribution,
+        "q14_promo_revenue": TH.q14_promo_revenue,
+        "q16_supplier_cnt": TH.q16_supplier_cnt,
+        "q17_small_quantity": R.q17_small_quantity,
+        "q18_large_orders": TH.q18_large_orders,
+        "q19_disjunctive": TH.q19_disjunctive,
+        "q22_idle_customers": TH.q22_idle_customers,
+        "q_percentiles": R.q_percentiles,
+        "q_rollup": R.q_rollup,
+        "q_cube": R.q_cube,
+        "q_conditional_pivot": R.q_conditional_pivot,
+        "q_window_rank": R.q_window_rank,
+        "q_grouping_sets": R.q_grouping_sets,
+        "q_ntile_dist": R.q_ntile_dist,
+        "q_unpivot": R.q_unpivot,
+        # ==== never driver-verified before round 5 ====
+        "q_approx_sketch": R.q_approx_sketch,
+        "q_pack_greedy": CP.q_pack_greedy,
+        # ==== new in round 5: JSONL roundtrip through the pinned
+        #      microsecond timestamp format, checked in-window ====
+        "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
+        # ==== r3-green LLM-data-pipeline families (stalest of the
+        #      rest) — dedup / graph / text / similarity ====
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
+        "q_dedup_clusters": G.q_dedup_clusters,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
+        "q_text_stats": T.q_text_stats,
+        "q_lang_id": T.q_lang_id,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
+        "q_knn_brute": S.q_knn_brute,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_pandas": S.q_knn_pandas,
+        "q_knn_lsh": S.q_knn_lsh,
+        # ==================== window boundary (~50) ====================
+        # ==== r3-green remainder — first in line for round 6 ====
+        "q_media_features": MM.q_media_features,
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        "q_pandas_udaf": U.q_pandas_udaf,
+        "q_salted_agg": K.q_salted_agg,
+        "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
+        "q_decontaminate": CP.q_decontaminate,
+        "q_chunk_sequences": CP.q_chunk_sequences,
+        "q_domain_mix": CP.q_domain_mix,
+        "q_quality_funnel": CP.q_quality_funnel,
+        "q_incremental_dedup": CP.q_incremental_dedup,
+        # ==== r4-green block (CORRECTNESS_r04: 47 green rows) ====
         # --- flagship pipeline (W1-W5, A3-A8, P6-P10) ---
         "q_session_features": P.q_session_features,
         "q_sessionize": P.q_sessionize,
@@ -73,9 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
-        # --- new in round 4: sliding windows, bigram LM, BM25,
-        #     per-group deterministic top-k ---
         "q_stream_sliding_features": STR.q_stream_sliding_features,
+        # --- round-4 additions ---
         "q_bigram_logprob": T.q_bigram_logprob,
         "q_bm25_search": T.q_bm25_search,
         "q_group_topk_sample": SM.q_group_topk_sample,
@@ -106,8 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
         "q_ml_serve": M.q_ml_serve,
-        # ==== block A2: never driver-checked before (TPC-H tail) or
-        #      only checked in r02 — rotate into the window ====
+        # --- TPC-H tail, r4-green ---
         "q2_min_cost_supplier": TH.q2_min_cost_supplier,
         "q11_important_stock": TH.q11_important_stock,
         "q15_top_supplier": TH.q15_top_supplier,
@@ -126,78 +204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
-        "q_percentiles": R.q_percentiles,
-        "q_rollup": R.q_rollup,
-        "q_cube": R.q_cube,
-        "q_conditional_pivot": R.q_conditional_pivot,
-        "q_window_rank": R.q_window_rank,
-        "q_grouping_sets": R.q_grouping_sets,
-        "q_ntile_dist": R.q_ntile_dist,
-        "q_unpivot": R.q_unpivot,
-        # --- rows-only sketch (error bounds pinned in pytest) ---
-        "q_approx_sketch": R.q_approx_sketch,
-        "q_pack_greedy": CP.q_pack_greedy,
-        # ==== block B: TPC-H main shapes (green r02; unchanged) ====
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_local_supplier": R.q5_local_supplier,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q17_small_quantity": R.q17_small_quantity,
-        "q4_priority_count": TH.q4_priority_count,
-        "q7_volume_shipping": TH.q7_volume_shipping,
-        "q8_market_share": TH.q8_market_share,
-        "q9_product_profit": TH.q9_product_profit,
-        "q10_returned_items": TH.q10_returned_items,
-        "q12_late_by_priority": TH.q12_late_by_priority,
-        "q13_customer_distribution": TH.q13_customer_distribution,
-        "q14_promo_revenue": TH.q14_promo_revenue,
-        "q16_supplier_cnt": TH.q16_supplier_cnt,
-        "q18_large_orders": TH.q18_large_orders,
-        "q19_disjunctive": TH.q19_disjunctive,
-        "q22_idle_customers": TH.q22_idle_customers,
-        # ==== block C: green in CORRECTNESS_r03 (data-pipeline
-        #      families; hash-checked last round, rotate to the back) ====
-        "q_dedup_exact": D.q_dedup_exact,
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
-        "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_embedding": D.q_dedup_embedding,
-        "q_dedup_keep_best": D.q_dedup_keep_best,
-        "q_corpus_clean": D.q_corpus_clean,
-        "q_dedup_clusters": G.q_dedup_clusters,
-        "q_corpus_pipeline": G.q_corpus_pipeline,
-        "q_text_stats": T.q_text_stats,
-        "q_lang_id": T.q_lang_id,
-        "q_token_count": T.q_token_count,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
-        "q_media_features": MM.q_media_features,
-        "q_knn_brute": S.q_knn_brute,
-        "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_pandas": S.q_knn_pandas,
-        "q_knn_lsh": S.q_knn_lsh,
-        "q_sample_hash": SM.q_sample_hash,
-        "q_train_test_split": SM.q_train_test_split,
-        "q_user_holdout": SM.q_user_holdout,
-        "q_stratified_sample": SM.q_stratified_sample,
-        "q_broadcast_dim_join": R.q_broadcast_dim_join,
-        "q_anti_join": R.q_anti_join,
-        "q_semi_join": R.q_semi_join,
-        "q_union_distinct": R.q_union_distinct,
-        "q_pandas_udaf": U.q_pandas_udaf,
-        "q_salted_agg": K.q_salted_agg,
-        "q_upsert_compact": C.q_upsert_compact,
-        "q_histogram": R.q_histogram,
-        "q_profile": R.q_profile,
-        "q_decontaminate": CP.q_decontaminate,
-        "q_chunk_sequences": CP.q_chunk_sequences,
-        "q_domain_mix": CP.q_domain_mix,
-        "q_quality_funnel": CP.q_quality_funnel,
-        "q_incremental_dedup": CP.q_incremental_dedup,
     }
 
 
@@ -310,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "q_time_rollup": TS.TIME_ROLLUP_SQL,
         "q_bucketed_join": BK.BUCKETED_JOIN_SQL,
         "q_approx_distinct": R.APPROX_DISTINCT_SQL,
+        "q_approx_sketch": R.APPROX_SKETCH_SQL,
+        "q_jsonl_roundtrip": IO.JSONL_ROUNDTRIP_SQL,
         "q_stream_stateful": ST.STREAM_STATEFUL_SQL,
         "q_stream_sliding_features": STR.STREAM_SLIDING_FEATURES_SQL,
         "q_bigram_logprob": T.BIGRAM_LOGPROB_SQL,

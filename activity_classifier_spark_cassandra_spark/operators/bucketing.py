@@ -24,10 +24,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import clear_stale_table_location, load_table, managed_table_path
 
 N_BUCKETS = 8
-_WAREHOUSE = "/root/repo/spark-warehouse"
 
 
 def bucketed_table(
@@ -45,19 +44,12 @@ def bucketed_table(
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
     tbl = f"bkt_{name}_{tag}"
     if not spark.catalog.tableExists(tbl):
-        # a fresh metastore (new derby) + a leftover directory from a
-        # previous session would raise LOCATION_ALREADY_EXISTS: the
-        # catalog no longer vouches for the path, so clear it first
-        leftover = os.path.join(_WAREHOUSE, tbl)
-        if os.path.isdir(leftover):
-            import shutil
-
-            shutil.rmtree(leftover, ignore_errors=True)
+        clear_stale_table_location(spark, tbl)
         (
             load_table(spark, sf_dir, name)
             .write.bucketBy(n_buckets, key)
             .sortBy(key)
-            .option("path", os.path.join(_WAREHOUSE, tbl))
+            .option("path", managed_table_path(spark, tbl))
             .mode("overwrite")
             .format("parquet")
             .saveAsTable(tbl)

@@ -147,6 +147,82 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# ------------------------------------------------------- multi-probe IVF
+# q_knn_ivf above probes exactly the query's own bucket (nprobe=1) so
+# its DuckDB oracle (label equality) can express it.  Real IVF recall
+# at 100 TB wants multi-probe: rank the coarse centroids per query and
+# scan the nprobe nearest buckets.  Buckets partition the corpus, so
+# the candidate union is disjoint — no dedup shuffle is needed before
+# the exact rescore.  tests/test_similarity.py pins that recall@5
+# strictly improves with nprobe=2 on a boundary-query clustered set.
+
+_Q_CENT_COS = (
+    "aggregate(zip_with(e1, centroid, (x, y) ->"
+    " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(e1, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    " * sqrt(aggregate(centroid, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + x * x)))"
+)
+
+
+def ivf_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-bucket element-wise mean centroid: (bucket, centroid
+    array<double>).  posexplode → two partial-aggregating exchanges on
+    (bucket, pos) then (bucket) — O(n_buckets · dim) result rows, tiny
+    regardless of corpus size, hence always broadcast-able."""
+    return (
+        corpus.select("bucket", F.posexplode("e2").alias("pos", "v"))
+        .groupBy("bucket", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("bucket", F.expr("transform(pm, x -> x.m)").alias("centroid"))
+    )
+
+
+def knn_ivf_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF top-k.  ``corpus``: (neighbor_id, bucket, e2);
+    ``queries``: (query_id, e1), small enough to broadcast.
+
+    Plan shape: centroids (tiny) broadcast against the queries (small)
+    to rank buckets by query↔centroid cosine; each query explodes to
+    its nprobe nearest buckets; the probe list (≤ |queries|·nprobe
+    rows) broadcasts against the one corpus scan — the corpus is never
+    shuffled, exactly like the nprobe=1 path, and only per-query
+    candidates reach the final thin top-k window."""
+    cents = ivf_centroids(corpus)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("bucket").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", F.expr(_Q_CENT_COS))
+        .withColumn("cent_rank", F.row_number().over(wq))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", "bucket", "e1")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------- pandas UDF
 # The Column-expression cosine above keeps everything JVM-side — right
 # for narrow vectors.  For wide embeddings (1-4k dims) the per-element

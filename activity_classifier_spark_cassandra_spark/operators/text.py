@@ -563,7 +563,7 @@ stats AS (
 ),
 tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-  WHERE tok IN ({", ".join(f"'{t}'" for t in ["data", "model", "the", "pipeline"])})
+  WHERE tok IN ({_bm25_terms_sql()})
   GROUP BY doc_id, tok
 ),
 df_t AS (

@@ -861,17 +861,11 @@ WINDOW w AS (PARTITION BY o_orderstatus
 
 
 # ------------------------------------------------------- sketches
-def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB answer to COUNT(DISTINCT) and exact percentiles:
-    HyperLogLog++ and GK-sketch quantiles.  Both are mergeable partial
-    states — the exchange carries one sketch per partition instead of
-    every distinct value, which is the entire point at scale.
-
-    No DuckDB oracle (different sketch algorithms ⇒ different approx
-    values); registered rows-only, with error bounds pinned against the
-    exact answers in tests/test_relational_sketch.py.  Quantiles are
-    emitted as scalar columns (not one array column) so the rows-only
-    canonicalization stays hashable."""
+def approx_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch outputs (HLL++ count, GK q50/q95) per return flag —
+    the un-gated values behind q_approx_sketch, kept separate so
+    tests/test_relational_sketch.py can pin the actual error curves
+    against exact answers (the driver sees only the boolean gates)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
@@ -885,6 +879,61 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB answer to COUNT(DISTINCT) and exact percentiles:
+    HyperLogLog++ and GK-sketch quantiles.  Both are mergeable partial
+    states — the exchange carries one sketch per partition instead of
+    every distinct value, which is the entire point at scale.
+
+    HARD oracle via the same tolerance-gate pattern as
+    q_approx_distinct: alongside the exact per-group counts, emit
+    booleans asserting each sketch landed inside its error bound (HLL
+    within 3x its 2% rsd; each GK quantile between the exact p±0.02
+    quantiles — generous vs the configured 1/10000 rank accuracy).
+    The oracle emits the exact values plus literal TRUE, so the value
+    hash fails iff a sketch drifts out of tolerance.  Exact error
+    curves are additionally pinned in tests/test_relational_sketch.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_q50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_q95"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("_q50_lo"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("_q50_hi"),
+        F.expr("percentile(l_extendedprice, 0.93)").alias("_q95_lo"),
+        F.expr("percentile(l_extendedprice, 0.97)").alias("_q95_hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("_hll") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("hll_in_tolerance"),
+        F.col("_q50").between(
+            F.col("_q50_lo"), F.col("_q50_hi")
+        ).alias("q50_in_tolerance"),
+        F.col("_q95").between(
+            F.col("_q95_lo"), F.col("_q95_hi")
+        ).alias("q95_in_tolerance"),
+    )
+
+
+APPROX_SKETCH_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(*) AS n_rows,
+       TRUE AS hll_in_tolerance,
+       TRUE AS q50_in_tolerance,
+       TRUE AS q95_in_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,17 @@ def get_spark(
         # may assume a unit.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the warehouse next to the package so managed tables land
+        # in the same place regardless of the calling process's cwd
+        # (sources.io.warehouse_dir / managed_table_path resolve this
+        # same conf — one source of truth for the on-disk layout).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "spark-warehouse",
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -19,6 +19,7 @@ filesystem.  Spark-first equivalents:
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,23 @@ def _ts_dtype(df: DataFrame, col: str) -> str:
     raise KeyError(f"column {col!r} not in {df.columns}")
 
 
+def _require_legacy_nanos(dt: str, col: str) -> None:
+    """Fail fast at plan-build time on an unrecognized ts encoding.
+
+    The helpers below know exactly two physical encodings: any
+    timestamp type, and the legacy epoch-nanos bigint.  A third
+    encoding (epoch-micros long, ISO string, ...) must NOT fall
+    through to the nanos branch — it would silently build a
+    1000x-off timeline that only the oracle sweep could catch."""
+    if dt != "bigint":
+        raise ValueError(
+            f"unknown ts encoding {dt!r} for column {col!r}: expected a "
+            "timestamp type or the legacy epoch-nanos bigint. Extend the "
+            "ts_* helpers in sources/io.py (and the pins in "
+            "tests/test_contract.py) for the new encoding."
+        )
+
+
 def ts_ticks(df: DataFrame, col: str = "ts") -> tuple:
     """(exact integer timeline Column, ticks-per-millisecond).
 
@@ -88,6 +106,7 @@ def ts_ticks(df: DataFrame, col: str = "ts") -> tuple:
     dt = _ts_dtype(df, col)
     if dt.startswith("timestamp"):
         return F.expr(f"unix_micros(cast({col} as timestamp))"), 1_000
+    _require_legacy_nanos(dt, col)
     return F.col(col), 1_000_000  # legacy long = epoch nanos
 
 
@@ -98,6 +117,7 @@ def ts_ms_sql(df: DataFrame, col: str = "ts") -> str:
     dt = _ts_dtype(df, col)
     if dt.startswith("timestamp"):
         return f"unix_millis(cast({col} as timestamp))"
+    _require_legacy_nanos(dt, col)
     return f"{col} DIV 1000000"
 
 
@@ -116,6 +136,7 @@ def ts_event_time(df: DataFrame, col: str = "ts"):
     dt = _ts_dtype(df, col)
     if dt.startswith("timestamp"):
         return F.col(col).cast("timestamp")
+    _require_legacy_nanos(dt, col)
     return F.expr(f"timestamp_micros({col} DIV 1000)")
 
 
@@ -131,6 +152,7 @@ def ts_literal(df: DataFrame, epoch_ms_value: int, col: str = "ts"):
         )
     if dt.startswith("timestamp"):
         return F.expr(f"timestamp_millis({epoch_ms_value})")
+    _require_legacy_nanos(dt, col)
     return F.lit(epoch_ms_value * 1_000_000)  # legacy epoch nanos
 
 
@@ -218,6 +240,39 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def warehouse_dir(spark: SparkSession) -> str:
+    """Local-filesystem path of the session warehouse, URI-parsed so
+    ``file:/p``, ``file:///p`` and bare paths all resolve the same.
+    Relative paths (the Spark default ``spark-warehouse``) resolve
+    against the driver cwd, matching Spark's own behavior."""
+    raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    p = urlparse(raw)
+    if p.scheme in ("", "file"):
+        return os.path.abspath(p.path or raw)
+    return raw
+
+
+def managed_table_path(spark: SparkSession, table: str) -> str:
+    """Directory a managed table's data files live in:
+    ``<warehouse>/<identifier lowercased>`` (Spark lowercases table
+    identifiers on disk).  The ONE place this layout is computed —
+    write_bucketed_table and operators/bucketing.py both go through it
+    so their idempotency cleanups can never diverge."""
+    return os.path.join(warehouse_dir(spark), table.split(".")[-1].lower())
+
+
+def clear_stale_table_location(spark: SparkSession, table: str) -> None:
+    """saveAsTable idempotency guard: a fresh metastore (derby discarded
+    between sessions) plus a leftover warehouse directory raises
+    LOCATION_ALREADY_EXISTS on overwrite — the catalog no longer
+    vouches for the path, so remove it before writing."""
+    leftover = managed_table_path(spark, table)
+    if os.path.isdir(leftover):
+        import shutil
+
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
@@ -238,14 +293,7 @@ def write_bucketed_table(
     first."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    leftover = os.path.join(warehouse, table.split(".")[-1].lower())
-    if os.path.isdir(leftover):
-        import shutil
-
-        shutil.rmtree(leftover, ignore_errors=True)
+    clear_stale_table_location(spark, table)
     w = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )
@@ -284,6 +332,48 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.options(**_JSON_TS_OPTS).mode("overwrite").json(path)
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked JSONL roundtrip: events → JSONL (pinned
+    microsecond timestamp format) → re-read under the original schema
+    → per-type rollup value-hashed against the oracle running on the
+    ORIGINAL parquet.  Any format/precision drift in the JSON path
+    (the next timestampFormat regression) shifts min/max ts here and
+    fails in the driver window, not just in pytest.  The decimal-cast
+    sum keeps the double checksum order-independent."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "acsc_jsonl_roundtrip",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    write_jsonl(ev, out)
+    back = read_jsonl(spark, out, ev.schema)
+    ms = ts_ms(back, "ts")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(ms).alias("min_ts_ms"),
+        F.max(ms).alias("max_ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(epoch_ms(ts)) AS min_ts_ms,
+       MAX(epoch_ms(ts)) AS max_ts_ms,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
@@ -297,6 +387,7 @@ def compact_small_files(
     in_path: str,
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Small-files compaction: rewrite a directory of many undersized
     parquet parts into ceil(input_bytes / target) files.
@@ -304,16 +395,54 @@ def compact_small_files(
     The operational companion to every incremental sink in this repo —
     streaming and per-batch writers at 100 TB/day emit thousands of
     sub-HDFS-block files per hour, and scan throughput dies on open()
-    overhead and footer reads long before data volume matters.  Uses
-    coalesce (narrow — no shuffle: compaction must not pay a full
-    exchange just to merge files); returns the chosen file count."""
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(in_path)
-        for f in files
-        if f.endswith(".parquet")
+    overhead and footer reads long before data volume matters.
+
+    Sizing uses Spark's distributed ``binaryFile`` listing (metadata
+    only — the content column is pruned, so no file bytes move), NOT a
+    driver-side walk: on an object store with millions of keys the
+    driver listing is itself the bottleneck.
+
+    Hive-partitioned inputs must pass ``partition_cols``; the output is
+    then re-partitioned by those columns so directory pruning survives
+    compaction (one shuffle — the price of a partitioned rewrite).  A
+    partitioned input without ``partition_cols`` fails fast instead of
+    silently folding the partition columns into the data files.
+    Unpartitioned inputs compact with a narrow coalesce — no shuffle.
+    Returns the chosen file count."""
+    total = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(in_path)
+        .agg(F.sum("length"))
+        .collect()[0][0]
+        or 0
     )
-    n_files = max(1, -(-total // target_file_bytes))
+    n_files = int(max(1, -(-total // target_file_bytes)))
     df = spark.read.parquet(in_path)
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out_path)
+        )
+        return n_files
+    # one shallow listing (a single LIST call even on object stores):
+    # key=value subdirectories mean a Hive layout the caller forgot to
+    # declare — losing it silently would drop partition pruning.
+    try:
+        hive_dirs = [
+            e.name
+            for e in os.scandir(in_path)
+            if e.is_dir() and "=" in e.name
+        ]
+    except OSError:
+        hive_dirs = []
+    if hive_dirs:
+        raise ValueError(
+            f"{in_path} looks Hive-partitioned ({hive_dirs[:3]}...): pass "
+            "partition_cols so the compacted output keeps its layout"
+        )
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

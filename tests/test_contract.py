@@ -164,6 +164,25 @@ def test_ts_helpers_legacy_long_nanos(spark):
     assert not rows[1]["ge_cut"] and rows[2]["ge_cut"]
 
 
+def test_ts_helpers_reject_unknown_encoding(spark):
+    """A third physical encoding (e.g. string, or an int narrower than
+    the nanos bigint) must fail at plan-build time — NOT fall through
+    to the legacy-nanos branch and build a silently 1000x-off
+    timeline."""
+    import pytest
+
+    for schema in ("event_id long, ts string", "event_id long, ts int"):
+        df = spark.createDataFrame([], schema)
+        for helper in (
+            lambda d: ts_ticks(d),
+            lambda d: ts_ms(d),
+            lambda d: ts_event_time(d),
+            lambda d: ts_literal(d, 0),
+        ):
+            with pytest.raises(ValueError, match="unknown ts encoding"):
+                helper(df)
+
+
 def test_ts_helpers_cross_encoding_property(spark):
     """Property: for ANY epoch instant (µs precision), the two physical
     encodings (timestamp[us] wall-clock UTC vs long epoch-nanos) must

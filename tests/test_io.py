@@ -217,6 +217,40 @@ def test_compact_small_files(spark, tmp_path):
     assert back.exceptAll(ev).count() == 0
 
 
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Partitioned input + partition_cols keeps the directory layout;
+    without partition_cols it fails fast instead of silently folding
+    the partition column into the data files."""
+    import glob
+
+    import pytest
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        compact_small_files,
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    (
+        ev.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_small_files(spark, src, dst)
+    compact_small_files(spark, src, dst, partition_cols=["event_type"])
+    part_dirs = glob.glob(f"{dst}/event_type=*")
+    assert len(part_dirs) == ev.select("event_type").distinct().count()
+    for d in part_dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+    back = spark.read.parquet(dst).select(*ev.columns)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Hive-partitioned sink + a partition-value filter: the scan must
     show PartitionFilters (directory pruning), the scale contract of

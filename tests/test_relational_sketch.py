@@ -14,11 +14,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_sketches_within_error_bounds(spark):
-    got = (
-        entrymod.queries()["q_approx_sketch"](spark, SF_DIR)
-        .toPandas()
-        .set_index("l_returnflag")
-    )
+    from activity_classifier_spark_cassandra_spark.plans.relational import approx_sketch_raw
+
+    got = approx_sketch_raw(spark, SF_DIR).toPandas().set_index("l_returnflag")
     con = duckdb.connect()
     exact = con.execute(
         f"""
@@ -43,6 +41,16 @@ def test_sketches_within_error_bounds(spark):
         assert abs(q50 - e["q50"]) <= 0.02 * e["q50"]
         assert abs(q95 - e["q95"]) <= 0.02 * e["q95"]
         assert g["n_rows"] == e["n_rows"]
+
+
+def test_gated_sketch_all_true(spark):
+    """The driver-facing shape: every tolerance gate must come back
+    TRUE (this is exactly what the oracle hash asserts)."""
+    got = entrymod.queries()["q_approx_sketch"](spark, SF_DIR).toPandas()
+    assert len(got) == 3
+    assert got["hll_in_tolerance"].all()
+    assert got["q50_in_tolerance"].all()
+    assert got["q95_in_tolerance"].all()
 
 
 @pytest.mark.parametrize("name", ["q_grouping_sets", "q_ntile_dist"])

@@ -37,6 +37,63 @@ def test_ivf_results_are_cluster_local_topk(spark):
         assert cos <= brute_best[qid] + 1e-9
 
 
+def test_multiprobe_ivf_strictly_improves_recall(spark):
+    """On a clustered set with a boundary query, nprobe=2 must recall
+    strictly more of the true top-5 than nprobe=1 (and reach 100%).
+
+    Construction (deterministic, 2-D unit vectors by angle): cluster
+    'a' hugs 0-20 deg, cluster 'b' hugs 70-90 deg, the query sits at
+    42 deg — nearer a's centroid, but two of its five true nearest
+    neighbors live in b, so probing only the nearest bucket caps
+    recall at 3/5."""
+    import math
+
+    import numpy as np
+
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        knn_ivf_multiprobe,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    pts = {  # neighbor_id -> (bucket, angle)
+        0: ("a", 0.0), 1: ("a", 5.0), 2: ("a", 10.0),
+        3: ("a", 15.0), 4: ("a", 20.0),
+        5: ("b", 90.0), 6: ("b", 85.0), 7: ("b", 80.0),
+        8: ("b", 75.0), 9: ("b", 70.0),
+    }
+    corpus = spark.createDataFrame(
+        [(i, b, vec(d)) for i, (b, d) in pts.items()],
+        "neighbor_id long, bucket string, e2 array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(42.0))], "query_id long, e1 array<double>"
+    )
+    true_top5 = set(
+        sorted(pts, key=lambda i: abs(pts[i][1] - 42.0))[:5]
+    )  # cosine on unit vectors ranks by |angle diff|
+    got1 = {
+        r["neighbor_id"]
+        for r in knn_ivf_multiprobe(corpus, queries, k=5, nprobe=1).collect()
+    }
+    got2 = {
+        r["neighbor_id"]
+        for r in knn_ivf_multiprobe(corpus, queries, k=5, nprobe=2).collect()
+    }
+    recall1 = len(got1 & true_top5) / 5
+    recall2 = len(got2 & true_top5) / 5
+    assert recall1 == 3 / 5  # bucket 'a' only
+    assert recall2 == 1.0
+    assert recall2 > recall1
+    # sanity vs numpy brute force on the same vectors
+    a = np.array([vec(pts[i][1]) for i in sorted(pts)])
+    q = np.array(vec(42.0))
+    cos = a @ q  # all unit vectors
+    assert set(np.argsort(-cos)[:5]) == true_top5
+
+
 def test_lsh_pairs_share_a_band_and_never_beat_brute(spark):
     """Every LSH neighbor must share >= 1 of the 4 band values with its
     query (recomputed locally in numpy), and — since LSH restricts the
