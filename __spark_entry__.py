@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_pandas": S.q_knn_pandas,
         "q_knn_lsh": S.q_knn_lsh,
         # ==================== window boundary (~50) ====================
+        # ==== new in round 5, just behind the window (locally
+        #      oracle-verified; driver verdict lands with round 6) ====
+        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==== r3-green remainder — first in line for round 6 ====
         "q_media_features": MM.q_media_features,
         "q_sample_hash": SM.q_sample_hash,
@@ -309,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_funnel": CP.QUALITY_FUNNEL_SQL,
         "q_incremental_dedup": CP.INCREMENTAL_DEDUP_SQL,
         "q_knn_lsh": S.KNN_LSH_SQL,
+        "q_knn_ivf_multiprobe": S.KNN_IVF_MULTIPROBE_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,
         "q_scd2": C.SCD2_SQL,
         "q_dq_audit": DQ.DQ_AUDIT_SQL,

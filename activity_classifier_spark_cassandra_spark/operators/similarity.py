@@ -223,6 +223,68 @@ def knn_ivf_multiprobe(
     )
 
 
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked multi-probe IVF: top-5 from the query's nprobe=2
+    nearest coarse centroids (per-label element-wise means).  The
+    DuckDB oracle recomputes centroid ranking independently; probe-set
+    agreement is safe because the rank-2/rank-3 centroid-cosine margin
+    on this data (>=7e-3 at every sf) is ~12 orders above double
+    summation-order noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("bucket"),
+        F.col("embedding").alias("e2"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    return knn_ivf_multiprobe(corpus, queries, k=TOP_K, nprobe=2)
+
+
+KNN_IVF_MULTIPROBE_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, AVG(e[pos]) AS m
+    FROM corpus,
+      LATERAL (SELECT UNNEST(generate_series(1, len(e))) AS pos) t
+    GROUP BY label, pos
+  ) GROUP BY label
+),
+probes AS (
+  SELECT query_id, bucket, qe FROM (
+    SELECT q.vec_id AS query_id, c.label AS bucket, q.e AS qe,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_dot_product(q.e, c.centroid)
+        / (sqrt(list_dot_product(q.e, q.e))
+         * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        c.label ASC) AS cent_rank
+    FROM corpus q CROSS JOIN cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE cent_rank <= 2
+),
+scored AS (
+  SELECT p.query_id, p.bucket, c.vec_id AS neighbor_id,
+    ROUND(
+      list_dot_product(p.qe, c.e)
+      / (sqrt(list_dot_product(p.qe, p.qe))
+       * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM probes p JOIN corpus c ON c.label = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # ---------------------------------------------------------------- pandas UDF
 # The Column-expression cosine above keeps everything JVM-side — right
 # for narrow vectors.  For wide embeddings (1-4k dims) the per-element
