@@ -72,6 +72,10 @@ HEADLINE = [
     "q_bigram_logprob",
     "q_bm25_search",
     "q_group_topk_sample",
+    # added in round 5: the tolerance-gated sketch agg and the
+    # multi-probe IVF ANN path
+    "q_approx_sketch",
+    "q_knn_ivf_multiprobe",
 ]
 
 

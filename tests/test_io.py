@@ -217,6 +217,35 @@ def test_compact_small_files(spark, tmp_path):
     assert back.exceptAll(ev).count() == 0
 
 
+def test_jsonl_roundtrip_matches_oracle(spark):
+    """q_jsonl_roundtrip (events → JSONL → re-read → rollup) must equal
+    the DuckDB rollup over the ORIGINAL parquet — any timestamp format
+    or float precision drift in the JSON path breaks min/max ts or the
+    decimal-cast checksum."""
+    import duckdb
+    import pandas as pd
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        JSONL_ROUNDTRIP_SQL,
+        q_jsonl_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sdf = q_jsonl_roundtrip(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    )
+    odf = con.execute(JSONL_ROUNDTRIP_SQL).df()
+    con.close()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
 def test_compact_preserves_hive_partitions(spark, tmp_path):
     """Partitioned input + partition_cols keeps the directory layout;
     without partition_cols it fails fast instead of silently folding

@@ -24,6 +24,7 @@ BNLJ_OK = {
     "q_dq_audit",  # 1-row violation×checked count joins per audit rule
     "q_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
     "q_key_skew_profile",  # 1-row table-total broadcast
+    "q_knn_ivf_multiprobe",  # |queries|×|centroids| probe ranking, both tiny
 }
 
 
