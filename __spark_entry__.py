@@ -57,7 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     23 TPC-H/relational queries whose last hash verdict was round 2
     (two testdata generations ago), the two queries that have NEVER
     had a driver verdict (q_approx_sketch — now with a tolerance-gate
-    oracle — and rows-only q_pack_greedy), the new q_jsonl_roundtrip,
+    oracle — and q_pack_greedy, now hash-checked via a recursive-CTE
+    replay of the FFD recurrence), the new q_jsonl_roundtrip,
     and then the round-3-green dedup/text/similarity families (the
     stalest of the rest).  The 47 queries green in CORRECTNESS_r04
     rotate to the very back; the remaining r3-green entries sit just
@@ -118,13 +119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": T.q_unigram_logprob,
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_pandas": S.q_knn_pandas,
+        # new in round 5 — never driver-verified, so it takes a window
+        # slot ahead of the r3-green pandas variant (pytest-pinned,
+        # same SQL oracle as q_knn_brute, rotates back in round 6)
+        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         "q_knn_lsh": S.q_knn_lsh,
         # ==================== window boundary (~50) ====================
-        # ==== new in round 5, just behind the window (locally
-        #      oracle-verified; driver verdict lands with round 6) ====
-        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_knn_pandas": S.q_knn_pandas,
         "q_media_features": MM.q_media_features,
         "q_sample_hash": SM.q_sample_hash,
         "q_train_test_split": SM.q_train_test_split,
@@ -329,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "q_group_topk_sample": SM.GROUP_TOPK_SAMPLE_SQL,
         "q_key_skew_profile": K.KEY_SKEW_PROFILE_SQL,
         "q_salted_join": K.SALTED_JOIN_SQL,
-        # q_pack_greedy: rows-only (bin packing is not SQL-expressible).
+        # FFD packing replayed exactly as a DuckDB recursive CTE —
+        # the last non-ML entry to gain a value-hash oracle.
+        "q_pack_greedy": CP.PACK_GREEDY_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -452,7 +452,10 @@ def pack_greedy(docs: DataFrame, capacity: int = SEQ_LEN) -> DataFrame:
     domains run in parallel across the cluster.  Oversize docs (n_tok
     > capacity) get a singleton bin.  Output is the per-bin summary;
     correctness is pinned by pytest invariants (no bin over capacity
-    except singletons, every doc packed exactly once, FFD fill factor).
+    except singletons, every doc packed exactly once, FFD fill factor)
+    plus the ``PACK_GREEDY_SQL`` oracle, which replays the exact same
+    FFD recurrence as a DuckDB recursive CTE (one step per rank,
+    list-of-remaining-capacities as the carried state).
     """
     import pandas as pd
 
@@ -502,7 +505,73 @@ def pack_greedy(docs: DataFrame, capacity: int = SEQ_LEN) -> DataFrame:
 
 
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only registry entry (bin packing is not SQL-expressible);
-    per-domain bin counts are deterministic because domains are
-    hash-assigned and FFD order is a total order (n_tok desc, doc_id)."""
+    """FFD packing registry entry; hash-checked against
+    ``PACK_GREEDY_SQL`` (recursive-CTE replay of the same recurrence).
+    Deterministic because domains are hash-assigned and FFD order is a
+    total order (n_tok desc, doc_id)."""
     return pack_greedy(load_table(spark, sf_dir, "documents"))
+
+
+# FFD is a sequential recurrence, but at sf-oracle scale DuckDB can
+# replay it exactly: one recursive-CTE step per rank within each
+# domain, carrying the list of per-bin remaining capacities as state.
+# `list_position(list_transform(caps, c -> tok <= c), true)` is the
+# first-fit probe; a miss (NULL -> 0) opens a new bin.  Semantics
+# mirror pack_greedy._pack line for line, including the LEAST() clamp
+# that gives oversize docs a singleton bin.
+PACK_GREEDY_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(LEN({_TOKENIZE}) AS BIGINT) AS n_tok,
+         CAST(doc_id % {PACK_DOMAINS} AS BIGINT) AS domain
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain ORDER BY n_tok DESC, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY domain) AS n
+  FROM base
+),
+pack AS (
+  SELECT domain, CAST(0 AS BIGINT) AS r,
+         CAST([] AS BIGINT[]) AS caps, CAST([] AS BIGINT[]) AS assign
+  FROM (SELECT DISTINCT domain FROM ranked)
+  UNION ALL
+  SELECT p.domain, p.r + 1,
+    CASE WHEN COALESCE(list_position(
+                list_transform(p.caps, c -> d.n_tok <= c), true), 0) > 0
+      THEN list_transform(p.caps, (c, i) ->
+             CASE WHEN i = list_position(
+                    list_transform(p.caps, c2 -> d.n_tok <= c2), true)
+                  THEN c - LEAST(d.n_tok, {SEQ_LEN}) ELSE c END)
+      ELSE list_append(p.caps, {SEQ_LEN} - LEAST(d.n_tok, {SEQ_LEN}))
+    END,
+    list_append(p.assign,
+      CASE WHEN COALESCE(list_position(
+                  list_transform(p.caps, c -> d.n_tok <= c), true), 0) > 0
+           THEN CAST(list_position(
+                  list_transform(p.caps, c -> d.n_tok <= c), true) - 1
+                  AS BIGINT)
+           ELSE CAST(LEN(p.caps) AS BIGINT) END)
+  FROM pack p
+  JOIN ranked d ON d.domain = p.domain AND d.r = p.r + 1
+),
+final AS (
+  SELECT p.domain, p.assign
+  FROM pack p
+  JOIN (SELECT DISTINCT domain, n FROM ranked) dn
+    ON dn.domain = p.domain AND p.r = dn.n
+),
+assigned AS (
+  SELECT domain, UNNEST(assign) AS bin_id,
+         UNNEST(range(1, LEN(assign) + 1)) AS r
+  FROM final
+)
+SELECT a.domain, a.bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(rk.n_tok) AS BIGINT) AS bin_tokens,
+       MIN(rk.doc_id) AS min_doc_id
+FROM assigned a
+JOIN ranked rk ON rk.domain = a.domain AND rk.r = a.r
+GROUP BY a.domain, a.bin_id
+"""

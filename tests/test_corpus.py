@@ -209,6 +209,37 @@ def test_pack_greedy_invariants(spark):
         assert under <= 1
 
 
+def test_pack_greedy_matches_recursive_cte_oracle(spark):
+    """The applyInPandas FFD packer must equal PACK_GREEDY_SQL's
+    recursive-CTE replay bin for bin — if either side's ordering,
+    capacity clamp, or first-fit probe drifts, this pins it between
+    driver rounds."""
+    import duckdb
+
+    sdf = (
+        C.q_pack_greedy(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["domain", "bin_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    odf = (
+        con.execute(C.PACK_GREEDY_SQL)
+        .df()
+        .sort_values(["domain", "bin_id"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    cols = ["domain", "bin_id", "n_docs", "bin_tokens", "min_doc_id"]
+    assert list(sdf.columns) == cols and sorted(odf.columns) == sorted(cols)
+    for c in cols:
+        assert sdf[c].astype("int64").equals(odf[c].astype("int64")), c
+
+
 def test_pack_greedy_deterministic(spark):
     a = (
         C.q_pack_greedy(spark, SF_DIR)
