@@ -30,6 +30,9 @@ from activity_classifier_spark_cassandra_spark.operators import graph as G
 from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
+from activity_classifier_spark_cassandra_spark.operators import sketches as SK
+from activity_classifier_spark_cassandra_spark.operators import incremental as INC
+from activity_classifier_spark_cassandra_spark.operators import layout as LY
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.operators import udaf as U
@@ -97,6 +100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== new in round 5: JSONL roundtrip through the pinned
         #      microsecond timestamp format, checked in-window ====
         "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
+        # ==== new in round 5: probabilistic structures, incremental
+        #      view maintenance, Z-order layout — never verified, so
+        #      they take window slots ahead of r3-green entries ====
+        "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
+        "q_bloom_join_prune": SK.q_bloom_join_prune,
+        "q_incremental_agg": INC.q_incremental_agg,
+        "q_zorder_layout": LY.q_zorder_layout,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
         "q_dedup_exact": D.q_dedup_exact,
@@ -113,10 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": T.q_lang_id,
         "q_token_count": T.q_token_count,
         "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
         # new in round 5 — never driver-verified, so it takes a window
@@ -126,6 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_lsh": S.q_knn_lsh,
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
         "q_knn_pandas": S.q_knn_pandas,
         "q_media_features": MM.q_media_features,
         "q_sample_hash": SM.q_sample_hash,
@@ -334,5 +344,13 @@ def oracle_sql() -> dict[str, str]:
         # FFD packing replayed exactly as a DuckDB recursive CTE —
         # the last non-ML entry to gain a value-hash oracle.
         "q_pack_greedy": CP.PACK_GREEDY_SQL,
+        # Round-5 additions: the md5-based hashes make the sketches
+        # engine-portable, so the oracles replay them exactly; the
+        # bloom-pruned join and the state merge are checked against
+        # the plain join / full recompute they must equal.
+        "q_heavy_hitters_cms": SK.HEAVY_HITTERS_CMS_SQL,
+        "q_bloom_join_prune": SK.BLOOM_JOIN_PRUNE_SQL,
+        "q_incremental_agg": INC.INCREMENTAL_AGG_SQL,
+        "q_zorder_layout": LY.ZORDER_LAYOUT_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

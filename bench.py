@@ -76,6 +76,13 @@ HEADLINE = [
     # multi-probe IVF ANN path
     "q_approx_sketch",
     "q_knn_ivf_multiprobe",
+    # added in round 5b: probabilistic structures, view maintenance,
+    # layout
+    "q_heavy_hitters_cms",
+    "q_bloom_join_prune",
+    "q_incremental_agg",
+    "q_zorder_layout",
+    "q_pack_greedy",
 ]
 
 

@@ -25,6 +25,8 @@ BNLJ_OK = {
     "q_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
     "q_key_skew_profile",  # 1-row table-total broadcast
     "q_knn_ivf_multiprobe",  # |queries|×|centroids| probe ranking, both tiny
+    "q_heavy_hitters_cms",  # 1-row (n_total, n_keys) totals broadcast
+    "q_zorder_layout",  # 1-row min/max bounds broadcast for normalization
 }
 
 
