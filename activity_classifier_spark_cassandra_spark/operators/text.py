@@ -581,3 +581,81 @@ GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 20
 """
+
+
+# ----------------------------------------------- BPE pair statistics
+BPE_TOP_K = 30
+
+
+def bpe_pair_counts(docs: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the inner
+    loop of BPE tokenizer training, in its scalable shape.
+
+    The 100 TB trick is the word-TYPE table: collapse the corpus to
+    distinct words with occurrence counts first (Zipf-bounded — a
+    fraction of corpus size), then explode character pairs over types
+    only, weighting by the count.  Exploding pairs over raw tokens
+    would shuffle ~avg_word_len × corpus_tokens rows; over types it is
+    ~avg_word_len × |vocab|.
+
+    Output: top BPE_TOP_K merge candidates by total frequency, with
+    the number of distinct word types each pair appears in.
+    """
+    words = (
+        docs.select(F.explode(F.expr(_TOKENIZE_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_cnt"))
+    )
+    # length >= 2 guard matters: sequence(1, 0) steps BACKWARDS in
+    # Spark (inferred step -1), so 1-char words would fabricate pairs
+    pairs = words.where(F.length("word") >= 2).select(
+        "word",
+        "word_cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            # position-weighted: a pair occurring twice inside one word
+            # counts that word's frequency twice (BPE merge semantics)
+            F.sum("word_cnt").alias("pair_count"),
+            F.countDistinct("word").alias("n_word_types"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_K)
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates over the documents corpus."""
+    from ..sources.io import load_table
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+BPE_PAIR_STATS_SQL = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS word_cnt
+  FROM (SELECT UNNEST({_TOKENIZE}) AS word FROM documents)
+  GROUP BY word
+),
+pairs AS (
+  SELECT word, word_cnt,
+         UNNEST(list_transform(range(1, LENGTH(word)),
+                               i -> substring(word, i, 2))) AS pair
+  FROM words
+  WHERE LENGTH(word) >= 2
+)
+SELECT pair,
+       CAST(SUM(word_cnt) AS BIGINT) AS pair_count,
+       COUNT(DISTINCT word) AS n_word_types
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_incremental_agg",
     "q_zorder_layout",
     "q_pack_greedy",
+    "q_bpe_pair_stats",
 ]
 
 

@@ -206,3 +206,26 @@ def test_bm25_hand_computed(spark, tmp_path):
     want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     assert abs(out[1]["bm25"] - round(want, 6)) < 1e-9
     assert out[1]["n_terms_matched"] == 1
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """'abab ab cd x' corpus: pair counts weighted by word-TYPE
+    occurrence counts, 1-char words contribute nothing."""
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abab ab x", "en", "t", 9), (1, "ab cd", "en", "t", 5)],
+        schema=DOCS_SCHEMA,
+    )
+    out = {
+        r["pair"]: (r["pair_count"], r["n_word_types"])
+        for r in bpe_pair_counts(df).collect()
+    }
+    # words: abab×1, ab×2, x×1, cd×1
+    # 'ab' pairs: abab has 2, ab has 1 ×2 occurrences => 1*2 + 2*1 = 4
+    assert out["ab"] == (4, 2)
+    assert out["ba"] == (1, 1)  # only inside abab
+    assert out["cd"] == (1, 1)
+    assert "x" not in out  # 1-char word fabricates no pair
