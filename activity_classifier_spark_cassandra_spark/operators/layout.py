@@ -43,14 +43,26 @@ def _normalize(col: str, lo: str, hi: str) -> str:
     )
 
 
+def _spread(v: str) -> str:
+    """Insert a zero bit between each of the low Z_BITS bits of ``v``
+    — the closed-form magic-mask cascade (4 shift/or/mask steps), not
+    a per-row array lambda: at 100 TB the interleave runs on every
+    row, so it must stay inside whole-stage codegen as plain integer
+    ops."""
+    s = f"CAST({v} AS BIGINT)"
+    for shift, mask in [
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ]:
+        s = f"(({s} | shiftleft({s}, {shift})) & {mask})"
+    return s
+
+
 def _interleave(x: str, y: str) -> str:
     """Morton-interleave two Z_BITS-wide ints (x gets even bits)."""
-    return (
-        f"aggregate(sequence(0, {Z_BITS - 1}), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc"
-        f" + shiftleft(CAST(shiftright({x}, i) & 1 AS BIGINT), 2 * i)"
-        f" + shiftleft(CAST(shiftright({y}, i) & 1 AS BIGINT), 2 * i + 1))"
-    )
+    return f"({_spread(x)} | shiftleft({_spread(y)}, 1))"
 
 
 def zorder_value(df: DataFrame, c1: str, c2: str) -> DataFrame:
