@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": INC.q_incremental_agg,
         "q_zorder_layout": LY.q_zorder_layout,
         "q_bpe_pair_stats": T.q_bpe_pair_stats,
+        "q_temperature_sample": CP.q_temperature_sample,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
         "q_dedup_exact": D.q_dedup_exact,
@@ -122,7 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_text_stats": T.q_text_stats,
         "q_lang_id": T.q_lang_id,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
         "q_knn_brute": S.q_knn_brute,
         "q_knn_ivf": S.q_knn_ivf,
         # new in round 5 — never driver-verified, so it takes a window
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
         "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_redact": T.q_redact,
         "q_repetition_ratio": T.q_repetition_ratio,
@@ -354,5 +355,6 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_agg": INC.INCREMENTAL_AGG_SQL,
         "q_zorder_layout": LY.ZORDER_LAYOUT_SQL,
         "q_bpe_pair_stats": T.BPE_PAIR_STATS_SQL,
+        "q_temperature_sample": CP.TEMPERATURE_SAMPLE_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

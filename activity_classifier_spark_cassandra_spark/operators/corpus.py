@@ -575,3 +575,86 @@ FROM assigned a
 JOIN ranked rk ON rk.domain = a.domain AND rk.r = a.r
 GROUP BY a.domain, a.bin_id
 """
+
+
+# --------------------------------------- temperature domain sampling
+TEMP_ALPHA = 0.5  # flattening exponent: sampled share ∝ raw_share^α
+TEMP_SEED = 7
+
+
+def temperature_sample(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Deterministic temperature-scaled domain downsampling — the mix
+    step multilingual/multi-domain training corpora apply so dominant
+    domains stop drowning the tail (sampled share ∝ raw_share^α).
+
+    Rates never upsample: rate_d = (n_min / n_d)^(1-α) keeps the
+    smallest domain whole and thins larger ones, giving exactly the
+    ^α-flattened mix.  Selection is a per-row hash threshold
+    (md5-portable, no RNG, no driver state): reruns, retries and
+    backfills pick the SAME rows — at 100 TB resumability beats
+    streaming-RNG "randomness".  One broadcast of the per-domain rate
+    table against the scan; no shuffle of the corpus itself.
+
+    Output: per-domain audit (n_docs, n_sampled, rate) — the table a
+    data-mix owner signs off on.
+    """
+    from .sketches import _hash60
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.pow(
+            F.col("n_min").cast("double") / F.col("n_docs"), 1.0 - alpha
+        ).alias("rate"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .where(
+            _hash60(F.col("doc_id"), TEMP_SEED)
+            < F.col("rate") * F.lit(float(1 << 60))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+m AS (SELECT MIN(n_docs) AS n_min FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         POWER(CAST(n_min AS DOUBLE) / n_docs, {1.0 - TEMP_ALPHA}) AS rate
+  FROM counts CROSS JOIN m
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(concat('0x', substring(md5(concat('{TEMP_SEED}', '|',
+          CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        < r.rate * {float(1 << 60)}
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       ROUND(r.rate, 6) AS rate
+FROM rates r LEFT JOIN sampled s USING (source)
+ORDER BY r.source
+"""

@@ -84,6 +84,7 @@ HEADLINE = [
     "q_zorder_layout",
     "q_pack_greedy",
     "q_bpe_pair_stats",
+    "q_temperature_sample",
 ]
 
 

@@ -254,3 +254,48 @@ def test_pack_greedy_deterministic(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+# ------------------------------------------------ temperature sample
+def test_temperature_sample_properties(spark):
+    out = (
+        C.q_temperature_sample(spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+    )
+    # smallest domain is kept whole (rate 1.0), larger ones thinned
+    smallest = out["n_docs"].idxmin()
+    assert out.loc[smallest, "rate"] == 1.0
+    assert (out["rate"] <= 1.0).all()
+    # monotone: bigger domains never get a higher rate
+    s = out.sort_values("n_docs")
+    assert s["rate"].is_monotonic_decreasing or len(s) <= 1
+    # no domain oversampled, none emptied by the threshold at sf0.001
+    assert (out["n_sampled"] <= out["n_docs"]).all()
+    assert (out["n_sampled"] > 0).all()
+
+
+def test_temperature_sample_flattens_skewed_mix(spark):
+    """On a 10:1 skewed mix the head's sampled share must drop
+    toward its ^alpha-flattened target (sqrt at alpha=0.5)."""
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}", "web") for i in range(200)]
+        + [(1000 + i, f"doc {i}", "books") for i in range(20)],
+    )
+    out = C.temperature_sample(docs).toPandas().set_index("source")
+    assert out.loc["books", "rate"] == 1.0
+    assert abs(out.loc["web", "rate"] - (20 / 200) ** 0.5) < 1e-6
+    raw = out.loc["web", "n_docs"] / out["n_docs"].sum()
+    samp = out.loc["web", "n_sampled"] / out["n_sampled"].sum()
+    assert samp < raw
+    # hash thinning tracks the rate (binomial-ish, generous band)
+    assert abs(out.loc["web", "n_sampled"] - 200 * out.loc["web", "rate"]) < 40
+
+
+def test_temperature_sample_deterministic(spark):
+    a = C.q_temperature_sample(spark, SF_DIR).toPandas()
+    b = C.q_temperature_sample(spark, SF_DIR).toPandas()
+    assert a.sort_values("source").reset_index(drop=True).equals(
+        b.sort_values("source").reset_index(drop=True)
+    )
