@@ -188,3 +188,14 @@ def test_group_topk_single_exchange_no_global_sort(spark):
     # window exchange + final per-type agg exchange
     assert _nodes(plan, "Exchange") <= 2, plan[:600]
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_approx_sketch_keeps_percentiles_out_of_sortagg(spark):
+    """q_approx_sketch's distinct and quantile aggregates must stay
+    SPLIT: the single-agg form plans an Expand that drags every
+    percentile buffer through a SortAggregate fallback (measured 7x at
+    sf0.1).  Pin: zero SortAggregate, and the percentile buffers run
+    as exactly one ObjectHashAggregate pair (partial + final)."""
+    plan = _plan(spark, "q_approx_sketch")
+    assert _nodes(plan, "SortAggregate") == 0
+    assert _nodes(plan, "ObjectHashAggregate") == 2
