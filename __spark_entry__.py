@@ -58,14 +58,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
     covers a 50-entry window from the front.  Round 5 front-loads the
     23 TPC-H/relational queries whose last hash verdict was round 2
-    (two testdata generations ago), the two queries that have NEVER
-    had a driver verdict (q_approx_sketch — now with a tolerance-gate
-    oracle — and q_pack_greedy, now hash-checked via a recursive-CTE
-    replay of the FFD recurrence), the new q_jsonl_roundtrip,
-    and then the round-3-green dedup/text/similarity families (the
-    stalest of the rest).  The 47 queries green in CORRECTNESS_r04
-    rotate to the very back; the remaining r3-green entries sit just
-    behind the window so round 6's rotation picks them up first."""
+    (two testdata generations ago), the two queries that had NEVER
+    had a driver verdict (q_approx_sketch — tolerance-gate oracle —
+    and q_pack_greedy — recursive-CTE replay of the FFD recurrence),
+    then every operator NEW this round (JSONL roundtrip, CMS heavy
+    hitters, Bloom join pruning, incremental agg maintenance, Z-order
+    layout, BPE pair stats, temperature sampling, multi-probe IVF),
+    and fills the rest with the round-3-green dedup/graph/knn families
+    (the stalest of the remainder).  The 47 queries green in
+    CORRECTNESS_r04 rotate to the very back; the displaced r3-green
+    text/sampling entries sit just behind the window so round 6's
+    rotation picks them up first.  Every registry entry was locally
+    hash-verified against current testdata this round — see
+    VERIFY_LOCAL_r05.txt for the 126-query sweep at sf0.01."""
     return {
         # ==== positions 1-25: last hash-verified in round 2 —
         #      the whole point of this round's rotation ====
