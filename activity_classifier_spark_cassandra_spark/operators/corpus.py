@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..sources.io import load_table
 from .dedup import _DOC_SHINGLES_CTE, _doc_shingle_rows, _shared
 from .text import STOPWORDS, _TOKENIZE, _TOKENIZE_SPARK, _sql_in_list
+from .sketches import _hash60_sql
 
 # Benchmark membership is keyed on doc_id so the oracle can reproduce
 # the split exactly: every 97th document plays the held-out benchmark.
@@ -647,8 +648,7 @@ rates AS (
 sampled AS (
   SELECT d.source, COUNT(*) AS n_sampled
   FROM documents d JOIN rates r USING (source)
-  WHERE CAST(concat('0x', substring(md5(concat('{TEMP_SEED}', '|',
-          CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+  WHERE {_hash60_sql('d.doc_id', TEMP_SEED)}
         < r.rate * {float(1 << 60)}
   GROUP BY d.source
 )

@@ -40,14 +40,18 @@ def daily_state(ev: DataFrame) -> DataFrame:
     from the full recompute in the last ulp (and flip a ROUND at the
     oracle), which is precisely the kind of nondeterminism a
     maintained view must not have."""
-    from ..sources.io import ts_ms
+    from ..sources.io import ts_ms, ts_ms_sql
 
+    # integer DIV for the day bucket (not `/` + cast: column `/` is
+    # double division, which silently goes lossy past 2^53 — exactly
+    # the trap ts_ms_sql exists to avoid for epoch-scale arithmetic)
     ms = ts_ms(ev)
+    day = F.expr(f"({ts_ms_sql(ev)}) DIV {DAY_MS}")
     v = F.col("value").cast("decimal(18,2)")
     return (
         ev.select(
             "user_id",
-            (ms / DAY_MS).cast("long").alias("day"),
+            day.alias("day"),
             ms.alias("ms"),
             v.alias("v"),
         )

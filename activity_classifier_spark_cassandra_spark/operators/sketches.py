@@ -55,6 +55,23 @@ def _hash60_sql(expr: str, seed: int) -> str:
 
 
 # ------------------------------------------------- count-min sketch
+def _cms_coords(col: Column) -> Column:
+    """Exploded R (r, bucket) coordinate structs for a key column —
+    the ONE definition both the cell build and the probe side use; a
+    drift between them would break the est >= exact guarantee."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (_hash60(col, r) % CMS_WIDTH).alias("bucket"),
+                )
+                for r in range(CMS_ROWS)
+            ]
+        )
+    )
+
+
 def cms_cells(df: DataFrame, key: str) -> DataFrame:
     """The R×W count-min cell table (≤ CMS_ROWS·CMS_WIDTH rows).
 
@@ -63,19 +80,8 @@ def cms_cells(df: DataFrame, key: str) -> DataFrame:
     partial aggregation collapses each task's contribution to ≤ R·W
     rows before the (tiny) shuffle.
     """
-    coords = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    (_hash60(F.col(key), r) % CMS_WIDTH).alias("bucket"),
-                )
-                for r in range(CMS_ROWS)
-            ]
-        )
-    )
     return (
-        df.select(coords.alias("c"))
+        df.select(_cms_coords(F.col(key)).alias("c"))
         .groupBy(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
@@ -100,19 +106,7 @@ def cms_heavy_hitters(df: DataFrame, key: str) -> DataFrame:
     )
 
     probes = exact.select(
-        key,
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (_hash60(F.col(key), r) % CMS_WIDTH).alias("bucket"),
-                    )
-                    for r in range(CMS_ROWS)
-                ]
-            )
-        ).alias("c"),
+        key, "exact_cnt", _cms_coords(F.col(key)).alias("c")
     ).select(key, "exact_cnt", "c.r", "c.bucket")
 
     est = (

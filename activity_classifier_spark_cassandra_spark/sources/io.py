@@ -341,12 +341,16 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails in the driver window, not just in pytest.  The decimal-cast
     sum keeps the double checksum order-independent."""
     import tempfile
+    import uuid
 
     ev = load_table(spark, sf_dir, "events")
+    # unique dir per call: a path shared across processes (driver,
+    # bench, pytest) would race overwrite-vs-lazy-read on the same
+    # part files
     out = os.path.join(
         tempfile.gettempdir(),
         "acsc_jsonl_roundtrip",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{uuid.uuid4().hex}",
     )
     write_jsonl(ev, out)
     back = read_jsonl(spark, out, ev.schema)
@@ -428,17 +432,21 @@ def compact_small_files(
             .parquet(out_path)
         )
         return n_files
-    # one shallow listing (a single LIST call even on object stores):
-    # key=value subdirectories mean a Hive layout the caller forgot to
-    # declare — losing it silently would drop partition pruning.
-    try:
-        hive_dirs = [
-            e.name
-            for e in os.scandir(in_path)
-            if e.is_dir() and "=" in e.name
-        ]
-    except OSError:
-        hive_dirs = []
+    # Detect an undeclared Hive layout from the files Spark ACTUALLY
+    # resolved (works for file:/, s3://, hdfs:// alike — an os.scandir
+    # here would silently skip the check on any non-local URI, which
+    # is exactly the silent partition-folding this guard exists to
+    # stop): any key=value path segment between in_path and the
+    # filename marks a partition directory.
+    base = in_path.rstrip("/").split("/")[-1]
+    hive_dirs = sorted(
+        {
+            seg
+            for f in df.inputFiles()
+            for seg in f.split("/")[:-1]
+            if "=" in seg and seg != base
+        }
+    )
     if hive_dirs:
         raise ValueError(
             f"{in_path} looks Hive-partitioned ({hive_dirs[:3]}...): pass "

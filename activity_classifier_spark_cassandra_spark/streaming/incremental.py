@@ -9,12 +9,14 @@ uses, so the maintained view converges to exactly the full recompute
 (pytest-pinned).  Merge cost per trigger is O(|batch state| + |view|),
 never O(history); the events themselves are touched once.
 
-Sink caveat (documented, not hidden): the state swap here is
-write-new-then-rename on a filesystem, which is atomic enough for a
-single-writer local pipeline and for tests.  At production scale the
-state table should live in a transactional table format (Delta /
-Iceberg MERGE INTO) so that an at-least-once retry of a micro-batch
-cannot double-apply its partials; the merge ALGEBRA is identical.
+Sink caveat (documented, not hidden): the state swap is
+write-new / rename-aside / rename-in / drop-aside, so a crash at any
+point leaves either the old or the new state recoverable (the updater
+adopts a dangling ``.old`` on restart) — but it is still a
+single-writer filesystem protocol.  At production scale the state
+table should live in a transactional table format (Delta / Iceberg
+MERGE INTO) so that an at-least-once retry of a micro-batch cannot
+double-apply its partials; the merge ALGEBRA is identical.
 """
 
 from __future__ import annotations
@@ -52,8 +54,19 @@ def foreach_batch_state_updater(state_path: str):
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = daily_state(batch_df)
         p = Path(state_path)
+        prev = Path(f"{state_path}.old")
+        # Crash recovery: a kill between the two renames below leaves
+        # only .old — adopt it before proceeding.  A kill after the
+        # second rename leaves a stale .old next to a live state —
+        # drop it.  At no point is the standing state deleted before
+        # its replacement exists (rename-aside, never rmtree-first).
+        if not p.exists() and prev.exists():
+            shutil.move(str(prev), state_path)
+        elif prev.exists():
+            shutil.rmtree(str(prev))
+
+        new = daily_state(batch_df)
         if p.exists():
             old = spark.read.parquet(state_path)
             merged = merge_day_states(old, new)
@@ -62,8 +75,10 @@ def foreach_batch_state_updater(state_path: str):
         tmp = f"{state_path}.new"
         merged.write.mode("overwrite").parquet(tmp)
         if p.exists():
-            shutil.rmtree(state_path)
+            shutil.move(state_path, str(prev))
         shutil.move(tmp, state_path)
+        if prev.exists():
+            shutil.rmtree(str(prev))
 
     return _update
 

@@ -270,6 +270,10 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Hive-partitioned"):
         compact_small_files(spark, src, dst)
+    # the guard must hold for URI-form paths too (a local-FS-only
+    # check would silently skip on file:/s3:/hdfs: inputs)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_small_files(spark, f"file:{src}", dst)
     compact_small_files(spark, src, dst, partition_cols=["event_type"])
     part_dirs = glob.glob(f"{dst}/event_type=*")
     assert len(part_dirs) == ev.select("event_type").distinct().count()

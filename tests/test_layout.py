@@ -78,7 +78,6 @@ def test_zorder_write_clusters_files(spark, tmp_path):
 
     z = file_spans(zpath)
     assert spark.read.parquet(zpath).count() == li.count()
-    g2 = 98  # suppkey domain at sf0.001 (0..98-ish); recompute exactly
     lo, hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
     g2 = hi - lo
     # unclustered single-file baseline would have span == g2; the
