@@ -93,3 +93,54 @@ def test_merge_day_states_grain(spark):
         INC.daily_state(ev.where(F.col("event_id") % 2 == 1)),
     ).toPandas()
     assert st.duplicated(["user_id", "day"]).sum() == 0
+
+
+def test_state_swap_survives_crash_between_renames(spark, tmp_path, monkeypatch):
+    """Kill the updater exactly between rename-aside and rename-in —
+    the worst spot: the standing state exists only as `.old`.  The
+    next invocation must adopt it and converge to the full recompute
+    (the old rmtree-first protocol lost all history here)."""
+    import shutil as _shutil
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    up = foreach_batch_state_updater(state)
+    up(a, 0)  # healthy first batch
+
+    real_move = _shutil.move
+    calls = {"n": 0}
+
+    def crashing_move(src, dst):
+        real_move(src, dst)
+        # the aside-rename moves state -> state.old; crash right after
+        if str(dst).endswith(".old"):
+            calls["n"] += 1
+            raise RuntimeError("simulated crash between renames")
+
+    monkeypatch.setattr(
+        "activity_classifier_spark_cassandra_spark.streaming.incremental"
+        ".shutil.move",
+        crashing_move,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        up(b, 1)
+    assert calls["n"] == 1
+    from pathlib import Path
+
+    assert not Path(state).exists() and Path(f"{state}.old").exists()
+
+    monkeypatch.undo()
+    up(b, 1)  # retry after restart: adopts .old, re-merges batch b
+    got = _final(spark, state)
+    want = (
+        INC.merge_states(INC.daily_state(ev))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert not Path(f"{state}.old").exists()
