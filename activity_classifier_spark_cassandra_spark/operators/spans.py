@@ -1,0 +1,159 @@
+"""Span-level exact-substring deduplication across documents.
+
+Finds n-token spans that occur in MORE THAN ONE document and reports,
+per affected document, how many duplicated span positions it has and
+how many of its tokens are covered by the union of those spans — the
+per-document "cut list" a span-dedup pass over a pretraining corpus
+produces (Lee et al., "Deduplicating Training Data Makes Language
+Models Better", ACL 2022 — the public ExactSubstr recipe, re-expressed
+with hashed n-grams instead of a suffix array, which is the shape that
+distributes).
+
+Scale design (100 TB):
+
+* Gram construction is pure per-row expression work — ``transform``
+  over ``sequence`` + ``slice`` on the token array, inside whole-stage
+  codegen.  No shuffle, no UDF, no explode-then-window: a document's
+  grams never leave its row until the single ``posexplode``.
+* Grams are hashed to 60-bit integers BEFORE the duplicate-detection
+  groupBy, so the one unavoidable shuffle moves 8-byte keys, not
+  40-byte strings.  The md5-based ``_hash60`` keeps the DuckDB oracle
+  bit-exact; a production run would swap in ``xxhash64`` (same shape,
+  one expression).
+* Duplicate keys come from ``groupBy(gh).having(n_docs >= 2)`` — a
+  map-side-combinable aggregate — followed by an equi-join back to the
+  positions.  Both are plain hash exchanges on the same key; AQE can
+  broadcast the duplicate-key side when it is small (it usually is:
+  dup grams ≪ all grams).
+* Span overlap is resolved with one per-document window (lead over
+  pos): union coverage = Σ min(n, next_pos − pos).  The window
+  partitions by doc_id, so state is bounded by a single document's
+  duplicated positions.
+
+Reference parity: the reference engine has no span dedup — this is
+part of the LLM-data-pipeline extension surface (SURVEY.md §2.12),
+alongside document-level MinHash/SimHash dedup in ``dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .sketches import _hash60, _hash60_sql
+from .text import _TOKENIZE, _TOKENIZE_SPARK
+
+SPAN_N = 5  # tokens per span; sized to the synthetic corpus (a real
+#             pretraining run uses ~50, same plan, one constant)
+SPAN_SEED = 41
+
+
+def span_positions(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, pos, gh): every n-gram position, gram hashed.
+
+    ``pos`` is 1-based token offset.  Documents shorter than ``n``
+    tokens contribute no rows (CASE guard — ``sequence(1, 0)`` in
+    Spark would count DOWN, not return empty).
+    """
+    grams = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(
+            "doc_id", F.expr(_TOKENIZE_SPARK).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.posexplode(F.expr(grams)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + 1).alias("pos"),
+            _hash60(F.col("gram"), SPAN_SEED).alias("gh"),
+        )
+    )
+
+
+def span_dedup_report(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Per-document duplicated-span report.
+
+    Returns (doc_id, n_tokens, dup_spans, dup_tokens, dup_ratio) for
+    every document holding at least one n-gram that also appears in
+    ANOTHER document.  ``dup_tokens`` is the size of the union of the
+    duplicated [pos, pos+n) intervals — overlapping spans are not
+    double-counted.
+    """
+    positions = span_positions(docs, n)
+    dup_keys = (
+        positions.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    hits = positions.join(dup_keys, "gh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.least(
+        F.lit(n), F.coalesce(F.lead("pos", 1).over(w) - F.col("pos"), F.lit(n))
+    )
+    return (
+        hits.select("doc_id", "n_tokens", "pos", covered.alias("covered"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("covered").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram spans over ``documents``."""
+    return span_dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+_GH_SQL = _hash60_sql(
+    f"array_to_string(list_slice(toks, i, i + {SPAN_N} - 1), ' ')", SPAN_SEED
+)
+
+SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, LEN(toks) AS n_tokens, i AS pos, {_GH_SQL} AS gh
+  FROM toks, UNNEST(range(1, GREATEST(LEN(toks) - {SPAN_N} + 2, 1))) AS t(i)
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (gh)
+),
+cov AS (
+  SELECT doc_id, n_tokens,
+         LEAST({SPAN_N},
+               COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, {SPAN_N})) AS covered
+  FROM hits
+)
+SELECT doc_id, n_tokens,
+       COUNT(*) AS dup_spans,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(covered) AS DOUBLE) / n_tokens, 6) AS dup_ratio
+FROM cov
+GROUP BY doc_id, n_tokens
+"""

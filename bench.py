@@ -85,6 +85,11 @@ HEADLINE = [
     "q_pack_greedy",
     "q_bpe_pair_stats",
     "q_temperature_sample",
+    # added in round 5c: span-level exact-substring dedup, file-level
+    # manifest pruning, weighted bottom-k sampling
+    "q_span_dedup",
+    "q_file_prune_manifest",
+    "q_weighted_sample",
 ]
 
 

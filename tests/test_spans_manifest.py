@@ -1,0 +1,182 @@
+"""Round-5b operators: span-level exact-substring dedup, file-level
+manifest pruning, and weighted bottom-k sampling — semantics pins plus
+the plan/pruning evidence the hash-compared oracles can't carry."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from activity_classifier_spark_cassandra_spark.operators import manifest as MF
+from activity_classifier_spark_cassandra_spark.operators import sampling as SM
+from activity_classifier_spark_cassandra_spark.operators import spans as SP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------- span dedup
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)]
+    )
+
+
+def test_span_dedup_finds_cross_doc_span(spark):
+    shared = "one two three four five"
+    docs = _docs(
+        spark,
+        [
+            f"intro {shared} tail tokens here",
+            f"other head {shared} closing words",
+            "completely different text with no repeats at all",
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in SP.span_dedup_report(docs, n=5).collect()
+    }
+    assert set(out) == {0, 1}
+    # the shared 5-gram occupies exactly one span position per doc
+    assert out[0]["dup_spans"] == 1
+    assert out[0]["dup_tokens"] == 5
+    assert out[1]["dup_tokens"] == 5
+
+
+def test_span_dedup_union_does_not_double_count_overlap(spark):
+    # 7 shared tokens -> three overlapping 5-gram positions, but the
+    # union coverage is 7 tokens, not 15
+    shared = "a b c d e f g"
+    docs = _docs(spark, [f"x {shared} y", f"p q {shared}"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in SP.span_dedup_report(docs, n=5).collect()
+    }
+    assert out[0]["dup_spans"] == 3
+    assert out[0]["dup_tokens"] == 7
+    assert out[1]["dup_tokens"] == 7
+
+
+def test_span_dedup_ignores_within_doc_repeats(spark):
+    # the 5-gram repeats INSIDE doc 0 only -> not a cross-doc dup
+    docs = _docs(
+        spark,
+        [
+            "m n o p q filler m n o p q",
+            "nothing shared with the first document here",
+        ],
+    )
+    assert SP.span_dedup_report(docs, n=5).count() == 0
+
+
+def test_span_dedup_short_docs_contribute_nothing(spark):
+    docs = _docs(spark, ["one two", "one two", ""])
+    assert SP.span_positions(docs, n=5).count() == 0
+
+
+def test_span_dedup_no_cartesian(spark):
+    plan = (
+        SP.q_span_dedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------- manifest pruning
+def test_manifest_prune_skips_files_and_stays_exact(spark):
+    result, kept, total = MF.pruned_range_agg(spark, SF_DIR)
+    assert 0 < kept < total  # pruning actually skipped files
+    # loss-free: pruned read agrees with the full-table filter
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        ts_ms,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = (
+        ev.select(ts_ms(ev, "ts").alias("m"))
+        .agg(F.min("m"), F.max("m"))
+        .first()
+    )
+    a = lo + (hi - lo) * 3 // 8
+    b = lo + (hi - lo) * 6 // 8
+    ms = ts_ms(ev, "ts")
+    full = (
+        ev.filter((ms >= a) & (ms < b))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["event_type"]: r["n_events"] for r in result.collect()}
+    want = {r["event_type"]: r["n_events"] for r in full.collect()}
+    assert got == want
+
+
+def test_manifest_stats_match_parquet_footers(spark, tmp_path):
+    """Our scan-built manifest must agree with what the parquet footer
+    stats say — i.e. a footer-only manifest build (the zero-data-read
+    variant a lakehouse uses) would produce the same pruning."""
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "clustered")
+    MF.write_time_clustered(ev, out)
+    manifest = {
+        r["file"]: (r["min_ms"], r["max_ms"], r["n_rows"])
+        for r in MF.build_manifest(spark, out).collect()
+    }
+    assert len(manifest) > 1
+    for file_uri, (_, _, n_rows) in manifest.items():
+        path = file_uri.removeprefix("file:")
+        assert pq.ParquetFile(path).metadata.num_rows == n_rows
+
+
+def test_prune_files_boundary_is_half_open(spark):
+    rows = [
+        Row(file="a", min_ms=0, max_ms=9, n_rows=1),
+        Row(file="b", min_ms=10, max_ms=19, n_rows=1),
+        Row(file="c", min_ms=20, max_ms=29, n_rows=1),
+    ]
+    m = spark.createDataFrame(rows)
+    # [10, 20): file c's min_ms == b is excluded, file a's max < 10
+    assert MF.prune_files(m, 10, 20) == ["b"]
+    # a file ending exactly at the start IS kept (max >= a)
+    assert set(MF.prune_files(m, 9, 20)) == {"a", "b"}
+
+
+# ------------------------------------------- weighted bottom-k sample
+def test_weighted_sample_topk_plan_and_determinism(spark):
+    q = SM.q_weighted_sample(spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # top-k must run as per-partition heaps + driver merge of k rows,
+    # never a total sort
+    assert "TakeOrderedAndProject" in plan
+    a = [r["doc_id"] for r in q.collect()]
+    b = [r["doc_id"] for r in SM.q_weighted_sample(spark, SF_DIR).collect()]
+    assert a == b and len(a) == SM.WEIGHTED_K
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion should skew toward high n_chars: the sampled docs'
+    mean size must exceed the population mean (PPS property)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    samp = SM.weighted_sample_by_size(docs, k=25).toPandas()
+    assert samp["n_chars"].mean() > pop_mean
+
+
+def test_weighted_sample_ticket_cap(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_chars=10**9), Row(doc_id=2, n_chars=0)]
+    )
+    out = {
+        r["doc_id"]: r["tickets"]
+        for r in SM.weighted_sample_by_size(docs, k=2).collect()
+    }
+    assert out[1] == SM.MAX_TICKETS  # capped
+    assert out[2] == 1  # floor
