@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": SP.q_span_dedup,
         "q_file_prune_manifest": MF.q_file_prune_manifest,
         "q_weighted_sample": SM.q_weighted_sample,
+        # ==== new in round 5c: fixed-point PageRank (integer-exact
+        #      iterative propagation) and skip-gram pair mining —
+        #      never verified, so in-window (displacing q_text_stats /
+        #      q_knn_brute to just behind the boundary) ====
+        "q_pagerank": G.q_pagerank,
+        "q_skipgram_pairs": T.q_skipgram_pairs,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
         "q_dedup_exact": D.q_dedup_exact,
@@ -136,14 +142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": D.q_corpus_clean,
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
-        "q_text_stats": T.q_text_stats,
-        "q_knn_brute": S.q_knn_brute,
         # new in round 5 — never driver-verified, so it takes a window
         # slot ahead of the r3-green pandas variant (pytest-pinned,
         # same SQL oracle as q_knn_brute, rotates back in round 6)
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_text_stats": T.q_text_stats,
+        "q_knn_brute": S.q_knn_brute,
         "q_lang_id": T.q_lang_id,
         "q_knn_ivf": S.q_knn_ivf,
         "q_knn_lsh": S.q_knn_lsh,
@@ -374,5 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": SP.SPAN_DEDUP_SQL,
         "q_file_prune_manifest": MF.FILE_PRUNE_MANIFEST_SQL,
         "q_weighted_sample": SM.WEIGHTED_SAMPLE_SQL,
+        "q_pagerank": G.PAGERANK_SQL,
+        "q_skipgram_pairs": T.SKIPGRAM_PAIRS_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -305,3 +305,141 @@ FROM kept
 WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
 GROUP BY lang
 """
+
+
+# --------------------------------------------------------- PageRank
+#
+# Fixed-point integer PageRank over the supplier↔customer trade graph
+# (edges = who shipped to whom, from lineitem⋈orders), the weighted
+# iterative-propagation complement to the min-label components above.
+# At corpus scale the same operator ranks hosts in a link graph for
+# crawl prioritization / quality priors (the original use).
+#
+# All arithmetic is FIXED-POINT BIGINT (ranks in units of 1e-9):
+# contribution = rank DIV out_degree, damping = (85·Σ) DIV 100 — both
+# truncating integer ops that Spark and DuckDB evaluate identically,
+# so three iterations of float-free PageRank hash-match an oracle that
+# replays the recurrence as chained CTEs.  (Float PageRank could not
+# be oracle-checked: parallel double sums are order-dependent and the
+# JVM/libm exp-log paths diverge in the last ulp.)
+#
+# Scale notes: each iteration is one equi-join (edges ⋈ ranks on src,
+# both sides hash-partitioned on the same key — a real deployment
+# bucket-writes the edge table once so iterations shuffle only the
+# rank frame) plus one map-side-combinable SUM groupBy on dst.  Rank
+# mass is bounded by n_nodes·SCALE·85, ≪ 2^63 up to ~10^8 nodes; for
+# a larger graph drop SCALE one decade.  Three lazily-chained
+# iterations keep the plan shallow; beyond ~10 use the
+# localCheckpoint-per-round discipline of connected_components above.
+
+PR_SCALE = 1_000_000_000  # 1e9 fixed-point units per unit of rank
+PR_DAMPING_PCT = 85
+PR_ITERS = 3
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric supplier↔customer edges with disjoint node ids
+    (supplier → 2k, customer → 2k+1: the bipartite sides share key
+    ranges in TPC-H)."""
+    from ..sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """(node, rank) after ``iters`` damped fixed-point iterations.
+
+    rank'(v) = (15·SCALE) DIV 100 + (85·Σ_{u→v} rank(u) DIV deg(u)) DIV 100
+    starting from rank = SCALE everywhere."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    withdeg = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    teleport = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            withdeg.join(ranks, withdeg.src == ranks.node)
+            # exact integer floor division — `/` would go through a
+            # double and can round up across the floor near exact
+            # quotients, breaking bit-parity with the oracle's `//`
+            .select("dst", F.expr("rank DIV od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport}L + ({PR_DAMPING_PCT} * coalesce(s, 0L))"
+                    f" DIV 100"
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration fixed-point PageRank over the trade graph; top 50
+    nodes by rank (ties broken by node id — total order)."""
+    ranks = pagerank_fixed_point(trade_edges(spark, sf_dir))
+    return ranks.orderBy(F.desc("rank"), "node").limit(50)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    teleport = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
+    return f"""
+c_{cur} AS (
+  SELECT e.dst AS node, SUM(r.rank // d.od) AS s
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+{cur} AS (
+  SELECT n.node,
+         {teleport} + ({PR_DAMPING_PCT} * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c_{cur} c ON n.node = c.node
+)"""
+
+
+def pagerank_sql() -> str:
+    iters = ",".join(
+        _pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+{iters}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r{PR_ITERS}
+ORDER BY rank DESC, node LIMIT 50
+"""
+
+
+PAGERANK_SQL = pagerank_sql()

@@ -659,3 +659,65 @@ GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT {BPE_TOP_K}
 """
+
+
+# ------------------------------------------- skip-gram co-occurrence
+#
+# (w1, w2, n) counts of token pairs co-occurring within a ±SKIP_WINDOW
+# window — the training-pair table of word2vec-style embedding
+# pipelines (Mikolov et al. 2013), and a corpus-statistics building
+# block for PMI/collocation mining.  Pairs are built ROW-LOCAL like
+# the bigram op above (slice + transform over the token array, one
+# flatten, one explode): no positional self-join, so the corpus is
+# never re-shuffled by position — the only exchange is the final
+# Zipf-bounded (w1, w2) count, and the top-k runs as
+# TakeOrderedAndProject.  w1 is always the earlier token; symmetric
+# counts are recovered by the consumer as n(a,b) + n(b,a).
+
+SKIP_WINDOW = 2
+SKIPGRAM_TOP_K = 30
+
+
+def skipgram_pairs(docs: DataFrame, window: int = SKIP_WINDOW) -> DataFrame:
+    """Exploded (w1, w2) pairs, w1 at the earlier position, distance
+    1..window."""
+    per_delta = ", ".join(
+        f"transform(slice(toks, 1, greatest(size(toks) - {d}, 0)),"
+        f" (w, i) -> struct(w AS w1, toks[i + {d}] AS w2))"
+        for d in range(1, window + 1)
+    )
+    return (
+        docs.select(F.expr(_TOKENIZE_SPARK).alias("toks"))
+        .select(F.explode(F.expr(f"flatten(array({per_delta}))")).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 within-±2 co-occurring token pairs across the corpus
+    (ties broken by w1, w2 — total order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        skipgram_pairs(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
+SKIPGRAM_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT {_TOKENIZE} AS toks FROM documents
+),
+p AS (
+  SELECT toks[i] AS w1, toks[i + d] AS w2
+  FROM t,
+       UNNEST(range(1, LEN(toks) + 1)) AS u(i),
+       UNNEST([{", ".join(str(d) for d in range(1, SKIP_WINDOW + 1))}]) AS dd(d)
+  WHERE i + d <= LEN(toks)
+)
+SELECT w1, w2, COUNT(*) AS n
+FROM p GROUP BY w1, w2
+ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_TOP_K}
+"""

@@ -90,6 +90,8 @@ HEADLINE = [
     "q_span_dedup",
     "q_file_prune_manifest",
     "q_weighted_sample",
+    "q_pagerank",
+    "q_skipgram_pairs",
 ]
 
 
