@@ -328,9 +328,7 @@ GROUP BY lang
 # bucket-writes the edge table once so iterations shuffle only the
 # rank frame) plus one map-side-combinable SUM groupBy on dst.  Rank
 # mass is bounded by n_nodes·SCALE·85, ≪ 2^63 up to ~10^8 nodes; for
-# a larger graph drop SCALE one decade.  Three lazily-chained
-# iterations keep the plan shallow; beyond ~10 use the
-# localCheckpoint-per-round discipline of connected_components above.
+# a larger graph drop SCALE one decade.
 
 PR_SCALE = 1_000_000_000  # 1e9 fixed-point units per unit of rank
 PR_DAMPING_PCT = 85
@@ -368,10 +366,26 @@ def pagerank_fixed_point(
     """(node, rank) after ``iters`` damped fixed-point iterations.
 
     rank'(v) = (15·SCALE) DIV 100 + (85·Σ_{u→v} rank(u) DIV deg(u)) DIV 100
-    starting from rank = SCALE everywhere."""
+    starting from rank = SCALE everywhere.
+
+    Iterative mechanics (same discipline as connected_components):
+    the degree-annotated edge frame is persisted pre-partitioned on
+    the join key so each iteration shuffles only the rank frame, and
+    ranks are localCheckpoint'ed per round so the plan stays two
+    joins deep instead of unrolling the whole edge derivation once
+    per iteration per branch (the lazy version planned 29 joins for
+    3 iterations)."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    withdeg = edges.join(deg, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    withdeg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     teleport = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
@@ -393,7 +407,9 @@ def pagerank_fixed_point(
                     f" DIV 100"
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
+    withdeg.unpersist()
     return ranks
 
 
