@@ -35,16 +35,58 @@ from ..sources.io import load_table, ts_event_time
 
 
 def _feature_aggs(value_col: str) -> list[Column]:
+    """Feature aggregates from EXACT decimal partials.
+
+    ``value`` carries ≤6 decimal places, so DECIMAL(18,6) sums are
+    exact and merge-order-independent; every float feature is then a
+    fixed scalar sequence of IEEE double ops on those exact sums —
+    bit-identical in Spark and the DuckDB oracle.  The first version
+    used ``F.var_samp`` directly: its one-pass partial merges are
+    order-dependent in the last ulps, which survived ROUND(..,6) at
+    sf0.01 but flipped a rounding boundary in one sf0.1 session
+    (caught by the full-registry sf0.1 sweep, round 5).  Algebraic
+    sums — unlike a two-pass centered variance — stay streamable:
+    they are plain aggregates over one grouping pass."""
     v = F.col(value_col)
+    vd = v.cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    sv = F.sum(vd).cast("double")
+    sv2 = F.sum(vd * vd).cast("double")
+    sabs = F.sum(F.abs(vd)).cast("double")
     return [
-        F.count(F.lit(1)).alias("n_samples"),
-        F.avg(v).alias("mean_v"),
-        F.var_samp(v).alias("var_v"),
+        n.alias("n_samples"),
+        (sv / nd).alias("mean_v"),
+        # unbiased sample variance: (n·Σv² − (Σv)²) / (n·(n−1));
+        # NULL for single-sample groups, matching var_samp
+        (
+            (sv2 * nd - sv * sv)
+            / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
+        ).alias("var_v"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"),
-        # single-axis resultant = mean magnitude (ExtractFeature.java:70-82)
-        F.avg(F.sqrt(v * v)).alias("resultant"),
+        # single-axis resultant = mean magnitude (ExtractFeature.java:70-82);
+        # |v| == sqrt(v²) exactly, and abs keeps the decimal sum exact
+        (sabs / nd).alias("resultant"),
     ]
+
+
+#: the same features as one oracle-SQL fragment (DuckDB dialect),
+#: shared by the three window-shape oracles below so the Spark and
+#: oracle formulas can never drift apart
+_VD = "CAST(value AS DECIMAL(18,6))"
+_FEATURE_AGGS_SQL = f"""
+  COUNT(*) AS n_samples,
+  ROUND(CAST(SUM({_VD}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS mean_v,
+  ROUND((CAST(SUM({_VD} * {_VD}) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+         - CAST(SUM({_VD}) AS DOUBLE) * CAST(SUM({_VD}) AS DOUBLE))
+        / NULLIF(CAST(COUNT(*) AS DOUBLE)
+                 * (CAST(COUNT(*) AS DOUBLE) - 1), 0), 6) AS var_v,
+  MIN(value) AS min_v,
+  MAX(value) AS max_v,
+  ROUND(CAST(SUM(ABS({_VD})) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS resultant"""
 
 
 #: the streamed feature columns, for sinks/tests
@@ -176,12 +218,7 @@ WITH flagged AS (
 SELECT user_id, event_type,
   epoch_ms(MIN(event_time)) AS session_start_ms,
   epoch_ms(MAX(event_time) + INTERVAL 36 HOUR) AS session_end_ms,
-  COUNT(*) AS n_samples,
-  ROUND(AVG(value), 6) AS mean_v,
-  ROUND(VAR_SAMP(value), 6) AS var_v,
-  MIN(value) AS min_v,
-  MAX(value) AS max_v,
-  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+{_FEATURE_AGGS_SQL}
 FROM sess GROUP BY user_id, event_type, sid
 """
 
@@ -211,12 +248,7 @@ SELECT user_id, event_type,
   (epoch_us(ts) // {_WIN_US}) * {_WIN_US} // 1000 AS window_start_ms,
   ((epoch_us(ts) // {_WIN_US}) * {_WIN_US} + {_WIN_US}) // 1000
     AS window_end_ms,
-  COUNT(*) AS n_samples,
-  ROUND(AVG(value), 6) AS mean_v,
-  ROUND(VAR_SAMP(value), 6) AS var_v,
-  MIN(value) AS min_v,
-  MAX(value) AS max_v,
-  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+{_FEATURE_AGGS_SQL}
 FROM events
 GROUP BY 1, 2, 3, 4
 """
@@ -290,11 +322,6 @@ WITH ev AS (
 SELECT user_id, event_type,
   win_start_us // 1000 AS window_start_ms,
   (win_start_us + {_WIN_US}) // 1000 AS window_end_ms,
-  COUNT(*) AS n_samples,
-  ROUND(AVG(value), 6) AS mean_v,
-  ROUND(VAR_SAMP(value), 6) AS var_v,
-  MIN(value) AS min_v,
-  MAX(value) AS max_v,
-  ROUND(AVG(SQRT(value * value)), 6) AS resultant
+{_FEATURE_AGGS_SQL}
 FROM expl GROUP BY 1, 2, 3, 4
 """
