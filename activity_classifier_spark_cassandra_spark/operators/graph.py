@@ -381,8 +381,14 @@ def pagerank_fixed_point(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # node set = src ∪ dst, so sink-only vertices of a DIRECTED input
+    # still get rank rows (teleport + inbound mass).  Their own
+    # outgoing mass is simply dropped, not redistributed — the
+    # standard simplification; symmetric inputs (trade_edges) have no
+    # sinks and lose nothing.
     nodes = (
         edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -33,6 +33,7 @@ files.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -45,27 +46,42 @@ N_TIME_BUCKETS = 8
 
 
 def write_time_clustered(
-    ev: DataFrame, path: str, n_buckets: int = N_TIME_BUCKETS
+    ev: DataFrame,
+    path: str,
+    n_buckets: int = N_TIME_BUCKETS,
+    bounds: tuple[int, int] | None = None,
 ) -> None:
     """Write events clustered into ``n_buckets`` time-range files.
 
     The bucket key is an order-preserving rescale of epoch-ms by the
-    broadcast min/max (integer DIV end-to-end), so bucket k holds a
+    min/max bounds (integer DIV end-to-end), so bucket k holds a
     contiguous 1/n slice of the timeline — which is what makes the
     per-file min/max envelopes narrow and the manifest selective.
+    Pass ``bounds=(lo_ms, hi_ms)`` when the caller already computed
+    them; otherwise one tiny aggregate is broadcast against the scan.
     """
     ms = ts_ms(ev, "ts")
-    bounds = ev.select(ms.alias("_ms")).agg(
-        F.min("_ms").alias("_lo"), F.max("_ms").alias("_hi")
-    )
-    (
-        ev.withColumn("_ms", ms)
-        .crossJoin(F.broadcast(bounds))
-        .withColumn(
+    if bounds is not None:
+        lo, hi = bounds
+        clustered = ev.withColumn("_ms", ms).withColumn(
             "file_bucket",
-            F.expr(f"(_ms - _lo) * {n_buckets} DIV (_hi - _lo + 1)"),
+            F.expr(f"(_ms - {lo}L) * {n_buckets} DIV ({hi}L - {lo}L + 1)"),
         )
-        .drop("_ms", "_lo", "_hi")
+    else:
+        agg = ev.select(ms.alias("_ms")).agg(
+            F.min("_ms").alias("_lo"), F.max("_ms").alias("_hi")
+        )
+        clustered = (
+            ev.withColumn("_ms", ms)
+            .crossJoin(F.broadcast(agg))
+            .withColumn(
+                "file_bucket",
+                F.expr(f"(_ms - _lo) * {n_buckets} DIV (_hi - _lo + 1)"),
+            )
+            .drop("_lo", "_hi")
+        )
+    (
+        clustered.drop("_ms")
         .repartition(n_buckets, "file_bucket")
         .write.mode("overwrite")
         .partitionBy("file_bucket")
@@ -121,12 +137,17 @@ def pruned_range_agg(
         "acsc_manifest_prune",
         f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{uuid.uuid4().hex}",
     )
-    write_time_clustered(ev, out)
-    manifest = build_manifest(spark, out)
-    total = manifest.count()
-    kept = prune_files(manifest, a, b)
+    write_time_clustered(ev, out, bounds=(lo, hi))
+    # ONE manifest scan: collect the metadata-scale table once, then
+    # both the total and the overlap prune are plain Python over it
+    mrows = build_manifest(spark, out).collect()
+    total = len(mrows)
+    kept = [r["file"] for r in mrows if r["max_ms"] >= a and r["min_ms"] < b]
 
-    pruned = spark.read.parquet(*kept)
+    # an empty prune (no file overlaps [a, b)) must return an empty
+    # result, not crash on a zero-path read — fall back to the full
+    # directory; the exact filter below yields the same zero rows
+    pruned = spark.read.parquet(*kept) if kept else spark.read.parquet(out)
     ms = ts_ms(pruned, "ts")
     result = (
         pruned.filter((ms >= a) & (ms < b))
@@ -138,7 +159,11 @@ def pruned_range_agg(
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
             ).alias("sum_value"),
         )
+        # materialize now so the temp clustered copy can be deleted
+        # before the caller ever consumes the frame
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(out, ignore_errors=True)
     return result, len(kept), total
 
 

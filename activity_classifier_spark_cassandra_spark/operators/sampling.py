@@ -249,18 +249,10 @@ _TICKETS_SQL = (
 )
 
 
-def _hash60_spark_sql(expr: str, seed: int) -> str:
-    """Spark-dialect twin of sketches._hash60_sql (conv(), not the
-    DuckDB '0x' cast) for use inside higher-order-function lambdas
-    where a Column can't reach."""
-    return (
-        f"cast(conv(substring(md5(concat_ws('|', '{seed}', "
-        f"cast({expr} as string))), 1, 15), 16, 10) as bigint)"
-    )
-
-
 def weighted_sample_by_size(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
     """k documents sampled ~proportionally to n_chars, deterministic."""
+    from .sketches import _hash60_spark_sql
+
     ticket_hash = _hash60_spark_sql(
         "concat(cast(doc_id as string), ':', cast(t as string))",
         WEIGHTED_SEED,

@@ -54,6 +54,18 @@ def _hash60_sql(expr: str, seed: int) -> str:
     )
 
 
+def _hash60_spark_sql(expr: str, seed: int) -> str:
+    """Spark-SQL-string twin of _hash60 (conv(), not the DuckDB '0x'
+    cast) for use inside higher-order-function lambdas where a Column
+    can't reach.  The THREE spellings of the shared 60-bit md5 recipe
+    live side by side here on purpose — see _cms_coords: drift between
+    any two of them breaks a cross-engine guarantee."""
+    return (
+        f"cast(conv(substring(md5(concat_ws('|', '{seed}', "
+        f"cast({expr} as string))), 1, 15), 16, 10) as bigint)"
+    )
+
+
 # ------------------------------------------------- count-min sketch
 def _cms_coords(col: Column) -> Column:
     """Exploded R (r, bucket) coordinate structs for a key column —

@@ -54,6 +54,23 @@ def test_pagerank_dangling_free_and_mass_bounded(spark):
     assert mx < n * G.PR_SCALE  # single node can't exceed total mass
 
 
+def test_pagerank_directed_sink_gets_rank(spark):
+    """A DIRECTED input's sink-only vertex must still receive a rank
+    row (teleport + inbound mass), not silently vanish."""
+    edges = spark.createDataFrame([Row(src=1, dst=2)])
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_fixed_point(edges, iters=3).collect()
+    }
+    S, D = G.PR_SCALE, G.PR_DAMPING_PCT
+    tele = (100 - D) * S // 100
+    # node 1 never receives mass: teleport only.  node 2 receives
+    # node 1's full rank each round (deg(1)=1).
+    r2 = tele + (D * S) // 100
+    r2 = tele + (D * tele) // 100  # iter 2: node 1's rank is now tele
+    assert got == {1: tele, 2: r2}
+
+
 def test_pagerank_plan_no_cartesian_topk(spark):
     q = G.q_pagerank(spark, SF_DIR)
     plan = q._jdf.queryExecution().executedPlan().toString()
