@@ -361,7 +361,7 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, iters: int = PR_ITERS
+    edges: DataFrame, iters: int = PR_ITERS, checkpoint_every: int = 8
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped fixed-point iterations.
 
@@ -370,11 +370,14 @@ def pagerank_fixed_point(
 
     Iterative mechanics (same discipline as connected_components):
     the degree-annotated edge frame is persisted pre-partitioned on
-    the join key so each iteration shuffles only the rank frame, and
-    ranks are localCheckpoint'ed per round so the plan stays two
-    joins deep instead of unrolling the whole edge derivation once
-    per iteration per branch (the lazy version planned 29 joins for
-    3 iterations)."""
+    the join key and the node frame is checkpointed — both are reused
+    every round, and without this the whole edge derivation re-plans
+    once per iteration per branch (29 joins for 3 iterations).  The
+    rank frame itself is used ONCE per round, so short runs chain
+    lazily (one job, no per-round barrier) and only every
+    ``checkpoint_every``-th round truncates lineage — the barrier
+    that keeps plan depth bounded on long runs without paying 3 eager
+    materializations for a 3-iteration query."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     withdeg = (
         edges.join(deg, "src")
@@ -394,7 +397,7 @@ def pagerank_fixed_point(
     )
     teleport = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             withdeg.join(ranks, withdeg.src == ranks.node)
             # exact integer floor division — `/` would go through a
@@ -413,9 +416,10 @@ def pagerank_fixed_point(
                     f" DIV 100"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    withdeg.unpersist()
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    withdeg.unpersist(blocking=False)
     return ranks
 
 
