@@ -721,3 +721,93 @@ SELECT w1, w2, COUNT(*) AS n
 FROM p GROUP BY w1, w2
 ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_TOP_K}
 """
+
+
+# ------------------------------------------------- PMI collocations
+#
+# Pointwise mutual information over the ±SKIP_WINDOW co-occurrence
+# pairs above: PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P(a,b) over
+# the pair space and P(w) over the token space — the classic
+# collocation-mining statistic (Church & Hanks 1990), and the signal
+# word2vec's SGNS implicitly factorizes.  A minimum pair count keeps
+# the estimate out of the small-sample noise floor.
+#
+# Determinism: both engines evaluate the IDENTICAL arithmetic shape
+# ((n_pair·N_tok·N_tok) / (N_pairs·n_a·n_b), one LN, one ROUND) on
+# identical integers, so the doubles agree bit-for-bit; ordering uses
+# the rounded value with (w1, w2) tie-breaks — a total order.
+#
+# Scale shape: pair/unigram count tables are Zipf-bounded, the two
+# scalar totals ride in a 1-row broadcast, and the two count joins are
+# broadcastable under AQE.  The corpus itself is scanned twice (pairs,
+# unigrams) and never re-keyed by anything wider than a token.
+
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        skipgram_pairs(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    toks = docs.select(F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = toks.agg(F.count(F.lit(1)).alias("n_tok_total")).crossJoin(
+        skipgram_pairs(docs).agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    )
+    return (
+        pairs.join(uni.withColumnRenamed("tok", "w1")
+                   .withColumnRenamed("n_tok", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2")
+              .withColumnRenamed("n_tok", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(
+                "round(ln((cast(n_pair as double) * n_tok_total"
+                " * n_tok_total) / (cast(n_pairs_total as double)"
+                " * c1 * c2)), 6)"
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_COLLOCATIONS_SQL = f"""
+WITH t AS (
+  SELECT {_TOKENIZE} AS toks FROM documents
+),
+p AS (
+  SELECT toks[i] AS w1, toks[i + d] AS w2
+  FROM t,
+       UNNEST(range(1, LEN(toks) + 1)) AS u(i),
+       UNNEST([{", ".join(str(d) for d in range(1, SKIP_WINDOW + 1))}]) AS dd(d)
+  WHERE i + d <= LEN(toks)
+),
+pairs AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM p GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}
+),
+toks AS (SELECT UNNEST(toks) AS tok FROM t),
+uni AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM toks) AS n_tok_total,
+         (SELECT COUNT(*) FROM p) AS n_pairs_total
+)
+SELECT w1, w2, n_pair,
+       ROUND(LN((CAST(n_pair AS DOUBLE) * n_tok_total * n_tok_total)
+                / (CAST(n_pairs_total AS DOUBLE) * u1.n_tok * u2.n_tok)),
+             6) AS pmi
+FROM pairs
+JOIN uni u1 ON pairs.w1 = u1.tok
+JOIN uni u2 ON pairs.w2 = u2.tok
+CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""

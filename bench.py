@@ -92,6 +92,8 @@ HEADLINE = [
     "q_weighted_sample",
     "q_pagerank",
     "q_skipgram_pairs",
+    "q_session_paths",
+    "q_pmi_collocations",
 ]
 
 
