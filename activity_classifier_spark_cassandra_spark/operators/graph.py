@@ -419,6 +419,13 @@ def pagerank_fixed_point(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize BEFORE unpersisting: the loop may have run no eager
+    # action (iters < checkpoint_every), and dropping the cache
+    # registration on a still-lazy frame would make every consumer
+    # re-derive the edge join with no cache at all — the persist
+    # would never have cached anything
+    if iters == 0 or iters % checkpoint_every != 0:
+        ranks = ranks.localCheckpoint(eager=True)
     withdeg.unpersist(blocking=False)
     return ranks
 

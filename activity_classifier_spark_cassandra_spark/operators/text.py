@@ -748,16 +748,24 @@ PMI_TOP_K = 20
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
+    pairs_all = (
         skipgram_pairs(docs)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
     )
+    pairs = pairs_all.filter(F.col("n_pair") >= PMI_MIN_PAIR)
     toks = docs.select(F.explode(F.expr(_TOKENIZE_SPARK)).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    totals = toks.agg(F.count(F.lit(1)).alias("n_tok_total")).crossJoin(
-        skipgram_pairs(docs).agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    # the scalar totals FOLD the count tables (Zipf-bounded) instead of
+    # re-tokenizing / re-pairing the corpus — two corpus scans total,
+    # not four
+    totals = (
+        uni.agg(F.sum("n_tok").cast("long").alias("n_tok_total"))
+        .crossJoin(
+            pairs_all.agg(
+                F.sum("n_pair").cast("long").alias("n_pairs_total")
+            )
+        )
     )
     return (
         pairs.join(uni.withColumnRenamed("tok", "w1")

@@ -28,6 +28,7 @@ BNLJ_OK = {
     "q_heavy_hitters_cms",  # 1-row (n_total, n_keys) totals broadcast
     "q_zorder_layout",  # 1-row min/max bounds broadcast for normalization
     "q_temperature_sample",  # 1-row min-domain-count broadcast into rates
+    "q_pmi_collocations",  # 1-row (token-total, pair-total) broadcast
 }
 
 
