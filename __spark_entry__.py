@@ -35,6 +35,7 @@ from activity_classifier_spark_cassandra_spark.operators import incremental as I
 from activity_classifier_spark_cassandra_spark.operators import layout as LY
 from activity_classifier_spark_cassandra_spark.operators import manifest as MF
 from activity_classifier_spark_cassandra_spark.operators import paths as PA
+from activity_classifier_spark_cassandra_spark.operators import shuffle as SF
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import spans as SP
 from activity_classifier_spark_cassandra_spark.operators import text as T
@@ -138,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      round) ====
         "q_session_paths": PA.q_session_paths,
         "q_pmi_collocations": T.q_pmi_collocations,
+        # ==== new in round 5e: deterministic epoch shuffling —
+        #      in-window (displacing q_dedup_embedding, r3-green and
+        #      re-hash-verified at sf0.01 + sf0.1 this round) ====
+        "q_shuffle_sample": SF.q_shuffle_sample,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
         "q_dedup_exact": D.q_dedup_exact,
@@ -145,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": D.q_dedup_minhash,
         "q_simhash": D.q_simhash,
         "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_embedding": D.q_dedup_embedding,
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
         # new in round 5 — never driver-verified, so it takes a window
@@ -154,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_dedup_embedding": D.q_dedup_embedding,
         "q_dedup_keep_best": D.q_dedup_keep_best,
         "q_corpus_clean": D.q_corpus_clean,
         "q_text_stats": T.q_text_stats,
@@ -392,5 +397,6 @@ def oracle_sql() -> dict[str, str]:
         "q_skipgram_pairs": T.SKIPGRAM_PAIRS_SQL,
         "q_session_paths": PA.SESSION_PATHS_SQL,
         "q_pmi_collocations": T.PMI_COLLOCATIONS_SQL,
+        "q_shuffle_sample": SF.SHUFFLE_SAMPLE_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

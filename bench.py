@@ -94,6 +94,7 @@ HEADLINE = [
     "q_skipgram_pairs",
     "q_session_paths",
     "q_pmi_collocations",
+    "q_shuffle_sample",
 ]
 
 
