@@ -183,3 +183,93 @@ SELECT user_id, run_id, event_type, valid_from_ms,
        n_events
 FROM runs
 """
+
+
+# ---------------------------------------------------- snapshot diff
+#
+# Table reconciliation: given two snapshots of the same keyed table,
+# classify every key as added / removed / changed / unchanged and roll
+# up per-class counts and value checksums.  This is the audit a
+# lakehouse pipeline runs after every backfill or engine migration
+# ("did the rewrite change anything it shouldn't have?") — and the
+# operator a 100 TB migration uses to prove old==new without eyeballs.
+#
+# Scale shape: ONE full-outer shuffle join on the key — both snapshots
+# hash-partition the same way, and the rollup is map-side-combinable
+# on a 4-row output.  For repeated diffs against a stable base, write
+# both sides bucketed on the key (operators/bucketing.py) and the join
+# plans with zero exchanges.
+#
+# The driver query derives the two snapshots from `events`
+# deterministically (old = event_id % 10 != 0, new = event_id % 7 != 0
+# with value doubled where event_id % 5 == 0) so the diff exercises
+# all four classes; sums ride in DECIMAL so the checksums are
+# merge-order-exact.
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Per-class (status, n_keys, sum_value_old, sum_value_new) from a
+    full-outer key join of two (key, value) snapshots."""
+    o = old.select(
+        F.col(key).alias("k"), F.col("value").alias("v_old")
+    )
+    n = new.select(
+        F.col(key).alias("k"), F.col("value").alias("v_new")
+    )
+    status = (
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(status.alias("status"), "v_old", "v_new")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(
+                F.sum(F.col("v_old").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value_old"),
+            F.round(
+                F.sum(F.col("v_new").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value_new"),
+        )
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    old = ev.filter(F.expr("event_id % 10 != 0"))
+    new = ev.filter(F.expr("event_id % 7 != 0")).select(
+        "event_id",
+        F.expr(
+            "CASE WHEN event_id % 5 == 0 THEN value * 2 ELSE value END"
+        ).alias("value"),
+    )
+    return snapshot_diff(old, new, "event_id")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT event_id AS k, value AS v_old FROM events WHERE event_id % 10 != 0
+),
+new AS (
+  SELECT event_id AS k,
+         CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS v_new
+  FROM events WHERE event_id % 7 != 0
+),
+j AS (
+  SELECT CASE WHEN v_old IS NULL THEN 'added'
+              WHEN v_new IS NULL THEN 'removed'
+              WHEN v_old <> v_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         v_old, v_new
+  FROM old FULL OUTER JOIN new USING (k)
+)
+SELECT status, COUNT(*) AS n_keys,
+       ROUND(CAST(SUM(CAST(v_old AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value_old,
+       ROUND(CAST(SUM(CAST(v_new AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value_new
+FROM j GROUP BY status
+"""

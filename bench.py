@@ -95,6 +95,7 @@ HEADLINE = [
     "q_session_paths",
     "q_pmi_collocations",
     "q_shuffle_sample",
+    "q_snapshot_diff",
 ]
 
 

@@ -54,3 +54,44 @@ def test_matches_duckdb_oracle(spark, name):
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
     con.close()
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from pyspark.sql import Row
+
+    from activity_classifier_spark_cassandra_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [Row(k=1, value=1.0), Row(k=2, value=2.0), Row(k=3, value=3.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, value=2.0), Row(k=3, value=9.0), Row(k=4, value=4.0)]
+    )
+    out = {
+        r["status"]: (r["n_keys"], r["sum_value_old"], r["sum_value_new"])
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert out["removed"] == (1, 1.0, None)
+    assert out["added"] == (1, None, 4.0)
+    assert out["changed"] == (1, 3.0, 9.0)
+    assert out["unchanged"] == (1, 2.0, 2.0)
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    import re
+
+    from activity_classifier_spark_cassandra_spark.operators.cdc import (
+        q_snapshot_diff,
+    )
+
+    plan = (
+        q_snapshot_diff(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one (full-outer) join, no cartesian
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
