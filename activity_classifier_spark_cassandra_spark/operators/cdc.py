@@ -206,19 +206,30 @@ FROM runs
 # all four classes; sums ride in DECIMAL so the checksums are
 # merge-order-exact.
 
-def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, value_col: str = "value"
+) -> DataFrame:
     """Per-class (status, n_keys, sum_value_old, sum_value_new) from a
-    full-outer key join of two (key, value) snapshots."""
+    full-outer key join of two (key, value_col) snapshots.
+
+    Presence is carried as EXPLICIT per-side flags, never inferred
+    from value nullness — a NULL value in a present row must classify
+    as changed/unchanged, not masquerade as a missing key."""
     o = old.select(
-        F.col(key).alias("k"), F.col("value").alias("v_old")
+        F.col(key).alias("k"),
+        F.col(value_col).alias("v_old"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
-        F.col(key).alias("k"), F.col("value").alias("v_new")
+        F.col(key).alias("k"),
+        F.col(value_col).alias("v_new"),
+        F.lit(True).alias("in_new"),
     )
     status = (
-        F.when(F.col("v_old").isNull(), F.lit("added"))
-        .when(F.col("v_new").isNull(), F.lit("removed"))
-        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        # null-safe equality: NULL<=>NULL is unchanged, NULL<=>x changed
+        .when(~F.col("v_old").eqNullSafe(F.col("v_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -261,7 +272,7 @@ new AS (
 j AS (
   SELECT CASE WHEN v_old IS NULL THEN 'added'
               WHEN v_new IS NULL THEN 'removed'
-              WHEN v_old <> v_new THEN 'changed'
+              WHEN v_old IS DISTINCT FROM v_new THEN 'changed'
               ELSE 'unchanged' END AS status,
          v_old, v_new
   FROM old FULL OUTER JOIN new USING (k)

@@ -48,13 +48,22 @@ def shuffle_write(
     n_files: int = 8,
 ) -> None:
     """Write ``df`` in epoch-``epoch``'s shuffled order across
-    ``n_files`` range files (file k = k-th contiguous skey range,
-    sorted within)."""
+    ``n_files`` range files (file k = k-th contiguous slice of the
+    (skey, id) order, sorted within).
+
+    The id tiebreak is part of the RANGE PARTITIONING, not just the
+    within-file sort: 60-bit keys collide with real probability near
+    10^9 rows (birthday bound), and equal-skey rows straddling a file
+    boundary in arbitrary order would silently break the
+    stream-files-in-order == full-permutation contract."""
+    skey = "__shuffle_skey__"  # collision-safe internal column
+    if skey in df.columns:
+        raise ValueError(f"input already has a {skey!r} column")
     (
-        df.withColumn("skey", shuffle_key(F.col(id_col), epoch))
-        .repartitionByRange(n_files, "skey")
-        .sortWithinPartitions("skey", id_col)
-        .drop("skey")
+        df.withColumn(skey, shuffle_key(F.col(id_col), epoch))
+        .repartitionByRange(n_files, skey, id_col)
+        .sortWithinPartitions(skey, id_col)
+        .drop(skey)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -95,3 +95,28 @@ def test_snapshot_diff_single_join_plan(spark):
     # exactly one (full-outer) join, no cartesian
     assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_null_values_are_not_missing_keys(spark):
+    """A NULL value in a PRESENT row must classify as changed /
+    unchanged — presence comes from explicit flags, never from value
+    nullness."""
+    from pyspark.sql import Row
+
+    from activity_classifier_spark_cassandra_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    schema = "k long, value double"
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, 7.0), (2, None), (3, None)], schema
+    )
+    out = {
+        r["status"]: r["n_keys"]
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    # NULL->7.0 changed, 5.0->NULL changed, NULL<=>NULL unchanged
+    assert out == {"changed": 2, "unchanged": 1}
