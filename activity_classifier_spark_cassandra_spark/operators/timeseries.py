@@ -181,3 +181,93 @@ SELECT 'week', CAST(b * {7 * 24 * HOUR_MS} AS BIGINT), CAST(n AS BIGINT),
        ROUND(CAST(sv AS DOUBLE), 2)
 FROM weekly
 """
+
+
+# ------------------------------------------------- per-entity trend
+#
+# Closed-form OLS (value ~ day) per user: slope/intercept from the
+# normal equations over EXACT partial sums — the "is this metric
+# drifting per entity" scan a monitoring pipeline runs over every
+# user/device/tenant, and at 100 TB it is exactly one combinable
+# groupBy (five sums per key), never a per-group model fit.
+#
+# Exactness recipe (the repo convention): x = day offset from the
+# global min day (a 0..~30 integer after one broadcast scalar), so
+# x, x² and Σ stay small exact integers; y sums ride in DECIMAL(18,6)
+# (value carries ≤6 decimals).  Each output is then one fixed scalar
+# sequence of IEEE double ops on the exact sums — bit-identical in
+# Spark and DuckDB, like streaming/sessions._feature_aggs.  Degenerate
+# groups (all events on one day → zero variance in x) get NULL
+# slope/intercept on both engines via NULLIF.
+
+TREND_DAY_MS = 86_400_000
+
+
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # day bucket via integer DIV (ts_ms_sql convention)
+    from ..sources.io import ts_ms_sql
+
+    dayc = F.expr(f"({ts_ms_sql(ev)}) DIV {TREND_DAY_MS}")
+    rows = ev.select("user_id", dayc.alias("day"), "value")
+    lo = rows.agg(F.min("day").alias("_lo"))
+    g = (
+        rows.crossJoin(F.broadcast(lo))
+        .select(
+            "user_id",
+            (F.col("day") - F.col("_lo")).alias("x"),
+            F.col("value").cast("decimal(18,6)").alias("y"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("x * x")).alias("sx2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    den = F.nullif(nd * sx2d - sxd * sxd, F.lit(0.0))
+    slope = (nd * sxyd - sxd * syd) / den
+    intercept = (syd - slope * sxd) / nd
+    return g.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+USER_TREND_SQL = f"""
+WITH rows_ AS (
+  SELECT user_id, epoch_ms(ts) // {TREND_DAY_MS} AS day, value FROM events
+),
+lo AS (SELECT MIN(day) AS lo FROM rows_),
+xy AS (
+  SELECT user_id, day - lo AS x, CAST(value AS DECIMAL(18,6)) AS y
+  FROM rows_ CROSS JOIN lo
+),
+g AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sx2,
+         SUM(y) AS sy, SUM(x * y) AS sxy
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
+    AS slope_per_day,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM g WHERE n >= 2
+"""

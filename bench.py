@@ -96,6 +96,7 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_shuffle_sample",
     "q_snapshot_diff",
+    "q_user_trend",
 ]
 
 

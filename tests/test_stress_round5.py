@@ -75,3 +75,38 @@ def test_manifest_constant_timestamp_hits_empty_prune(spark, tmp_path):
     result, kept, total = MF.pruned_range_agg(spark, out)
     assert kept == 0 and total >= 1
     assert result.count() == 0
+
+
+def test_user_trend_hand_computed_line(spark, tmp_path):
+    """Events exactly on y = 3 + 2·day must recover slope 2 and
+    intercept 3; a one-day user must get NULL slope (zero x-variance);
+    single-event users are filtered."""
+    import datetime
+
+    from activity_classifier_spark_cassandra_spark.operators.timeseries import (
+        q_user_trend,
+    )
+
+    def ev(i, user, day, value):
+        return Row(
+            event_id=i,
+            ts=datetime.datetime(2024, 1, 1 + day),
+            user_id=user,
+            event_type="m",
+            value=float(value),
+            props="{}",
+        )
+
+    rows = [ev(i, 1, d, 3 + 2 * d) for i, d in enumerate([0, 1, 2, 3])]
+    rows += [ev(10 + i, 2, 1, 5.0) for i in range(3)]  # one day only
+    rows += [ev(20, 3, 2, 9.0)]  # single event -> filtered
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "trend")
+    df.write.mode("overwrite").parquet(out + "/events.parquet")
+    got = {
+        r["user_id"]: (r["slope_per_day"], r["intercept"], r["n_events"])
+        for r in q_user_trend(spark, out).collect()
+    }
+    assert got[1] == (2.0, 3.0, 4)
+    assert got[2] == (None, None, 3)
+    assert 3 not in got
