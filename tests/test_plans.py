@@ -29,6 +29,7 @@ BNLJ_OK = {
     "q_zorder_layout",  # 1-row min/max bounds broadcast for normalization
     "q_temperature_sample",  # 1-row min-domain-count broadcast into rates
     "q_pmi_collocations",  # 1-row (token-total, pair-total) broadcast
+    "q_user_trend",  # 1-row global min-day broadcast into the x offset
 }
 
 
