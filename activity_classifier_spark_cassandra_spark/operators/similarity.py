@@ -500,3 +500,64 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= {LSH_TOP_K}
 """
+
+
+# --------------------------------------------- per-label centroids
+#
+# Distributed vector aggregation: the mean embedding per label — class
+# prototypes for nearest-centroid classification, the cluster seeds
+# IVF/SemDedup-style pipelines start from, and the building block of
+# per-domain embedding drift monitors.  At 100 TB this must be ONE
+# combinable groupBy over (label, dim) — never a per-label collect or
+# a VectorAssembler round trip.
+#
+# Order-exactness: float components are cast to DECIMAL(38,18) before
+# summing (a double in [-10, 10] carries ≤17 significant digits, so
+# the cast loses nothing that survives ROUND(..,6) later), making the
+# partial sums merge-order-independent — the same discipline as
+# streaming/sessions._feature_aggs, applied to vectors.  The mean is
+# one double division per (label, dim); ROUND(..,6) both engines.
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, dim, n_vectors, centroid) — dim is 1-based."""
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("v").cast("double").cast("decimal(38,18)").alias("vd"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vd").alias("sv"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            F.round(
+                F.col("sv").cast("double") / F.col("n_vectors"), 6
+            ).alias("centroid"),
+        )
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import load_table
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+LABEL_CENTROIDS_SQL = """
+WITH comp AS (
+  SELECT label, i AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18)) AS vd
+  FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS u(i)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM comp GROUP BY label, dim
+"""

@@ -97,6 +97,7 @@ HEADLINE = [
     "q_shuffle_sample",
     "q_snapshot_diff",
     "q_user_trend",
+    "q_label_centroids",
 ]
 
 

@@ -126,3 +126,29 @@ def test_lsh_pairs_share_a_band_and_never_beat_brute(spark):
         )
         assert shared, (qid, nid, bands[qid], bands[nid])
         assert cos <= brute_best[qid] + 1e-9
+
+
+def test_label_centroids_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[3.0, 2.0], label=0),
+            Row(vec_id=3, embedding=[5.0, 5.0], label=1),
+        ]
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n_vectors"], r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    assert got == {
+        (0, 1): (2, 2.0),
+        (0, 2): (2, 1.0),
+        (1, 1): (1, 5.0),
+        (1, 2): (1, 5.0),
+    }
