@@ -531,7 +531,9 @@ def label_centroids(emb: DataFrame) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
+            # count the summed column, not rows: a NULL component must
+            # not inflate the divisor while the sum skips it
+            F.count("vd").alias("n_vectors"),
             F.sum("vd").alias("sv"),
         )
         .select(
@@ -557,7 +559,7 @@ WITH comp AS (
          CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18)) AS vd
   FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS u(i)
 )
-SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vectors,
+SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(vd) AS n_vectors,
        ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS centroid
 FROM comp GROUP BY label, dim
 """

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table, ts_ms
+from ..sources.io import load_table, ts_ms, ts_ms_sql
 from .dedup import _shared
 
 DAY_MS = 86_400_000
@@ -200,15 +200,11 @@ FROM weekly
 # groups (all events on one day → zero variance in x) get NULL
 # slope/intercept on both engines via NULLIF.
 
-TREND_DAY_MS = 86_400_000
-
-
 def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # day bucket via integer DIV (ts_ms_sql convention)
-    from ..sources.io import ts_ms_sql
-
-    dayc = F.expr(f"({ts_ms_sql(ev)}) DIV {TREND_DAY_MS}")
+    # day bucket via integer DIV (ts_ms_sql convention; DAY_MS is the
+    # module-wide day grain)
+    dayc = F.expr(f"({ts_ms_sql(ev)}) DIV {DAY_MS}")
     rows = ev.select("user_id", dayc.alias("day"), "value")
     lo = rows.agg(F.min("day").alias("_lo"))
     g = (
@@ -218,6 +214,9 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day") - F.col("_lo")).alias("x"),
             F.col("value").cast("decimal(18,6)").alias("y"),
         )
+        # a NULL x or y row must not inflate n while being skipped by
+        # the sums — that would silently skew the normal equations
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -245,29 +244,30 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_TREND_SQL = f"""
 WITH rows_ AS (
-  SELECT user_id, epoch_ms(ts) // {TREND_DAY_MS} AS day, value FROM events
+  SELECT user_id, epoch_ms(ts) // {DAY_MS} AS day, value FROM events
 ),
 lo AS (SELECT MIN(day) AS lo FROM rows_),
 xy AS (
   SELECT user_id, day - lo AS x, CAST(value AS DECIMAL(18,6)) AS y
   FROM rows_ CROSS JOIN lo
+  WHERE day IS NOT NULL AND value IS NOT NULL
 ),
 g AS (
   SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sx2,
          SUM(y) AS sy, SUM(x * y) AS sxy
   FROM xy GROUP BY user_id
+),
+g2 AS (
+  SELECT *,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
+  FROM g
 )
 SELECT user_id, CAST(n AS BIGINT) AS n_events,
-  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
-    AS slope_per_day,
-  ROUND((CAST(sy AS DOUBLE)
-         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
-           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
-FROM g WHERE n >= 2
+  ROUND(slope, 6) AS slope_per_day,
+  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept
+FROM g2 WHERE n >= 2
 """

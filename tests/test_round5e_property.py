@@ -1,6 +1,7 @@
 """Property-based checks (hypothesis) for the round-5d/5e operators:
-snapshot diff, session paths, and per-entity trend, each compared
-against an exact sequential Python replay on arbitrary inputs."""
+snapshot diff and session paths, each compared against an exact
+sequential Python replay on arbitrary inputs (per-entity trend is
+pinned by the hand-computed line fixture in test_stress_round5)."""
 
 from __future__ import annotations
 

@@ -152,3 +152,26 @@ def test_label_centroids_hand_computed(spark):
         (1, 1): (1, 5.0),
         (1, 2): (1, 5.0),
     }
+
+
+def test_label_centroids_null_components_do_not_inflate_divisor(spark):
+    from pyspark.sql import Row
+
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, None], label=0),
+            Row(vec_id=2, embedding=[3.0, 2.0], label=0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n_vectors"], r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    # dim 2 has ONE present component -> mean 2.0, not 1.0
+    assert got[(0, 1)] == (2, 2.0)
+    assert got[(0, 2)] == (1, 2.0)
