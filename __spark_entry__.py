@@ -155,9 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      in-window (displacing q_dedup_exact, r3-green and
         #      re-hash-verified at sf0.01 + sf0.1 this round) ====
         "q_label_centroids": S.q_label_centroids,
+        # ==== new in round 5e: schema-evolution merge read —
+        #      in-window (displacing q_dedup_ngram_jaccard, r3-green
+        #      and re-hash-verified at sf0.01 + sf0.1 this round) ====
+        "q_schema_evolution": IO.q_schema_evolution,
         # ==== r3-green LLM-data-pipeline families (stalest of the
         #      rest) — dedup / graph / text / similarity ====
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_simhash_near_dup": D.q_simhash_near_dup,
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
@@ -167,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==================== window boundary (~50) ====================
         # ==== r3-green remainder — first in line for round 6 ====
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
         "q_simhash": D.q_simhash,
@@ -413,5 +417,6 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_diff": C.SNAPSHOT_DIFF_SQL,
         "q_user_trend": TS.USER_TREND_SQL,
         "q_label_centroids": S.LABEL_CENTROIDS_SQL,
+        "q_schema_evolution": IO.SCHEMA_EVOLUTION_SQL,
         # q_ml_train_eval / q_ml_predict_counts / q_ml_serve: rows-only.
     }

@@ -454,3 +454,89 @@ def compact_small_files(
         )
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+# ------------------------------------------- schema-evolution read
+#
+# Real tables evolve: files written before a column existed sit next
+# to files written after.  A 100 TB table can never be rewritten just
+# because a column was added, so the READER must union schemas across
+# file generations (Spark: parquet ``mergeSchema``; the same contract
+# Iceberg/Delta implement with schema-id metadata).  This query does
+# the whole loop end-to-end: write a generation-1 slice WITHOUT
+# event_type and a generation-2 slice WITH it, read the directory with
+# mergeSchema (gen-1 rows surface NULL event_type), and roll up.  The
+# DuckDB oracle computes the expected result straight from the
+# original table using the same deterministic generation rule — so a
+# lossy or misaligned merge read (dropped rows, column misbinding,
+# wrong NULL fill) hash-mismatches.
+
+def write_two_generation_table(ev, path: str) -> None:
+    """gen1/ = even event_ids, pre-evolution schema (no event_type);
+    gen2/ = odd event_ids, evolved schema (adds event_type)."""
+    gen1 = ev.filter(F.expr("event_id % 2 = 0")).select(
+        "event_id", "user_id", "value"
+    )
+    gen2 = ev.filter(F.expr("event_id % 2 = 1")).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(path, "gen1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(path, "gen2"))
+
+
+def read_merged_schema(spark: SparkSession, path: str):
+    """Union-schema read across generations; missing columns are NULL
+    for files that predate them."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-generation write → mergeSchema read → rollup, hash-compared
+    against the original table under the same generation rule."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "acsc_schema_evolution",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{uuid.uuid4().hex}",
+    )
+    write_two_generation_table(ev, out)
+    merged = read_merged_schema(spark, out)
+    result = (
+        merged.groupBy(
+            F.coalesce("event_type", F.lit("pre_evolution")).alias(
+                "event_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        # materialize so the temp generations can be deleted before
+        # the caller consumes the frame
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_evolution'
+            ELSE event_type END AS event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value
+FROM events
+GROUP BY 1
+"""

@@ -98,6 +98,7 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_user_trend",
     "q_label_centroids",
+    "q_schema_evolution",
 ]
 
 

@@ -303,3 +303,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     n_all = ev.filter(F.col("event_type") == "view").count()
     assert back.count() == n_all
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """gen-1 files lack event_type: the merged read must surface the
+    union schema with NULLs for pre-evolution rows, losing nothing."""
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        read_merged_schema,
+        write_two_generation_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    out = str(tmp_path / "twogen")
+    write_two_generation_table(ev, out)
+    merged = read_merged_schema(spark, out)
+    assert "event_type" in merged.columns
+    assert merged.count() == ev.count()  # lossless
+    nulls = merged.filter("event_type IS NULL").count()
+    assert nulls == ev.filter("event_id % 2 = 0").count()
