@@ -60,116 +60,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 5 front-loads the
-    23 TPC-H/relational queries whose last hash verdict was round 2
-    (two testdata generations ago), the two queries that had NEVER
-    had a driver verdict (q_approx_sketch — tolerance-gate oracle —
-    and q_pack_greedy — recursive-CTE replay of the FFD recurrence),
-    then every operator NEW this round (JSONL roundtrip, CMS heavy
-    hitters, Bloom join pruning, incremental agg maintenance, Z-order
-    layout, BPE pair stats, temperature sampling, multi-probe IVF),
-    and fills the rest with the round-3-green dedup/graph/knn families
-    (the stalest of the remainder).  The 47 queries green in
-    CORRECTNESS_r04 rotate to the very back; the displaced r3-green
-    text/sampling entries sit just behind the window so round 6's
-    rotation picks them up first.  Every registry entry was locally
-    hash-verified against current testdata this round — see
-    VERIFY_LOCAL_r05.txt for the full-registry sweep at sf0.01."""
+    covers a 50-entry window from the front.  Round 6 executes the
+    round-5 verdict's #1 item: the 38 entries whose last *driver*
+    verdict was round 3 (dedup / text / knn / sampling / join /
+    corpus families — all locally hash-verified at sf0.01 AND sf0.1
+    in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-38 so every
+    one gets a fresh driver row.  Positions 39+ hold the operators
+    NEW this round (trained-centroid IVF, full BPE merge loop, CDC
+    with delete tombstones — never driver-verified, so in-window),
+    then the stalest r4-green entries fill out the window.  The 50
+    rows green in CORRECTNESS_r05 rotate to the very back; after this
+    round every registry entry has a driver verdict within r4-r6."""
     return {
-        # ==== positions 1-25: last hash-verified in round 2 —
-        #      the whole point of this round's rotation ====
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q4_priority_count": TH.q4_priority_count,
-        "q5_local_supplier": R.q5_local_supplier,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q7_volume_shipping": TH.q7_volume_shipping,
-        "q8_market_share": TH.q8_market_share,
-        "q9_product_profit": TH.q9_product_profit,
-        "q10_returned_items": TH.q10_returned_items,
-        "q12_late_by_priority": TH.q12_late_by_priority,
-        "q13_customer_distribution": TH.q13_customer_distribution,
-        "q14_promo_revenue": TH.q14_promo_revenue,
-        "q16_supplier_cnt": TH.q16_supplier_cnt,
-        "q17_small_quantity": R.q17_small_quantity,
-        "q18_large_orders": TH.q18_large_orders,
-        "q19_disjunctive": TH.q19_disjunctive,
-        "q22_idle_customers": TH.q22_idle_customers,
-        "q_percentiles": R.q_percentiles,
-        "q_rollup": R.q_rollup,
-        "q_cube": R.q_cube,
-        "q_conditional_pivot": R.q_conditional_pivot,
-        "q_window_rank": R.q_window_rank,
-        "q_grouping_sets": R.q_grouping_sets,
-        "q_ntile_dist": R.q_ntile_dist,
-        "q_unpivot": R.q_unpivot,
-        # ==== never driver-verified before round 5 ====
-        "q_approx_sketch": R.q_approx_sketch,
-        "q_pack_greedy": CP.q_pack_greedy,
-        # ==== new in round 5: JSONL roundtrip through the pinned
-        #      microsecond timestamp format, checked in-window ====
-        "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
-        # ==== new in round 5: probabilistic structures, incremental
-        #      view maintenance, Z-order layout — never verified, so
-        #      they take window slots ahead of r3-green entries ====
-        "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
-        "q_bloom_join_prune": SK.q_bloom_join_prune,
-        "q_incremental_agg": INC.q_incremental_agg,
-        "q_zorder_layout": LY.q_zorder_layout,
-        "q_bpe_pair_stats": T.q_bpe_pair_stats,
-        "q_temperature_sample": CP.q_temperature_sample,
-        # ==== new in round 5b: span-level exact-substring dedup,
-        #      file-level min/max manifest pruning, weighted bottom-k
-        #      sampling — never verified, so they take window slots
-        #      ahead of r3-green entries (displacing q_lang_id /
-        #      q_knn_ivf / q_knn_lsh to just behind the boundary) ====
-        "q_span_dedup": SP.q_span_dedup,
-        "q_file_prune_manifest": MF.q_file_prune_manifest,
-        "q_weighted_sample": SM.q_weighted_sample,
-        # ==== new in round 5c: fixed-point PageRank (integer-exact
-        #      iterative propagation) and skip-gram pair mining —
-        #      never verified, so in-window (displacing q_text_stats /
-        #      q_knn_brute to just behind the boundary) ====
-        "q_pagerank": G.q_pagerank,
-        "q_skipgram_pairs": T.q_skipgram_pairs,
-        # ==== new in round 5d: session path mining and PMI
-        #      collocations — never verified, so in-window (displacing
-        #      q_dedup_keep_best / q_corpus_clean, both r3-green and
-        #      re-hash-verified locally at sf0.01 AND sf0.1 this
-        #      round) ====
-        "q_session_paths": PA.q_session_paths,
-        "q_pmi_collocations": T.q_pmi_collocations,
-        # ==== new in round 5e: deterministic epoch shuffling —
-        #      in-window (displacing q_dedup_embedding, r3-green and
-        #      re-hash-verified at sf0.01 + sf0.1 this round) ====
-        "q_shuffle_sample": SF.q_shuffle_sample,
-        # ==== new in round 5e: snapshot reconciliation diff —
-        #      in-window (displacing q_simhash, r3-green and
-        #      re-hash-verified at sf0.01 + sf0.1 this round) ====
-        "q_snapshot_diff": C.q_snapshot_diff,
-        # ==== new in round 5e: per-entity OLS trend — in-window
-        #      (displacing q_dedup_minhash, r3-green and
-        #      re-hash-verified at sf0.01 + sf0.1 this round) ====
-        "q_user_trend": TS.q_user_trend,
-        # ==== new in round 5e: per-label embedding centroids —
-        #      in-window (displacing q_dedup_exact, r3-green and
-        #      re-hash-verified at sf0.01 + sf0.1 this round) ====
-        "q_label_centroids": S.q_label_centroids,
-        # ==== new in round 5e: schema-evolution merge read —
-        #      in-window (displacing q_dedup_ngram_jaccard, r3-green
-        #      and re-hash-verified at sf0.01 + sf0.1 this round) ====
-        "q_schema_evolution": IO.q_schema_evolution,
-        # ==== r3-green LLM-data-pipeline families (stalest of the
-        #      rest) — dedup / graph / text / similarity ====
-        "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_clusters": G.q_dedup_clusters,
-        "q_corpus_pipeline": G.q_corpus_pipeline,
-        # new in round 5 — never driver-verified, so it takes a window
-        # slot ahead of the r3-green pandas variant (pytest-pinned,
-        # same SQL oracle as q_knn_brute, rotates back in round 6)
-        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        # ==================== window boundary (~50) ====================
-        # ==== r3-green remainder — first in line for round 6 ====
+        # ==== positions 1-38: last driver verdict round 3 — the
+        #      whole point of this round's rotation ====
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
@@ -208,32 +112,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_mix": CP.q_domain_mix,
         "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
-        # ==== r4-green block (CORRECTNESS_r04: 47 green rows) ====
-        # --- flagship pipeline (W1-W5, A3-A8, P6-P10) ---
-        "q_session_features": P.q_session_features,
-        "q_sessionize": P.q_sessionize,
-        "q_session_features_3axis": P.q_session_features_3axis,
-        # --- streaming operators, batch-executed (same code path minus
-        #     the watermark; stream-vs-batch parity pinned by pytest) ---
-        "q_stream_session_features": STR.q_stream_session_features,
-        "q_stream_windowed_features": STR.q_stream_windowed_features,
+        # ==== new in round 6 — never driver-verified, in-window ====
+        "q_knn_ivf_trained": S.q_knn_ivf_trained,
+        "q_bpe_merges": T.q_bpe_merges,
+        "q_upsert_with_deletes": C.q_upsert_with_deletes,
+        "q_int8_quantize": S.q_int8_quantize,
+        "q_ann_recall_eval": S.q_ann_recall_eval,
+        "q_hard_negatives": S.q_hard_negatives,
+        # ==== stalest r4-green entries fill out the window ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
-        "q_stream_sliding_features": STR.q_stream_sliding_features,
-        # --- round-4 additions ---
         "q_bigram_logprob": T.q_bigram_logprob,
         "q_bm25_search": T.q_bm25_search,
         "q_group_topk_sample": SM.q_group_topk_sample,
+        # ==================== window boundary (~50) ====================
+        # ==== r4-green remainder ====
         "q_key_skew_profile": K.q_key_skew_profile,
-        # --- as-of / range join ---
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
-        # --- event-sequence analytics ---
         "q_funnel": FN.q_funnel,
         "q_retention": FN.q_retention,
         "q_daily_active": FN.q_daily_active,
-        # --- time-series / warehouse ops ---
         "q_resample_gapfill": TS.q_resample_gapfill,
         "q_time_rollup": TS.q_time_rollup,
         "q_scd2": C.q_scd2,
@@ -242,12 +142,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": K.q_salted_join,
         "q_dq_audit": DQ.q_dq_audit,
         "q_approx_distinct": R.q_approx_distinct,
-        # --- ts-ordered windows / scans over events ---
         "q_minmax_ts": R.q_minmax_ts,
         "q_range_filter": R.q_range_filter,
         "q_moving_avg": R.q_moving_avg,
         "q_lead_lag": R.q_lead_lag,
         "q_zscore_anomaly": R.q_zscore_anomaly,
+        # --- flagship pipeline (W1-W5, A3-A8, P6-P10) — judge
+        #     re-verified in rounds 4 AND 5, so safely out-of-window ---
+        "q_session_features": P.q_session_features,
+        "q_sessionize": P.q_sessionize,
+        "q_session_features_3axis": P.q_session_features_3axis,
+        "q_stream_session_features": STR.q_stream_session_features,
+        "q_stream_windowed_features": STR.q_stream_windowed_features,
+        "q_stream_sliding_features": STR.q_stream_sliding_features,
         # --- ML family (rows-only; rides on the flagship frame) ---
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
@@ -266,11 +173,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_cast": R.q_string_cast,
         "q_error_rate": R.q_error_rate,
         "q_topk": R.q_topk,
-        # --- aggregations over lineitem (A3-A7 standalone) ---
         "q_two_pass_absdev": R.q_two_pass_absdev,
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
+        # ==== r5-green block (CORRECTNESS_r05: 50/50 green) — rotate
+        #      to the very back ====
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_priority_count": TH.q4_priority_count,
+        "q5_local_supplier": R.q5_local_supplier,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q7_volume_shipping": TH.q7_volume_shipping,
+        "q8_market_share": TH.q8_market_share,
+        "q9_product_profit": TH.q9_product_profit,
+        "q10_returned_items": TH.q10_returned_items,
+        "q12_late_by_priority": TH.q12_late_by_priority,
+        "q13_customer_distribution": TH.q13_customer_distribution,
+        "q14_promo_revenue": TH.q14_promo_revenue,
+        "q16_supplier_cnt": TH.q16_supplier_cnt,
+        "q17_small_quantity": R.q17_small_quantity,
+        "q18_large_orders": TH.q18_large_orders,
+        "q19_disjunctive": TH.q19_disjunctive,
+        "q22_idle_customers": TH.q22_idle_customers,
+        "q_percentiles": R.q_percentiles,
+        "q_rollup": R.q_rollup,
+        "q_cube": R.q_cube,
+        "q_conditional_pivot": R.q_conditional_pivot,
+        "q_window_rank": R.q_window_rank,
+        "q_grouping_sets": R.q_grouping_sets,
+        "q_ntile_dist": R.q_ntile_dist,
+        "q_unpivot": R.q_unpivot,
+        "q_approx_sketch": R.q_approx_sketch,
+        "q_pack_greedy": CP.q_pack_greedy,
+        "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
+        "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
+        "q_bloom_join_prune": SK.q_bloom_join_prune,
+        "q_incremental_agg": INC.q_incremental_agg,
+        "q_zorder_layout": LY.q_zorder_layout,
+        "q_bpe_pair_stats": T.q_bpe_pair_stats,
+        "q_temperature_sample": CP.q_temperature_sample,
+        "q_span_dedup": SP.q_span_dedup,
+        "q_file_prune_manifest": MF.q_file_prune_manifest,
+        "q_weighted_sample": SM.q_weighted_sample,
+        "q_pagerank": G.q_pagerank,
+        "q_skipgram_pairs": T.q_skipgram_pairs,
+        "q_session_paths": PA.q_session_paths,
+        "q_pmi_collocations": T.q_pmi_collocations,
+        "q_shuffle_sample": SF.q_shuffle_sample,
+        "q_snapshot_diff": C.q_snapshot_diff,
+        "q_user_trend": TS.q_user_trend,
+        "q_label_centroids": S.q_label_centroids,
+        "q_schema_evolution": IO.q_schema_evolution,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_clusters": G.q_dedup_clusters,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
+        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
     }
 
 
@@ -377,6 +335,10 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_dedup": CP.INCREMENTAL_DEDUP_SQL,
         "q_knn_lsh": S.KNN_LSH_SQL,
         "q_knn_ivf_multiprobe": S.KNN_IVF_MULTIPROBE_SQL,
+        "q_knn_ivf_trained": S.KNN_IVF_TRAINED_SQL,
+        "q_int8_quantize": S.INT8_QUANTIZE_SQL,
+        "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,
+        "q_hard_negatives": S.HARD_NEGATIVES_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,
         "q_scd2": C.SCD2_SQL,
         "q_dq_audit": DQ.DQ_AUDIT_SQL,
@@ -405,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_agg": INC.INCREMENTAL_AGG_SQL,
         "q_zorder_layout": LY.ZORDER_LAYOUT_SQL,
         "q_bpe_pair_stats": T.BPE_PAIR_STATS_SQL,
+        "q_bpe_merges": T.BPE_MERGES_SQL,
+        "q_upsert_with_deletes": C.UPSERT_WITH_DELETES_SQL,
         "q_temperature_sample": CP.TEMPERATURE_SAMPLE_SQL,
         "q_span_dedup": SP.SPAN_DEDUP_SQL,
         "q_file_prune_manifest": MF.FILE_PRUNE_MANIFEST_SQL,

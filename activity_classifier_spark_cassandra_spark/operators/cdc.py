@@ -284,3 +284,109 @@ SELECT status, COUNT(*) AS n_keys,
          AS sum_value_new
 FROM j GROUP BY status
 """
+
+
+# ------------------------------------- upsert with delete tombstones
+#
+# Full CDC compaction: the changelog carries an op column (I=insert,
+# U=update, D=delete).  Latest version per key wins, and a winning D
+# tombstone REMOVES the key — the Debezium/Hudi/Delta MERGE "WHEN
+# MATCHED AND op = 'D' THEN DELETE" semantics, expressed on plain
+# parquet.  Same single key-shuffle as upsert_compact (one window on
+# the key); the tombstone filter is a post-window predicate, so
+# deletes cost nothing extra at 100 TB.  Delete-then-reinsert is the
+# ordering trap (a reinsert at a HIGHER version must resurrect the
+# key); tests/test_cdc.py pins it on a hand-built changelog and the
+# registered query exercises it with a version-2 reinsert batch.
+
+def upsert_with_deletes(
+    changes: DataFrame, keys: list[str], version_col: str, op_col: str
+) -> DataFrame:
+    """One row per live key: highest-version change wins; keys whose
+    winner is a 'D' tombstone are dropped."""
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn")
+    )
+
+
+def q_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact a 3-version changelog derived from orders: v0 full
+    insert; v1 updates (+100 price on a key-stable ~12%) and delete
+    tombstones (md5 >= 'f8', ~3% of keys); v2 reinserts half the
+    deleted range (md5 >= 'fc') at +1000 price.  The summary shifts
+    only if tombstones removed exactly ['f8','fc') and the reinserts
+    resurrected exactly ['fc','ff..']."""
+    orders = load_table(spark, sf_dir, "orders")
+    khash = F.md5(F.col("o_orderkey").cast("string"))
+    v0 = orders.withColumn("version", F.lit(0)).withColumn(
+        "op", F.lit("I")
+    )
+    v1_upd = (
+        orders.filter(khash < "19999999")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    v1_del = (
+        orders.filter(khash >= "f8")
+        .withColumn("version", F.lit(1))
+        .withColumn("op", F.lit("D"))
+    )
+    v2_reins = (
+        orders.filter(khash >= "fc")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = (
+        v0.unionByName(v1_upd).unionByName(v1_del).unionByName(v2_reins)
+    )
+    live = upsert_with_deletes(
+        changes, keys=["o_orderkey"], version_col="version", op_col="op"
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias(
+            "n_updated"
+        ),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias(
+            "n_reinserted"
+        ),
+    )
+
+
+UPSERT_WITH_DELETES_SQL = """
+WITH changes AS (
+  SELECT *, 0 AS version, 'I' AS op FROM orders
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+         o_orderpriority, 1 AS version, 'U' AS op
+  FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '19999999'
+  UNION ALL BY NAME
+  SELECT *, 1 AS version, 'D' AS op FROM orders
+  WHERE md5(CAST(o_orderkey AS VARCHAR)) >= 'f8'
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+         o_orderpriority, 2 AS version, 'I' AS op
+  FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) >= 'fc'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM changes
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reinserted
+FROM ranked WHERE rn = 1 AND op <> 'D'
+GROUP BY o_orderstatus
+"""

@@ -3,11 +3,14 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 over ``mapInPandas``.
 
 The Spark-side plumbing here is real and tested — schemas, batch
-iteration, partition behavior, UDF signatures — while the actual
-codec work is stubbed: this container has no image/audio libraries,
-so ``decode`` parses a deterministic fake header (see
-``encode_fake_image``) and raises ``NotImplementedError`` for real
-codecs.  Swapping in PIL/libav later changes only the marked inner
+iteration, partition behavior, UDF signatures.  Codec support is
+two-tier: a deterministic fake header (``encode_fake_image``) keeps
+the driver-checkable oracle closed-form, and a REAL stdlib PNG codec
+(``decode_png`` — zlib inflate + full filter reconstruction per the
+public PNG spec, no PIL needed) handles actual image bytes for 8-bit
+gray/RGB/RGBA non-interlaced files.  ``NotImplementedError`` remains
+only for genuinely unsupported codecs (JPEG/WAV/16-bit/interlaced
+PNG); swapping in PIL/libav later changes only the marked inner
 functions, not the dataflow.
 
 Scale design: mapInPandas streams Arrow record batches through one
@@ -24,6 +27,7 @@ this is north-star scope per the build brief / SURVEY.md §2.12.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,20 +66,226 @@ def encode_fake_image(
 
 
 def _decode_header(data: bytes) -> tuple[int, int, int, int, int] | None:
-    """STUB decode: parse the fake header. A real implementation would
-    dispatch on actual magic bytes (PNG/JPEG/WAV/...) to a codec lib."""
-    if data is None or len(data) < _HEADER_LEN:
+    """Header decode, dispatching on magic bytes: the deterministic
+    FIMG fixture header, or a real PNG IHDR (stdlib parse).  Other
+    codecs (JPEG/WAV/...) raise — that branch is the remaining stub."""
+    if data is None or len(data) < 8:
+        return None
+    data = bytes(data)
+    if data[:8] == _PNG_SIG:
+        w, h, c = _png_ihdr(data)
+        return w, h, c, MODALITY_IMAGE, 0
+    if len(data) < _HEADER_LEN:
         return None
     magic, w, h, c, m, sr, _crc = struct.unpack(
         _HEADER, bytes(data[:_HEADER_LEN])
     )
     if magic != _MAGIC:
-        # Real codecs (PNG/JPEG/WAV) are not available in this
+        # JPEG / WAV / video codecs are not available in this
         # container; the dataflow treats unknown blobs as undecodable.
         raise NotImplementedError(
-            "real image/audio codecs are stubbed in this environment"
+            "unsupported codec (only PNG and the FIMG fixture decode here)"
         )
     return w, h, c, m, sr
+
+
+# ------------------------------------------------------ real PNG codec
+#
+# Minimal but REAL PNG decode from the public spec (RFC 2083 / W3C
+# PNG): stdlib zlib inflate of the IDAT stream plus full scanline
+# filter reconstruction (None/Sub/Up/Average/Paeth).  Supported
+# surface: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+# non-interlaced — i.e. everything the paired ``encode_png`` writes.
+# Per-pixel Python is fine HERE because this runs inside an
+# Arrow-batched mapInPandas worker on test-scale fixtures; at 100 TB
+# the swap-in is a vectorized codec (PIL/libvips/GPU-nvJPEG) behind
+# the same (bytes) -> (w, h, ch, raster) signature — the Spark-side
+# batch shape, schema, and payload pruning do not change.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[
+            pos + 4 : pos + 8
+        ]
+        yield typ, data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc
+        if typ == b"IEND":
+            break
+
+
+def _png_ihdr(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from IHDR, gating unsupported shapes."""
+    for typ, chunk in _png_chunks(data):
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} ctype={ctype} interlace={interlace}"
+                    " not supported (8-bit gray/RGB/RGBA only)"
+                )
+            return w, h, _PNG_CHANNELS[ctype]
+    raise NotImplementedError("PNG missing IHDR")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode: (width, height, channels, raster) where raster is
+    h*w*channels bytes in scanline order — filters reconstructed."""
+    if not bytes(data[:8]) == _PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    data = bytes(data)
+    w, h, ch = _png_ihdr(data)
+    idat = b"".join(c for t, c in _png_chunks(data) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel stream")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def _filter_line(line: bytes, prev: bytes, f: int, ch: int) -> bytes:
+    """Forward filter (encoder side of the reconstruction above)."""
+    stride = len(line)
+    out = bytearray(stride)
+    for i in range(stride):
+        a = line[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if f == 0:
+            out[i] = line[i]
+        elif f == 1:
+            out[i] = (line[i] - a) & 0xFF
+        elif f == 2:
+            out[i] = (line[i] - b) & 0xFF
+        elif f == 3:
+            out[i] = (line[i] - (a + b) // 2) & 0xFF
+        elif f == 4:
+            out[i] = (line[i] - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f)
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 3,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Spec-compliant PNG writer for test fixtures (8-bit, no
+    interlace).  ``filters`` pins a per-scanline filter type so tests
+    can exercise every reconstruction branch in ``decode_png``."""
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    assert len(raster) == height * stride
+    body = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = raster[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)] if filters else 0
+        body.append(f)
+        body += _filter_line(line, prev, f, channels)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(
+            ">I", crc
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("min_value", T.IntegerType()),
+        T.StructField("max_value", T.IntegerType()),
+    ]
+)
+
+
+def extract_png_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction over (media_id, content:
+    binary) PNG rows via mapInPandas: decode the raster and emit
+    per-image stats.  Same dataflow contract as
+    ``extract_media_features`` — payload pruned inside the Python
+    stage, only typed scalars leave it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, raster = decode_png(blob)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_pixels"].append(w * h)
+                out["mean_value"].append(
+                    sum(raster) / len(raster) if raster else 0.0
+                )
+                out["min_value"].append(min(raster) if raster else 0)
+                out["max_value"].append(max(raster) if raster else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=PNG_STATS_SCHEMA
+    )
 
 
 MEDIA_SCHEMA = T.StructType(
@@ -124,8 +334,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 out["channels"].append(c)
                 out["modality"].append(m)
                 out["n_pixels"].append(int(w) * int(h))
+                # FIMG: bytes past the 16-byte fixture header; PNG:
+                # the whole container is payload.
+                is_png = blob is not None and bytes(blob[:8]) == _PNG_SIG
+                n = len(blob) if blob is not None else 0
                 out["payload_bytes"].append(
-                    max(0, (len(blob) if blob is not None else 0) - _HEADER_LEN)
+                    n if is_png else max(0, n - _HEADER_LEN)
                 )
                 out["decode_ok"].append(ok)
             yield pd.DataFrame(out)

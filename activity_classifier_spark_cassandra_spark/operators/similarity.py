@@ -563,3 +563,516 @@ SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(vd) AS n_vectors,
        ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS centroid
 FROM comp GROUP BY label, dim
 """
+
+
+# ------------------------------------------------- int8 quantization
+#
+# Scalar (symmetric, per-vector) int8 quantization of the embedding
+# column — the standard 4× footprint cut before a 100 TB ANN index is
+# written (FAISS SQ8, Milvus/pgvector int8).  Per vector: scale =
+# max|v| / 127; q_i = floor(v_i / max|v| * 127 + 0.5).  floor(x + 0.5)
+# instead of ROUND keeps the rule engine-portable (both engines' FLOOR
+# is exact on doubles; ROUND-half behavior is the only divergence
+# risk).  Everything is row-local — the quantizer needs no statistics
+# pass, so the plan is a pure narrow map: scan → explode → project,
+# no exchange until the (tiny) result collect.  Output is the exploded
+# scalar form (vec_id, dim, qval, scale) so the value hash compares
+# engine-agnostically (array renderings differ; scalars don't).
+
+def int8_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, qval int, scale) — dim 1-based; all-zero vectors
+    quantize to 0 with scale 0."""
+    maxabs = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    with_max = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        maxabs.alias("maxabs"),
+    )
+    q = F.expr(
+        "CASE WHEN maxabs = 0.0 THEN 0 ELSE "
+        "CAST(floor(CAST(v AS DOUBLE) / maxabs * 127.0 + 0.5) AS INT) END"
+    )
+    return (
+        with_max.select(
+            "vec_id",
+            "maxabs",
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            q.alias("qval"),
+            F.round(F.col("maxabs") / 127.0, 9).alias("scale"),
+        )
+    )
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return int8_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+INT8_QUANTIZE_SQL = """
+WITH wm AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> abs(x)),
+                     (acc, x) -> greatest(acc, x)) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       CASE WHEN maxabs = 0.0 THEN 0
+            ELSE CAST(floor(e[i] / maxabs * 127.0 + 0.5) AS INT) END AS qval,
+       ROUND(maxabs / 127.0, 9) AS scale
+FROM wm, UNNEST(range(1, len(e) + 1)) AS u(i)
+"""
+
+
+# --------------------------------------------------- hard negatives
+#
+# Contrastive-training data mining: for each query vector, the top-k
+# most-similar vectors carrying a DIFFERENT label — the "hard
+# negatives" a retrieval/embedding trainer pairs with each anchor
+# (in-batch negatives are easy; the valuable ones are near-duplicates
+# across class boundaries).  Identical plan shape to q_knn_brute
+# (broadcast queries × one corpus scan, thin top-k window); the label
+# inequality is just one more pushed predicate on the joined pair.
+
+HARD_NEG_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("e1"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cosine", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    ROUND(
+      list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])))), 6)
+      AS cosine
+  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+
+# --------------------------------------------------- ANN recall eval
+#
+# Index-quality measurement as a first-class query: recall@k of the
+# label-bucketed IVF path (nprobe=1) against the brute-force ground
+# truth, per query.  Every production ANN deployment runs exactly this
+# audit before trading the exact scan for the index — and at 100 TB it
+# is itself a distributed job: ground truth for a query SAMPLE via the
+# broadcast brute scan, candidate top-k via the index path, then one
+# tiny join on (query_id, neighbor_id).  Both sides here are the
+# already-verified operators; the eval is their outer join — so the
+# oracle reuses both CTE bodies verbatim.
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qbucket"),
+        F.col("embedding").alias("e1"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("bucket"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("t_query_id"),
+            F.col("neighbor_id").alias("t_neighbor_id"),
+        )
+    )
+    approx = (
+        corpus.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("cand_id"),
+        )
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("t_query_id") == F.col("a_query_id"))
+            & (F.col("t_neighbor_id") == F.col("cand_id")),
+            "left",
+        )
+        .groupBy(F.col("t_query_id").alias("query_id"))
+        .agg(
+            F.count("cand_id").alias("n_hits"),
+            F.round(F.count("cand_id") / F.lit(float(TOP_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(
+          list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))), 6)
+          DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id AS cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(
+          list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))), 6)
+          DESC, c.vec_id ASC) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT t.query_id, COUNT(a.cand_id) AS n_hits,
+       ROUND(COUNT(a.cand_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.cand_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+# ------------------------------------------- trained-centroid IVF
+#
+# The round-5 verdict's north-star item: all earlier IVF paths coarse-
+# quantize with the embeddings table's provided `label`.  A real
+# 100 TB ANN pipeline TRAINS its quantizer.  This is distributed
+# Lloyd's k-means expressed as DataFrame ops:
+#
+#   init      k seed centroids = the k lowest-vec_id vectors
+#   iterate   assign: one corpus scan, centroids broadcast as a
+#             LITERAL array-of-structs, argmin by squared L2 via a
+#             row-local fold (no corpus x k expansion, no shuffle);
+#             update: one combinable (cluster, dim) groupBy with
+#             DECIMAL(38,18) sums (merge-order-exact), mean rounded
+#             to 6 dp
+#   search    final assignment partitions the corpus into buckets;
+#             queries rank the trained centroids and probe the
+#             NPROBE nearest; exact cosine rescores candidates
+#
+# Per iteration the k x dim centroid frame is collect()ed to the
+# driver and re-broadcast as literals — metadata-scale (k·dim doubles)
+# by construction, the same reduce-to-driver step every distributed
+# k-means (including MLlib's) performs between iterations.
+#
+# Cross-engine exactness (why the DuckDB oracle can REPLAY training
+# bit-for-bit rather than tolerance-check it):
+#   * centroids are rounded to 6 dp after init and after every mean
+#     update, so both engines carry identical doubles into the next
+#     iteration (decimal sums are exact; count and divide identical);
+#   * squared-L2 is a strict LEFT FOLD in element order in both
+#     engines (Spark: aggregate(zip_with(..)) from 0.0; DuckDB:
+#     list_reduce, whose seedless fold t1+t2+.. equals 0.0+t1+t2+..
+#     exactly in IEEE754) — the d2 doubles are bit-identical, so the
+#     rounded argmin and its cluster-asc tie-break agree everywhere;
+#   * mirrors pyspark.ml.clustering.KMeans semantics (Lloyd's) with a
+#     deterministic seed; implemented directly so the oracle replays
+#     assignments instead of trusting an RNG.
+
+K_TRAIN = 4
+KMEANS_ITERS = 2
+TRAINED_NPROBE = 2
+
+
+def _cents_literal(cents: list[tuple[int, list[float]]]) -> str:
+    """array(named_struct('k', .., 'c', array(..)), ..) sorted by k —
+    6-dp doubles repr() round-trips exactly in the SQL parser."""
+    parts = []
+    for k, c in sorted(cents):
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c)
+        parts.append(
+            f"named_struct('k', CAST({k} AS INT), 'c', array({arr}))"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+_D2_FOLD = (
+    "round(aggregate(zip_with({x}, {c}, (p, q) ->"
+    " (CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)),"
+    " CAST(0.0 AS DOUBLE), (a2, v2) -> a2 + v2), 6)"
+)
+
+
+def _assign_expr(cents_lit: str, vec_col: str = "embedding") -> str:
+    d2 = _D2_FOLD.format(x=vec_col, c="c.c")
+    return (
+        f"aggregate({cents_lit},"
+        " named_struct('k', CAST(-1 AS INT), 'best', CAST(1e308 AS DOUBLE)),"
+        f" (acc, c) -> CASE WHEN {d2} < acc.best"
+        f" THEN named_struct('k', c.k, 'best', {d2})"
+        " ELSE acc END).k"
+    )
+
+
+def train_kmeans_centroids(
+    emb: DataFrame, k: int = K_TRAIN, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's: returns [(cluster, centroid 6-dp)] after
+    ``iters`` assign/update rounds from the k lowest-vec_id seeds."""
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.expr(
+                "transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cents = [(i, list(r.centroid)) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = emb.select(
+            F.expr(_assign_expr(_cents_literal(cents))).alias("cluster"),
+            "embedding",
+        )
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(38,18)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "pm"
+                )
+            )
+            .select(
+                "cluster", F.expr("transform(pm, x -> x.m)").alias("centroid")
+            )
+            .collect()
+        )
+        cents = [(r.cluster, list(r.centroid)) for r in new_rows]
+    return cents
+
+
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a TRAINED coarse quantizer (2 Lloyd's rounds,
+    k=4 seeded from the lowest vec_ids), multi-probe nprobe=2.  The
+    DuckDB oracle replays the training as chained CTEs — see the
+    exactness argument above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(emb)
+    return ivf_trained_search(emb, cents)
+
+
+def ivf_trained_search(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = TRAINED_NPROBE,
+) -> DataFrame:
+    """Multi-probe IVF search over an already-trained centroid table
+    (search half of q_knn_ivf_trained, parameterized so tests can pin
+    recall@k strict improvement across nprobe on ONE trained index)."""
+    cents_lit = _cents_literal(cents)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e2"),
+        F.expr(_assign_expr(cents_lit)).alias("bucket"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+            F.explode(F.expr(cents_lit)).alias("c"),
+        )
+        .withColumn("d2", F.expr(_D2_FOLD.format(x="e1", c="c.c")))
+        .withColumn(
+            "cent_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d2").asc(), F.col("c.k").asc()
+                )
+            ),
+        )
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", F.col("c.k").alias("bucket"), "e1")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sql_d2(e: str, c: str) -> str:
+    return (
+        f"round(list_reduce(list_transform(range(1, len({e}) + 1),"
+        f" j -> ({e}[j] - {c}[j]) * ({e}[j] - {c}[j])),"
+        " (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sql_assign(prev_cents: str, out: str) -> str:
+    d2 = _sql_d2("v.e", "c.centroid")
+    return f"""{out} AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM corpus v CROSS JOIN {prev_cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_update(assigned: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cluster, j AS dim,
+      ROUND(CAST(SUM(CAST(e[j] AS DECIMAL(38,18))) AS DOUBLE)
+            / COUNT(*), 6) AS m
+    FROM {assigned}, UNNEST(range(1, len(e) + 1)) AS u(j)
+    GROUP BY cluster, j
+  ) GROUP BY cluster
+)"""
+
+
+def _knn_ivf_trained_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT {K_TRAIN})
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(_sql_assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(_sql_update(f"a{i}", f"c{i}"))
+    final = f"c{KMEANS_ITERS}"
+    ctes.append(_sql_assign(final, "af"))
+    d2q = _sql_d2("v.e", "c.centroid")
+    ctes.append(f"""probes AS (
+  SELECT query_id, cluster, qe FROM (
+    SELECT v.vec_id AS query_id, v.e AS qe, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {d2q} ASC, c.cluster ASC) AS cent_rank
+    FROM corpus v CROSS JOIN {final} c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE cent_rank <= {TRAINED_NPROBE}
+)""")
+    ctes.append("""scored AS (
+  SELECT p.query_id, p.cluster AS bucket, a.vec_id AS neighbor_id,
+    ROUND(list_dot_product(p.qe, a.e)
+          / (sqrt(list_dot_product(p.qe, p.qe))
+           * sqrt(list_dot_product(a.e, a.e))), 6) AS cosine
+  FROM probes p JOIN af a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, bucket, neighbor_id, cosine, rank"
+        f"\nFROM ranked WHERE rank <= {TOP_K}"
+    )
+
+
+KNN_IVF_TRAINED_SQL = _knn_ivf_trained_sql()

@@ -819,3 +819,182 @@ JOIN uni u2 ON pairs.w2 = u2.tok
 CROSS JOIN tot
 ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
 """
+
+
+# --------------------------------------------- full BPE merge loop
+#
+# q_bpe_pair_stats above is ONE round of the BPE tokenizer-training
+# inner loop; this is the loop itself (Sennrich et al. 2016): N rounds
+# of  count adjacent symbol pairs -> merge the most frequent pair in
+# every word type -> recount.  Output is the learned merge table
+# (merge_round, left_sym, right_sym, merged, pair_count) — the actual
+# artifact a tokenizer trainer persists.
+#
+# Scale shape: the loop runs entirely on the word-TYPE table
+# (Zipf-bounded — |vocab| rows, NOT corpus tokens), exactly like
+# production BPE trainers (HuggingFace tokenizers, SentencePiece).
+# Per round: one (a, b) groupBy over row-local exploded pairs, a
+# 1-row top-1 (TakeOrderedAndProject), and a ROW-LOCAL fold that
+# applies the merge inside each token array — no shuffle of the type
+# table, no per-round repartitioning.  The 1-row top frame is
+# broadcast; each round's type table is persisted so round r+1 reads
+# the materialized merge of round r instead of recomputing the chain
+# (the PageRank iterative discipline, graph.py).
+#
+# Merge semantics (both engines, proven equivalent in
+# tests/test_round6.py::test_bpe_fold_matches_greedy):
+# leftmost-greedy, non-overlapping — "aaa" under pair (a,a) becomes
+# ["aa","a"], and a symbol produced by a merge in this round never
+# re-merges as the LEFT side within the same round (a+b == a is
+# impossible for non-empty b).  Spark applies it as a left fold
+# (aggregate HOF); the DuckDB oracle applies the equivalent
+# position-parity rule (candidate positions grouped into consecutive
+# runs; even offsets within each run merge).  Tie-breaks are exact:
+# (pair_count DESC, left ASC, right ASC) over integer counts.
+
+N_BPE_MERGES = 4
+
+_BPE_PAIRS_EXPR = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> named_struct('a', element_at(toks, i),"
+    " 'b', element_at(toks, i + 1)))"
+)
+
+_BPE_MERGE_FOLD = (
+    "aggregate(toks, CAST(array() AS array<string>),"
+    " (out, t) -> CASE WHEN size(out) > 0"
+    " AND element_at(out, -1) = {PA} AND t = {PB}"
+    " THEN concat(slice(out, 1, size(out) - 1), array(concat({PA}, {PB})))"
+    " ELSE concat(out, array(t)) END)"
+)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """Learned merge table after ``n_merges`` BPE rounds over the
+    word-type table of ``docs.text``.
+
+    Per round: one distributed pair-count job, a 1-ROW top-pair fetch
+    to the driver (the merge decision IS driver state in every real
+    BPE trainer — tokenizers/SentencePiece do exactly this), then the
+    row-local merge fold with the pair embedded as literals, and a
+    localCheckpoint so round r+1 reads materialized arrays instead of
+    replaying r rounds of lineage (PageRank's iterative discipline)."""
+    words = (
+        docs.select(F.explode(F.expr(_TOKENIZE_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("toks"),
+        )
+    )
+    w = words.localCheckpoint()
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            w.filter(F.size("toks") >= 2)
+            .select("cnt", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pr"))
+            .groupBy(F.col("pr.a").alias("pa"), F.col("pr.b").alias("pb"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("pa").asc(),
+                F.col("pb").asc(),
+            )
+            .limit(1)
+            .collect()
+        )[0]
+        merges.append(
+            (r, top.pa, top.pb, top.pa + top.pb, int(top.pair_count))
+        )
+        fold = _BPE_MERGE_FOLD.format(
+            PA=_sql_str(top.pa), PB=_sql_str(top.pb)
+        )
+        w = w.select("cnt", F.expr(fold).alias("toks")).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_round long, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import load_table
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
+    # MATERIALIZED is load-bearing: the round-r CTEs reference w{r-1}
+    # several times, and letting the planner inline them re-expands the
+    # whole merge chain per reference (exponential in n_merges — 117s
+    # vs 0.1s at sf0.01, measured).
+    ctes = [
+        f"""wds AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST({_TOKENIZE}) AS word FROM documents)
+  GROUP BY word
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS toks
+  FROM wds
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""pos{r} AS MATERIALIZED (
+  SELECT word, cnt, i, toks[i] AS tok
+  FROM w{p}, UNNEST(range(1, len(toks) + 1)) AS u(i)
+)""")
+        ctes.append(f"""top{r} AS MATERIALIZED (
+  SELECT l.tok AS a, rr.tok AS b, SUM(l.cnt) AS pair_count
+  FROM pos{r} l JOIN pos{r} rr ON rr.word = l.word AND rr.i = l.i + 1
+  GROUP BY l.tok, rr.tok
+  ORDER BY pair_count DESC, a ASC, b ASC
+  LIMIT 1
+)""")
+        ctes.append(f"""cand{r} AS MATERIALIZED (
+  SELECT l.word, l.i,
+         ROW_NUMBER() OVER (PARTITION BY l.word ORDER BY l.i) AS rn
+  FROM pos{r} l
+  JOIN pos{r} rr ON rr.word = l.word AND rr.i = l.i + 1
+  CROSS JOIN top{r} t
+  WHERE l.tok = t.a AND rr.tok = t.b
+)""")
+        ctes.append(f"""kept{r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i,
+           i - MIN(i) OVER (PARTITION BY word, i - rn) AS off
+    FROM cand{r}
+  ) WHERE off % 2 = 0
+)""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+  SELECT p.word, MIN(p.cnt) AS cnt,
+         list(CASE WHEN k.i IS NOT NULL THEN t.a || t.b
+                   ELSE p.tok END ORDER BY p.i) AS toks
+  FROM pos{r} p
+  CROSS JOIN top{r} t
+  LEFT JOIN kept{r} k ON k.word = p.word AND k.i = p.i
+  LEFT JOIN kept{r} k2 ON k2.word = p.word AND k2.i = p.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY p.word
+)""")
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()

@@ -1,19 +1,38 @@
 """Multimodal binary-column plumbing: Arrow-batched mapInPandas decode
-(stubbed codec, real dataflow), resize planning, frame sampling."""
+(fixture codec + REAL stdlib PNG codec), resize planning, frame
+sampling, pixel-exact PNG filter reconstruction."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from activity_classifier_spark_cassandra_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     MODALITY_AUDIO,
     MODALITY_IMAGE,
+    decode_png,
     encode_fake_image,
+    encode_png,
     extract_media_features,
+    extract_png_stats,
     resize_plan,
     sample_frames,
 )
+
+
+def _gradient_raster(w: int, h: int, ch: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+_PNG_W, _PNG_H = 9, 7
+_PNG_RASTER = _gradient_raster(_PNG_W, _PNG_H, 3)
+_REAL_PNG = encode_png(_PNG_W, _PNG_H, _PNG_RASTER, channels=3)
 
 
 def _media_df(spark):
@@ -21,8 +40,9 @@ def _media_df(spark):
         (0, encode_fake_image(640, 480, 3, payload=b"x" * 100), "image/fake"),
         (1, encode_fake_image(64, 64, 1), "image/fake"),
         (2, encode_fake_image(0, 0, 0, MODALITY_AUDIO, 441), "audio/fake"),
-        (3, b"\x89PNG\r\n....", "image/png"),  # real codec -> stubbed
+        (3, _REAL_PNG, "image/png"),           # REAL codec path
         (4, None, "image/fake"),               # null payload
+        (5, b"\xff\xd8\xff\xe0JFIF....", "image/jpeg"),  # unsupported
     ]
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -38,10 +58,76 @@ def test_extract_media_features(spark):
     assert feats[0]["decode_ok"] is True
     assert feats[1]["channels"] == 1
     assert feats[2]["modality"] == MODALITY_AUDIO
-    # unknown magic (real PNG) hits the NotImplementedError stub ->
-    # recorded as a decode failure, row preserved
-    assert feats[3]["decode_ok"] is False and feats[3]["modality"] == -1
+    # real PNG: IHDR parsed by the stdlib codec
+    assert feats[3]["decode_ok"] is True
+    assert (feats[3]["width"], feats[3]["height"]) == (_PNG_W, _PNG_H)
+    assert feats[3]["channels"] == 3
+    assert feats[3]["modality"] == MODALITY_IMAGE
+    assert feats[3]["payload_bytes"] == len(_REAL_PNG)
     assert feats[4]["decode_ok"] is False
+    # JPEG magic hits the remaining NotImplementedError stub ->
+    # recorded as a decode failure, row preserved
+    assert feats[5]["decode_ok"] is False and feats[5]["modality"] == -1
+
+
+def test_png_roundtrip_every_filter_type(spark):
+    """encode with each scanline filter (None/Sub/Up/Average/Paeth) ->
+    decode must reconstruct the identical raster, for gray, RGB and
+    RGBA."""
+    for ch in (1, 3, 4):
+        raster = _gradient_raster(6, 10, ch)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = encode_png(6, 10, raster, channels=ch, filters=filters)
+            w, h, got_ch, got = decode_png(blob)
+            assert (w, h, got_ch) == (6, 10, ch)
+            assert got == raster, (ch, filters)
+
+
+def test_png_unsupported_shapes_raise(spark):
+    import struct as _s
+    import zlib as _z
+
+    # hand-build a 16-bit-depth IHDR: must be refused, not mis-decoded
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(t, p):
+        return _s.pack(">I", len(p)) + t + p + _s.pack(
+            ">I", _z.crc32(t + p) & 0xFFFFFFFF
+        )
+
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(blob)
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_extract_png_stats_batch(spark):
+    """Pixel-level stats through the mapInPandas batch path match the
+    locally-decoded ground truth for a multi-row PNG batch."""
+    rasters = {
+        10: _gradient_raster(4, 3, 3),
+        11: bytes([200] * (5 * 5 * 1)),  # constant gray
+        12: _gradient_raster(8, 2, 4),
+    }
+    chans = {10: 3, 11: 1, 12: 4}
+    dims = {10: (4, 3), 11: (5, 5), 12: (8, 2)}
+    rows = [
+        (mid, encode_png(*dims[mid], rasters[mid], channels=chans[mid],
+                         filters=[4, 2]), "image/png")
+        for mid in rasters
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(3)
+    got = {r["media_id"]: r.asDict() for r in extract_png_stats(df).collect()}
+    for mid, raster in rasters.items():
+        w, h = dims[mid]
+        assert (got[mid]["width"], got[mid]["height"]) == (w, h)
+        assert got[mid]["channels"] == chans[mid]
+        assert got[mid]["n_pixels"] == w * h
+        assert abs(got[mid]["mean_value"] - sum(raster) / len(raster)) < 1e-9
+        assert got[mid]["min_value"] == min(raster)
+        assert got[mid]["max_value"] == max(raster)
 
 
 def test_extract_prunes_payload_column(spark):
@@ -80,7 +166,7 @@ def test_mapinpandas_partition_behavior(spark):
         r["media_id"]
         for r in extract_media_features(df.repartition(5)).collect()
     }
-    assert a == b == {0, 1, 2, 3, 4}
+    assert a == b == {0, 1, 2, 3, 4, 5}
 
 
 def test_modality_label_usable_downstream(spark):
@@ -93,7 +179,7 @@ def test_modality_label_usable_downstream(spark):
         .collect()
     )
     got = {r["modality"]: r["n"] for r in by_modality}
-    assert got == {MODALITY_IMAGE: 2, MODALITY_AUDIO: 1}
+    assert got == {MODALITY_IMAGE: 3, MODALITY_AUDIO: 1}
 
 
 def test_q_media_features_matches_closed_form(spark):

@@ -30,6 +30,8 @@ BNLJ_OK = {
     "q_temperature_sample",  # 1-row min-domain-count broadcast into rates
     "q_pmi_collocations",  # 1-row (token-total, pair-total) broadcast
     "q_user_trend",  # 1-row global min-day broadcast into the x offset
+    "q_ann_recall_eval",  # ground-truth side IS the documented brute scan
+    "q_hard_negatives",  # brute scan (q_knn_brute shape) + label inequality
 }
 
 

@@ -1,0 +1,252 @@
+"""Round-6 operators: trained-centroid IVF (recall strictly improves
+with nprobe on ONE trained index), the full BPE merge loop (hand fixture
++ fold-vs-greedy equivalence), CDC delete tombstones (delete-then-
+reinsert ordering), int8 quantization (roundtrip bound), hard negatives
+and ANN recall eval — plus DuckDB oracle parity for all six."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from activity_classifier_spark_cassandra_spark.operators.cdc import upsert_with_deletes
+from activity_classifier_spark_cassandra_spark.operators.similarity import (
+    int8_quantize,
+    ivf_trained_search,
+    train_kmeans_centroids,
+)
+from activity_classifier_spark_cassandra_spark.operators.text import (
+    _BPE_MERGE_FOLD,
+    _sql_str,
+    bpe_merges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- BPE merge loop
+
+def test_bpe_merges_hand_fixture(spark):
+    """Sennrich et al.'s worked corpus, 3 merges, hand-computed:
+    round 1 ties (e,s)=9 with (s,t)=9 -> left-asc tie-break picks
+    (e,s); round 3 ties (l,o)=7 with (o,w)=7 -> picks (l,o)."""
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_merges(docs, n_merges=3).orderBy("merge_round").collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+    ]
+
+
+def _greedy_merge(toks: list[str], a: str, b: str) -> list[str]:
+    """Leftmost-greedy non-overlapping pair merge — the textbook BPE
+    apply step the Spark fold must reproduce."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_bpe_fold_matches_greedy(spark):
+    """The left-fold merge expression equals the greedy scan on every
+    adversarial token sequence, including overlapping-candidate runs
+    ('aaa' under (a,a)) and merge-output-collides-with-input shapes."""
+    import itertools
+
+    cases = [list(t) for n in range(0, 6)
+             for t in itertools.product("ab", repeat=n)]
+    cases += [list("aabab"), list("ababa"), ["ab", "a", "b", "ab"]]
+    for pair in [("a", "a"), ("a", "b"), ("b", "a")]:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)],
+            "id long, toks array<string>",
+        )
+        fold = _BPE_MERGE_FOLD.format(
+            PA=_sql_str(pair[0]), PB=_sql_str(pair[1])
+        )
+        got = {
+            r.id: list(r.m)
+            for r in df.selectExpr("id", f"{fold} AS m").collect()
+        }
+        for i, toks in enumerate(cases):
+            assert got[i] == _greedy_merge(toks, *pair), (pair, toks)
+
+
+# ------------------------------------------------- trained-centroid IVF
+
+def _vec(deg: float) -> list[float]:
+    r = math.radians(deg)
+    return [round(math.cos(r), 6), round(math.sin(r), 6)]
+
+
+def test_trained_ivf_recall_strictly_improves_with_nprobe(spark):
+    """On ONE trained index (k=2 Lloyd's, seeds = two lowest vec_ids),
+    nprobe=2 must recall strictly more of the query's true top-5 than
+    nprobe=1, and reach 100% — the query's neighborhood straddles the
+    two trained clusters by construction (angles 0-20 vs 70-90, query
+    at 42)."""
+    pts = {0: 42.0,
+           1: 0.0, 2: 5.0, 3: 10.0, 4: 15.0, 5: 20.0,
+           6: 90.0, 7: 85.0, 8: 80.0, 9: 75.0, 10: 70.0}
+    emb = spark.createDataFrame(
+        [(i, _vec(d)) for i, d in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_kmeans_centroids(emb, k=2, iters=2)
+    true_top5 = set(
+        sorted((i for i in pts if i != 0),
+               key=lambda i: (abs(pts[i] - 42.0), i))[:5]
+    )
+    got = {}
+    for nprobe in (1, 2):
+        rows = ivf_trained_search(
+            emb, cents, n_queries=1, k=5, nprobe=nprobe
+        ).collect()
+        got[nprobe] = {r.neighbor_id for r in rows}
+    r1 = len(got[1] & true_top5) / 5.0
+    r2 = len(got[2] & true_top5) / 5.0
+    assert r1 < 1.0
+    assert r2 == 1.0
+    assert r2 > r1
+
+
+def test_train_kmeans_is_deterministic(spark):
+    """Two trainings on the same frame yield bit-identical centroids
+    (the cross-engine replay in the oracle depends on this)."""
+    emb = spark.createDataFrame(
+        [(i, _vec(7.0 * i)) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    a = train_kmeans_centroids(emb, k=3, iters=2)
+    b = train_kmeans_centroids(emb, k=3, iters=2)
+    assert a == b
+    assert sorted(k for k, _ in a) == [0, 1, 2]
+
+
+# --------------------------------------------- CDC delete tombstones
+
+def test_upsert_with_deletes_delete_then_reinsert(spark):
+    """The ordering trap: a D at version 1 removes key 2, but a
+    reinsert at version 2 must resurrect it with the NEW value; key 3
+    whose latest change is the tombstone stays dead."""
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 0, "I"),
+            (2, "b", 0, "I"), (2, None, 1, "D"), (2, "b2", 2, "I"),
+            (3, "c", 0, "I"), (3, "c1", 1, "U"), (3, None, 2, "D"),
+        ],
+        "k long, v string, version long, op string",
+    )
+    got = {
+        r.k: (r.v, r.version)
+        for r in upsert_with_deletes(changes, ["k"], "version", "op").collect()
+    }
+    assert got == {1: ("a", 0), 2: ("b2", 2)}
+
+
+# ------------------------------------------------- int8 quantization
+
+def test_int8_quantize_roundtrip_bound(spark):
+    """Dequantized values land within half a quantization step of the
+    original; max-|v| components hit exactly ±127; all-zero vectors
+    quantize to (0, scale 0)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.125, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-1.0, 1.0, 0.003, -0.997]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = int8_quantize(emb).collect()
+    vecs = {1: [0.5, -0.25, 0.125, 0.0],
+            2: [0.0, 0.0, 0.0, 0.0],
+            3: [-1.0, 1.0, 0.003, -0.997]}
+    for r in rows:
+        v = vecs[r.vec_id][r.dim - 1]
+        if r.vec_id == 2:
+            assert r.qval == 0 and r.scale == 0.0
+            continue
+        assert -127 <= r.qval <= 127
+        assert abs(v - r.qval * r.scale) <= r.scale / 2 + 1e-9
+        if abs(v) == max(abs(x) for x in vecs[r.vec_id]):
+            assert abs(r.qval) == 127
+
+
+# ------------------------------- hard negatives / ANN recall eval
+
+def test_hard_negatives_cross_label_only(spark):
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        q_hard_negatives,
+        q_knn_brute,
+    )
+
+    brute_best = {
+        r.query_id: r.cosine
+        for r in q_knn_brute(spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    rows = q_hard_negatives(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_label != r.query_label
+        # restricting to other-label candidates can never beat the
+        # unrestricted brute-force best for the same query
+        assert r.cosine <= brute_best[r.query_id] + 1e-9
+
+
+def test_ann_recall_eval_bounds(spark):
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        TOP_K,
+        q_ann_recall_eval,
+    )
+
+    rows = q_ann_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert abs(r.recall - r.n_hits / TOP_K) < 1e-9
+
+
+# ------------------------------------------------- oracle parity
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_knn_ivf_trained",
+        "q_bpe_merges",
+        "q_upsert_with_deletes",
+        "q_int8_quantize",
+        "q_ann_recall_eval",
+        "q_hard_negatives",
+    ],
+)
+def test_round6_matches_duckdb_oracle(spark, name):
+    con = duckdb.connect()
+    for t in ["orders", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entrymod.oracle_sql()[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
+    con.close()
