@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_int8_quantize": S.q_int8_quantize,
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
+        # skew-resistant flagship: same oracle as q_session_features —
+        # a green row proves the bucketed sessionizer is bit-identical
+        "q_session_features_skewres": P.q_session_features_skewres,
         # ==== stalest r4-green entries fill out the window ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -236,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_sessionize": P.SESSIONIZE_SQL,
         "q_session_features": P.SESSION_FEATURES_SQL,
+        "q_session_features_skewres": P.SESSION_FEATURES_SQL,
         "q_session_features_3axis": P.SESSION_FEATURES_3AXIS_SQL,
         "q_stream_session_features": STR.STREAM_SESSION_FEATURES_SQL,
         "q_stream_windowed_features": STR.STREAM_WINDOWED_FEATURES_SQL,

@@ -168,6 +168,58 @@ def q_session_features_3axis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_session_features_skewres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship feature frame on the SKEW-RESISTANT path —
+    bit-identical output (the driver registers it under the SAME
+    oracle SQL as q_session_features):
+
+      * ``sessionize_skew_hybrid`` detects hot (user_id, event_type)
+        keys and routes ONLY them through the time-bucketed
+        sessionizer + broadcast-metadata start join (bounded tasks,
+        genuinely tiny broadcasts); cold keys keep the plain
+        one-exchange window path; union before windowing math;
+      * the feature groupBy is already skew-safe (partial aggregation;
+        grouping keys include session_id/window_id, so a hot key is
+        spread over its windows).
+
+    ``hot_min_rows=13`` here is deliberately tiny so the driver's
+    sf0.01 oracle run pushes roughly half the keys down EACH branch
+    (sf0.01 per-key counts span 3-24); production uses the 1M default.
+    Measured at the 100x probe with a >=20% hot key: see BASELINE.md
+    round-6 skew table."""
+    from ..operators.sessions import sessionize_skew_hybrid
+
+    d = sessionize_skew_hybrid(
+        event_samples(spark, sf_dir),
+        keys=KEYS,
+        ts_col="ts_ms",
+        gap=EVENTS_SESSION_GAP_MS,
+        tiebreak=["event_id"],
+        window_ticks=EVENTS_WINDOW_MS,
+        hot_min_rows=13,
+    )
+    feats = extract_features(
+        d,
+        group_cols=GROUP,
+        axes={"v": "value"},
+        ts_col="ts_ms",
+        tiebreak=["event_id"],
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("window_id").cast("long").alias("window_id"),
+        "n_samples",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("var_v", 6).alias("var_v"),
+        F.round("avg_abs_diff_v", 6).alias("avg_abs_diff_v"),
+        F.round("resultant", 6).alias("resultant"),
+        F.round("avg_time_peak", 6).alias("avg_time_peak"),
+        encode_event_type().alias("label"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _BASE_CTES = f"""

@@ -108,6 +108,30 @@ def _with_event_time(
     return df.withColumn(out_col, ts_event_time(df, ts_col))
 
 
+#: metric names emitted by the arrival audit, for sinks/tests
+AUDIT_METRICS = ("n_input", "n_nonnull_ts", "min_event_time", "max_event_time")
+
+
+def _with_arrival_audit(d: DataFrame, name: str) -> DataFrame:
+    """Late-data audit via ``DataFrame.observe``: per micro-batch,
+    count every row that ARRIVED (before the stateful operator decides
+    lateness) plus the batch's event-time span.  Watermark-relative
+    lateness itself is decided inside the stateful aggregation, which
+    reports it as ``stateOperators[].numRowsDroppedByWatermark`` in the
+    query progress; pairing that drop counter with these arrival
+    metrics gives the full audit — observed n_input = kept + dropped —
+    with zero extra passes over the stream (observe piggybacks on the
+    existing scan).  Read via ``query.lastProgress["observedMetrics"]
+    [name]``."""
+    return d.observe(
+        name,
+        F.count(F.lit(1)).alias("n_input"),
+        F.count("event_time").alias("n_nonnull_ts"),
+        F.min("event_time").alias("min_event_time"),
+        F.max("event_time").alias("max_event_time"),
+    )
+
+
 def session_stream_features(
     events: DataFrame,
     keys: Sequence[str] = ("user_id", "event_type"),
@@ -115,15 +139,19 @@ def session_stream_features(
     value_col: str = "value",
     gap: str = "36 hours",
     watermark: str = "48 hours",
+    audit_name: str | None = None,
 ) -> DataFrame:
     """W1-W3 streaming analogue: per-(keys, gap-session) features.
 
     Works on both streaming and batch frames (``session_window`` is
     valid in batch too, which is how tests pin stream/batch parity).
+    ``audit_name`` attaches the observe-based arrival audit.
     """
     d = _with_event_time(events, ts_col)
     if events.isStreaming:
         d = d.withWatermark("event_time", watermark)
+    if audit_name:
+        d = _with_arrival_audit(d, audit_name)
     return (
         d.groupBy(
             *keys, F.session_window("event_time", gap).alias("session")
@@ -145,12 +173,16 @@ def windowed_stream_features(
     value_col: str = "value",
     window: str = "24 hours",
     watermark: str = "48 hours",
+    audit_name: str | None = None,
 ) -> DataFrame:
     """W4-W5 streaming analogue: tumbling-window features with
-    late-data handling.  Batch-compatible for parity testing."""
+    late-data handling.  Batch-compatible for parity testing.
+    ``audit_name`` attaches the observe-based arrival audit."""
     d = _with_event_time(events, ts_col)
     if events.isStreaming:
         d = d.withWatermark("event_time", watermark)
+    if audit_name:
+        d = _with_arrival_audit(d, audit_name)
     return (
         d.groupBy(*keys, F.window("event_time", window).alias("win"))
         .agg(*_feature_aggs(value_col))
@@ -262,6 +294,7 @@ def sliding_stream_features(
     window: str = "24 hours",
     slide: str = "12 hours",
     watermark: str = "48 hours",
+    audit_name: str | None = None,
 ) -> DataFrame:
     """Sliding-window features — the third window shape next to
     tumbling (``windowed_stream_features``) and gap-session
@@ -273,6 +306,8 @@ def sliding_stream_features(
     d = _with_event_time(events, ts_col)
     if events.isStreaming:
         d = d.withWatermark("event_time", watermark)
+    if audit_name:
+        d = _with_arrival_audit(d, audit_name)
     return (
         d.groupBy(*keys, F.window("event_time", window, slide).alias("win"))
         .agg(*_feature_aggs(value_col))

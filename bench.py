@@ -99,6 +99,14 @@ HEADLINE = [
     "q_user_trend",
     "q_label_centroids",
     "q_schema_evolution",
+    # added in round 6: trained-quantizer ANN, tokenizer training loop,
+    # CDC deletes, quantization, contrastive mining, index eval
+    "q_knn_ivf_trained",
+    "q_bpe_merges",
+    "q_upsert_with_deletes",
+    "q_int8_quantize",
+    "q_hard_negatives",
+    "q_ann_recall_eval",
 ]
 
 

@@ -116,3 +116,129 @@ def test_first_row_of_series_is_session_zero(spark):
     df = spark.createDataFrame([(1, 100), (2, 100)], schema=SCHEMA)
     s = with_session_id(df, keys=["u"], gap=10)
     assert [r["session_id"] for r in s.collect()] == [0, 0]
+
+
+def test_bucketed_sessionizer_equals_plain_on_edge_fixture(spark):
+    """with_session_id_bucketed must be bit-identical to the plain
+    window on every boundary shape: a session continuing across a
+    bucket edge, a gap exactly == threshold (NOT a new session), empty
+    buckets between events (new session decided against the last
+    non-empty bucket), equal timestamps ordered by tiebreak across the
+    board, and multiple interleaved keys."""
+    from activity_classifier_spark_cassandra_spark.operators.sessions import (
+        with_session_id_bucketed,
+    )
+
+    gap = 100
+    rows = []
+    # key 1: dense run crossing bucket edges (bucket = gap = 100):
+    # ts 80..130 step 25 -> one session spanning buckets 0 and 1
+    rows += [(1, t, i) for i, t in enumerate([80, 105, 130])]
+    # gap exactly == threshold: 130 -> 230 is NOT new (strict >)
+    rows += [(1, 230, 3)]
+    # gap of 101 IS new
+    rows += [(1, 331, 4)]
+    # empty buckets: jump to 1000 (buckets 4..9 empty) -> new session
+    rows += [(1, 1000, 5)]
+    # equal timestamps, tiebreak decides order
+    rows += [(1, 1000, 6), (1, 1000, 7)]
+    # key 2 interleaved, own chain
+    rows += [(2, 95, 0), (2, 300, 1), (2, 305, 2)]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long")
+
+    plain = with_session_id(
+        df, keys=["u"], ts_col="ts", gap=gap, tiebreak=["eid"]
+    )
+    bucketed = with_session_id_bucketed(
+        df, keys=["u"], ts_col="ts", gap=gap, tiebreak=["eid"],
+        bucket_ticks=gap,
+    )
+    key = lambda r: (r["u"], r["ts"], r["eid"])
+    got_p = {key(r): r["session_id"] for r in plain.collect()}
+    got_b = {key(r): r["session_id"] for r in bucketed.collect()}
+    assert got_b == got_p
+    # sanity on the hand-derivable chain for key 1
+    assert got_p[(1, 80, 0)] == 0 and got_p[(1, 230, 3)] == 0
+    assert got_p[(1, 331, 4)] == 1 and got_p[(1, 1000, 7)] == 2
+
+
+def test_bucketed_sessionizer_equals_plain_on_events(spark):
+    """Full-table equality on the sf0.001 events series keys."""
+    from activity_classifier_spark_cassandra_spark.constants import (
+        EVENTS_SESSION_GAP_MS,
+    )
+    from activity_classifier_spark_cassandra_spark.operators.sessions import (
+        with_session_id_bucketed,
+    )
+    from activity_classifier_spark_cassandra_spark.plans.pipeline import (
+        event_samples,
+    )
+
+    ev = event_samples(spark, "/root/testdata/sf0.001")
+    kw = dict(
+        keys=["user_id", "event_type"], ts_col="ts_ms",
+        gap=EVENTS_SESSION_GAP_MS, tiebreak=["event_id"],
+    )
+    plain = with_session_id(ev, **kw)
+    bucketed = with_session_id_bucketed(ev, **kw)
+    key = ["user_id", "event_type", "event_id"]
+    diff = (
+        plain.select(*key, "session_id")
+        .join(
+            bucketed.select(*key, F.col("session_id").alias("sid_b")),
+            key,
+        )
+        .filter(F.col("session_id") != F.col("sid_b"))
+    )
+    assert plain.count() == bucketed.count() == ev.count()
+    assert diff.count() == 0
+
+
+def test_skew_hybrid_equals_plain_path(spark):
+    """sessionize_skew_hybrid (hot/cold routing) must reproduce the
+    plain with_session_id + windowed-min path exactly on the sf0.001
+    events, with a threshold low enough that BOTH branches carry
+    keys."""
+    from activity_classifier_spark_cassandra_spark.constants import (
+        EVENTS_SESSION_GAP_MS,
+        EVENTS_WINDOW_MS,
+    )
+    from activity_classifier_spark_cassandra_spark.operators.sessions import (
+        hot_keys,
+        sessionize_skew_hybrid,
+    )
+    from activity_classifier_spark_cassandra_spark.plans.pipeline import (
+        event_samples,
+    )
+
+    ev = event_samples(spark, "/root/testdata/sf0.001")
+    n_hot = hot_keys(ev, ["user_id", "event_type"], 14).count()
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert 0 < n_hot < n_keys  # both branches active
+
+    hyb = sessionize_skew_hybrid(
+        ev, keys=["user_id", "event_type"], ts_col="ts_ms",
+        gap=EVENTS_SESSION_GAP_MS, tiebreak=["event_id"],
+        window_ticks=EVENTS_WINDOW_MS, hot_min_rows=14,
+    )
+    plain_s = with_session_id(
+        ev, keys=["user_id", "event_type"], ts_col="ts_ms",
+        gap=EVENTS_SESSION_GAP_MS, tiebreak=["event_id"],
+    )
+    from activity_classifier_spark_cassandra_spark.operators.windows import (
+        with_window_id,
+    )
+
+    plain = with_window_id(
+        plain_s, keys=["user_id", "event_type"], ts_col="ts_ms",
+        window_ticks=EVENTS_WINDOW_MS,
+    )
+    cols = ["user_id", "event_type", "event_id", "session_id",
+            "session_start", "window_id"]
+    diff = (
+        hyb.select(*cols)
+        .exceptAll(plain.select(*cols))
+        .unionAll(plain.select(*cols).exceptAll(hyb.select(*cols)))
+    )
+    assert hyb.count() == plain.count() == ev.count()
+    assert diff.count() == 0

@@ -143,3 +143,78 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
         | (result["n_samples"] != batch["n_samples"])
     )
     assert mismatch.count() == 0
+
+
+def test_late_data_audit_counts_dropped_rows(spark, tmp_path):
+    """Observe-based late-data audit on a doubled feed: drain 1
+    establishes the watermark; drain 2 re-feeds rows that are now
+    beyond it plus fresh ones.  The observed arrival metrics must count
+    EVERY drain-2 row, the state operator must drop exactly the late
+    ones, and the appended output must contain no contribution from
+    the dropped rows."""
+    from datetime import datetime
+
+    def ev_rows(hours, uid=1):
+        return [
+            (uid, "walk", datetime(2024, 1, 1 + h // 24, h % 24), 1.0)
+            for h in hours
+        ]
+
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_stream_features(
+                stream, window="1 hour", watermark="2 hours",
+                audit_name="late_audit",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q.recentProgress
+
+    # drain 1: hours 0..11 -> watermark lands at 11:00 - 2h = 09:00
+    spark.createDataFrame(ev_rows(range(12)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    # drain 2: 3 late rows (hours 2,3,4 < 09:00) + 2 fresh rows
+    late, fresh = [2, 3, 4], [12, 13]
+    spark.createDataFrame(ev_rows(late + fresh), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    progress = [p for p in drain() if p and p["numInputRows"] > 0]
+    assert progress, "second drain processed no data"
+
+    observed = [
+        p["observedMetrics"]["late_audit"]
+        for p in progress
+        if "late_audit" in p.get("observedMetrics", {})
+    ]
+    n_arrived = sum(m["n_input"] for m in observed)
+    assert n_arrived == len(late) + len(fresh)
+    assert all(m["n_nonnull_ts"] == m["n_input"] for m in observed)
+    # progress JSON renders observed timestamps as strings
+    assert min(str(m["min_event_time"]) for m in observed).startswith(
+        "2024-01-01 02:00:00"
+    )
+
+    n_dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    assert n_dropped == len(late)
+
+    # dropped rows left no trace: each finalized 1-hour window carries
+    # exactly its single on-time row
+    result = spark.read.parquet(out)
+    assert result.filter(F.col("n_samples") != 1).count() == 0
