@@ -65,12 +65,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict was round 3 (dedup / text / knn / sampling / join /
     corpus families — all locally hash-verified at sf0.01 AND sf0.1
     in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-38 so every
-    one gets a fresh driver row.  Positions 39+ hold the operators
-    NEW this round (trained-centroid IVF, full BPE merge loop, CDC
-    with delete tombstones — never driver-verified, so in-window),
-    then the stalest r4-green entries fill out the window.  The 50
-    rows green in CORRECTNESS_r05 rotate to the very back; after this
-    round every registry entry has a driver verdict within r4-r6."""
+    one gets a fresh driver row.  Positions 39-46 hold the operators
+    NEW this round — trained-centroid IVF, BPE merge loop + tokenizer
+    apply, CDC delete tombstones, int8 quantization, ANN recall eval,
+    hard negatives, and the skew-hybrid flagship (registered under the
+    flagship's own oracle as its bit-equality proof) — never
+    driver-verified, so in-window; the stalest r4-green entries fill
+    out positions 47-50.  The 50 rows green in CORRECTNESS_r05 rotate
+    to the very back; after this round every registry entry has a
+    driver verdict within r4-r6."""
     return {
         # ==== positions 1-38: last driver verdict round 3 — the
         #      whole point of this round's rotation ====
@@ -115,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== new in round 6 — never driver-verified, in-window ====
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
+        "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
         "q_ann_recall_eval": S.q_ann_recall_eval,
@@ -372,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": LY.ZORDER_LAYOUT_SQL,
         "q_bpe_pair_stats": T.BPE_PAIR_STATS_SQL,
         "q_bpe_merges": T.BPE_MERGES_SQL,
+        "q_bpe_tokenize": T.BPE_TOKENIZE_SQL,
         "q_upsert_with_deletes": C.UPSERT_WITH_DELETES_SQL,
         "q_temperature_sample": CP.TEMPERATURE_SAMPLE_SQL,
         "q_span_dedup": SP.SPAN_DEDUP_SQL,

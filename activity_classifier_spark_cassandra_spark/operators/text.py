@@ -873,9 +873,11 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
-    """Learned merge table after ``n_merges`` BPE rounds over the
-    word-type table of ``docs.text``.
+def bpe_train(
+    docs: DataFrame, n_merges: int = N_BPE_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """The BPE training loop: returns (learned merges, final word-TYPE
+    table ``(cnt, toks)`` with all merges applied).
 
     Per round: one distributed pair-count job, a 1-ROW top-pair fetch
     to the driver (the merge decision IS driver state in every real
@@ -918,6 +920,13 @@ def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
             PA=_sql_str(top.pa), PB=_sql_str(top.pb)
         )
         w = w.select("cnt", F.expr(fold).alias("toks")).localCheckpoint()
+    return merges, w
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """Learned merge table after ``n_merges`` BPE rounds over the
+    word-type table of ``docs.text`` (see ``bpe_train``)."""
+    merges, _ = bpe_train(docs, n_merges)
     return docs.sparkSession.createDataFrame(
         merges,
         "merge_round long, left_sym string, right_sym string,"
@@ -929,6 +938,36 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import load_table
 
     return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+BPE_VOCAB_TOP_K = 30
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY step — what a 100 TB pipeline actually runs
+    after training: corpus token-frequency table under the learned
+    merges.  The Zipf trick makes it cheap: merges are applied to the
+    word-TYPE table (|vocab| rows, already materialized by the training
+    loop), and corpus-level counts come from summing the type counts —
+    the raw token stream is never re-walked.  Top-k is a
+    TakeOrderedAndProject; the oracle reuses the training replay's
+    final ``w{N}`` CTE verbatim, so a divergence in ANY merge round
+    also fails this query."""
+    from ..sources.io import load_table
+
+    _, w = bpe_train(load_table(spark, sf_dir, "documents"))
+    return (
+        w.select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(BPE_VOCAB_TOP_K)
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            "n_occurrences",
+        )
+    )
 
 
 def _bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
@@ -997,4 +1036,23 @@ def _bpe_merges_sql(n_merges: int = N_BPE_MERGES) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_tokenize_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Apply-step oracle: the merge replay's final w{N} CTE is exactly
+    the post-merge word-type table, so the vocabulary count is one
+    aggregate over it — any training divergence surfaces here too."""
+    base = _bpe_merges_sql(n_merges)
+    ctes = base[: base.index("\nSELECT CAST(1 AS BIGINT)")]
+    return (
+        ctes
+        + f"""
+SELECT token, CAST(length(token) AS BIGINT) AS token_len,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT UNNEST(toks) AS token, cnt FROM w{n_merges})
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {BPE_VOCAB_TOP_K}"""
+    )
+
+
 BPE_MERGES_SQL = _bpe_merges_sql()
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()

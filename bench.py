@@ -103,6 +103,8 @@ HEADLINE = [
     # CDC deletes, quantization, contrastive mining, index eval
     "q_knn_ivf_trained",
     "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_session_features_skewres",
     "q_upsert_with_deletes",
     "q_int8_quantize",
     "q_hard_negatives",

@@ -204,3 +204,38 @@ def test_approx_sketch_keeps_percentiles_out_of_sortagg(spark):
     plan = _plan(spark, "q_approx_sketch")
     assert _nodes(plan, "SortAggregate") == 0
     assert _nodes(plan, "ObjectHashAggregate") == 2
+
+
+def test_int8_quantize_is_exchange_free(spark):
+    """The quantizer needs no statistics pass: scan -> explode ->
+    project, zero Exchange anywhere in the plan."""
+    plan = _plan(spark, "q_int8_quantize")
+    assert _nodes(plan, "Exchange") == 0, plan
+
+
+def test_bpe_tokenize_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "q_bpe_tokenize")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_ivf_trained_broadcasts_probes(spark):
+    """Trained IVF search: probes (queries x nprobe) broadcast into the
+    bucketed corpus scan — never a shuffle of the corpus onto buckets."""
+    plan = _plan(spark, "q_knn_ivf_trained")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skewres_flagship_exchange_budget(spark):
+    """Hybrid flagship: each branch shuffles its rows a bounded number
+    of times — cold (window) + hot (bucket window + metadata joins) +
+    the union feature agg must stay within a fixed exchange budget, and
+    every metadata join is broadcast (hot side only carries detected
+    hot keys)."""
+    plan = _plan(spark, "q_session_features_skewres")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # hot-key list + metadata
+    # 14 at round 6: detection agg + per-branch windows/aggs, each over
+    # a branch-filtered or metadata-scale subset; the pin catches a
+    # refactor that starts re-shuffling the full frame per stage.
+    assert _nodes(plan, "Exchange") <= 14, _nodes(plan, "Exchange")

@@ -229,6 +229,7 @@ def test_ann_recall_eval_bounds(spark):
     [
         "q_knn_ivf_trained",
         "q_bpe_merges",
+        "q_bpe_tokenize",
         "q_upsert_with_deletes",
         "q_int8_quantize",
         "q_ann_recall_eval",
@@ -250,3 +251,24 @@ def test_round6_matches_duckdb_oracle(spark, name):
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, rtol=1e-9, atol=1e-9)
     con.close()
+
+
+def test_bpe_tokenize_vocab_counts_hand_fixture(spark):
+    """Apply-step vocabulary counts on the Sennrich corpus after 3
+    merges (es, est, lo), hand-computed from the merged word types."""
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.operators.text import bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    _, w = bpe_train(docs, n_merges=3)
+    got = {
+        r.token: r.n
+        for r in w.select(F.explode("toks").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    assert got == {"lo": 7, "w": 16, "e": 8, "r": 2,
+                   "n": 6, "est": 9, "i": 3, "d": 3}

@@ -97,6 +97,32 @@ def gen_documents(spark, sf, n, out):
     )
 
 
+def gen_embeddings(spark, sf, n, out):
+    """Nx corpus, same query set: copies shift vec_id above N_QUERIES so
+    the probe measures index build + search over an Nx corpus for the
+    SAME queries — the realistic ANN scale-up axis."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    d = emb.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
+    d = d.withColumn(
+        "vec_id", (F.col("vec_id") + F.col("copy") * 1_000_000).cast("long")
+    ).drop("copy")
+    d.repartition(max(8, 2 * n)).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+
+def gen_orders(spark, sf, n, out):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    d = orders.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
+    d = d.withColumn(
+        "o_orderkey",
+        (F.col("o_orderkey") + F.col("copy") * 100_000_000).cast("long"),
+    ).drop("copy")
+    d.repartition(max(8, 2 * n)).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+
+
 # ------------------------------------------------------------- metrics
 def _ui(spark, path):
     port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
@@ -140,8 +166,14 @@ def main():
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default="q_session_features,q_span_dedup",
+        help="comma list; the probe generates every table they need",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
+    probe_queries = args.queries.split(",")
 
     spark = get_spark()
     import __spark_entry__ as E
@@ -154,7 +186,9 @@ def main():
         if not args.skip_gen:
             gen_events(spark, args.sf, n, out)
             gen_documents(spark, args.sf, n, out)
-        for qname in ("q_session_features", "q_span_dedup"):
+            gen_embeddings(spark, args.sf, n, out)
+            gen_orders(spark, args.sf, n, out)
+        for qname in probe_queries:
             wall, cnt, rd, wr = timed(
                 spark, lambda q=qname, o=out: qs[q](spark, o)
             )
