@@ -65,15 +65,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict was round 3 (dedup / text / knn / sampling / join /
     corpus families — all locally hash-verified at sf0.01 AND sf0.1
     in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-38 so every
-    one gets a fresh driver row.  Positions 39-46 hold the operators
+    one gets a fresh driver row.  Positions 39-48 hold the operators
     NEW this round — trained-centroid IVF, BPE merge loop + tokenizer
-    apply, CDC delete tombstones, int8 quantization, ANN recall eval,
-    hard negatives, and the skew-hybrid flagship (registered under the
-    flagship's own oracle as its bit-equality proof) — never
-    driver-verified, so in-window; the stalest r4-green entries fill
-    out positions 47-50.  The 50 rows green in CORRECTNESS_r05 rotate
-    to the very back; after this round every registry entry has a
-    driver verdict within r4-r6."""
+    apply, CDC delete tombstones, int8 quantization + int8-quantized
+    search, contrastive triplets, ANN recall eval, hard negatives, and
+    the skew-hybrid flagship (registered under the flagship's own
+    oracle as its bit-equality proof) — never driver-verified, so
+    in-window; the two stalest r4-green stream entries fill 49-50.
+    The 50 rows green in CORRECTNESS_r05 rotate to the very back;
+    after this round every registry entry has a driver verdict within
+    r4-r6."""
     return {
         # ==== positions 1-38: last driver verdict round 3 — the
         #      whole point of this round's rotation ====
@@ -121,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
+        "q_knn_int8": S.q_knn_int8,
+        "q_contrastive_triplets": S.q_contrastive_triplets,
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         # skew-resistant flagship: same oracle as q_session_features —
@@ -128,13 +131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features_skewres": P.q_session_features_skewres,
         # ==== stalest r4-green entries fill out the window ====
         "q_stream_dedup": SD.q_stream_dedup,
+        # ==================== window boundary (~50) ====================
+        # ==== r4-green remainder ====
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
         "q_bigram_logprob": T.q_bigram_logprob,
         "q_bm25_search": T.q_bm25_search,
         "q_group_topk_sample": SM.q_group_topk_sample,
-        # ==================== window boundary (~50) ====================
-        # ==== r4-green remainder ====
         "q_key_skew_profile": K.q_key_skew_profile,
         "q_asof_join": AJ.q_asof_join,
         "q_range_join": AJ.q_range_join,
@@ -345,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ivf_multiprobe": S.KNN_IVF_MULTIPROBE_SQL,
         "q_knn_ivf_trained": S.KNN_IVF_TRAINED_SQL,
         "q_int8_quantize": S.INT8_QUANTIZE_SQL,
+        "q_knn_int8": S.KNN_INT8_SQL,
+        "q_contrastive_triplets": S.CONTRASTIVE_TRIPLETS_SQL,
         "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,
         "q_hard_negatives": S.HARD_NEGATIVES_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,

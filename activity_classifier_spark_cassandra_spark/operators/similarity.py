@@ -1076,3 +1076,197 @@ def _knn_ivf_trained_sql() -> str:
 
 
 KNN_IVF_TRAINED_SQL = _knn_ivf_trained_sql()
+
+
+# ------------------------------------------------ int8-quantized search
+#
+# Search DIRECTLY on the int8-quantized vectors (the form a 100 TB
+# index is stored in, 4x smaller scans): cosine over symmetric
+# per-vector quantization reduces to INTEGER dot products, because the
+# scale factors cancel —
+#     cos(s1*q1, s2*q2) = (s1*s2*<q1,q2>) / (s1*|q1| * s2*|q2|)
+#                       = <q1,q2> / (|q1| * |q2|)
+# so the quantized score is exact integer arithmetic + two sqrts:
+# engine-bit-exact with no float-accumulation-order caveats at all
+# (int64 dots are far below 2^53).  The query also reports the EXACT
+# cosine of each returned neighbor, so the result table doubles as the
+# quantization-error audit (rank by q-score, see the true score beside
+# it — the standard "recall under SQ8" measurement).  Plan shape is
+# q_knn_brute's: broadcast quantized queries, one corpus scan,
+# partition-local top-k.
+
+_Q8 = (
+    "transform({e}, x -> CASE WHEN {m} = 0.0D THEN 0L"
+    " ELSE CAST(floor(CAST(x AS DOUBLE) / {m} * 127.0D + 0.5D) AS LONG)"
+    " END)"
+)
+_MAXABS = (
+    "aggregate({e}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+)
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+)
+
+
+def _q8_side(emb: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+    m = _MAXABS.format(e="embedding")
+    return emb.select(
+        F.col("vec_id").alias(id_out),
+        F.expr(_Q8.format(e="embedding", m=f"({m})")).alias(vec_out),
+        F.col("embedding").alias(vec_out.replace("q", "e")),
+    )
+
+
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _q8_side(
+        emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "q1"
+    )
+    corpus = _q8_side(emb, "neighbor_id", "q2")
+    dq = _IDOT.format(a="q1", b="q2")
+    n1 = f"sqrt(CAST({_IDOT.format(a='q1', b='q1')} AS DOUBLE))"
+    n2 = f"sqrt(CAST({_IDOT.format(a='q2', b='q2')} AS DOUBLE))"
+    cos_q = F.expr(f"CAST({dq} AS DOUBLE) / (({n1}) * ({n2}))")
+    cos_exact = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_q", F.round(cos_q, 6))
+        .withColumn("cosine_exact", F.round(cos_exact, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_q", "cosine_exact", "rank")
+    )
+
+
+_SQL_Q8 = (
+    "list_transform({e}, x -> CASE WHEN {m} = 0.0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor(x / {m} * 127.0 + 0.5) AS BIGINT) END)"
+)
+_SQL_MAXABS = (
+    "list_reduce(list_transform({e}, x -> abs(x)),"
+    " (acc, x) -> greatest(acc, x))"
+)
+
+KNN_INT8_SQL = f"""
+WITH q8 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_SQL_Q8.format(e="CAST(embedding AS DOUBLE[])",
+                         m=f"({_SQL_MAXABS.format(e='CAST(embedding AS DOUBLE[])')})")}
+           AS q
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    ROUND(CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+          / (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+           * sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))), 6)
+      AS cosine_q,
+    ROUND(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_exact
+  FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_q, cosine_exact, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------- contrastive triplets
+#
+# Training-data EXPORT for contrastive embedding finetunes: one row per
+# anchor = (anchor, hardest positive, hardest negative, margin), where
+# positive = most-similar SAME-label vector and negative = most-similar
+# OTHER-label vector (the hard negative).  margin = cos_pos - cos_neg
+# is the triplet-loss slack — anchors with small or negative margin are
+# the valuable ones.  One brute scan scores both sides; a single
+# (query, side) window picks each top-1; a tiny conditional pivot
+# folds the pair into one row.  Plan shape is q_knn_brute's.
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("e1"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "side",
+            F.when(
+                F.col("neighbor_label") == F.col("query_label"), "pos"
+            ).otherwise("neg"),
+        )
+    )
+    w = Window.partitionBy("query_id", "side").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pick = lambda s, c: F.max(F.when(F.col("side") == s, F.col(c)))
+    return (
+        top.groupBy("query_id", "query_label")
+        .agg(
+            pick("pos", "neighbor_id").alias("positive_id"),
+            pick("pos", "cosine").alias("cos_pos"),
+            pick("neg", "neighbor_id").alias("negative_id"),
+            pick("neg", "cosine").alias("cos_neg"),
+        )
+        .withColumn(
+            "margin", F.round(F.col("cos_pos") - F.col("cos_neg"), 6)
+        )
+    )
+
+
+CONTRASTIVE_TRIPLETS_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id,
+         CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS side,
+    ROUND(
+      list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])))), 6)
+      AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+top1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, side
+                ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT query_id, query_label,
+  MAX(CASE WHEN side = 'pos' THEN neighbor_id END) AS positive_id,
+  MAX(CASE WHEN side = 'pos' THEN cosine END) AS cos_pos,
+  MAX(CASE WHEN side = 'neg' THEN neighbor_id END) AS negative_id,
+  MAX(CASE WHEN side = 'neg' THEN cosine END) AS cos_neg,
+  ROUND(MAX(CASE WHEN side = 'pos' THEN cosine END)
+        - MAX(CASE WHEN side = 'neg' THEN cosine END), 6) AS margin
+FROM top1 GROUP BY query_id, query_label
+"""

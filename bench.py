@@ -109,6 +109,8 @@ HEADLINE = [
     "q_int8_quantize",
     "q_hard_negatives",
     "q_ann_recall_eval",
+    "q_knn_int8",
+    "q_contrastive_triplets",
 ]
 
 

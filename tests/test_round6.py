@@ -234,6 +234,8 @@ def test_ann_recall_eval_bounds(spark):
         "q_int8_quantize",
         "q_ann_recall_eval",
         "q_hard_negatives",
+        "q_knn_int8",
+        "q_contrastive_triplets",
     ],
 )
 def test_round6_matches_duckdb_oracle(spark, name):
@@ -272,3 +274,49 @@ def test_bpe_tokenize_vocab_counts_hand_fixture(spark):
     }
     assert got == {"lo": 7, "w": 16, "e": 8, "r": 2,
                    "n": 6, "est": 9, "i": 3, "d": 3}
+
+
+def test_knn_int8_scores_bound_exact(spark):
+    """Quantized cosine must track the exact cosine within the SQ8
+    error bound on real data: per returned row,
+    |cosine_q - cosine_exact| stays small (dim=8, 1/127 steps), and
+    ranking by cosine_q keeps every neighbor's exact score within that
+    bound of the exact top-1."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        q_knn_brute,
+        q_knn_int8,
+    )
+
+    rows = q_knn_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.cosine_q - r.cosine_exact) < 0.05, r
+    brute_best = {
+        r.query_id: r.cosine
+        for r in q_knn_brute(spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    for r in rows:
+        assert r.cosine_exact <= brute_best[r.query_id] + 1e-9
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Each anchor's positive carries the anchor's label, the negative
+    a different one, and margin is exactly cos_pos - cos_neg (rounded);
+    the negative must equal the top hard negative."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        q_contrastive_triplets,
+        q_hard_negatives,
+    )
+
+    hard1 = {
+        r.query_id: r.neighbor_id
+        for r in q_hard_negatives(spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    rows = q_contrastive_triplets(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.positive_id != r.negative_id
+        assert abs(r.margin - round(r.cos_pos - r.cos_neg, 6)) < 1e-9
+        assert r.negative_id == hard1[r.query_id]
