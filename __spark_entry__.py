@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_int8_quantize": S.q_int8_quantize,
         "q_knn_int8": S.q_knn_int8,
         "q_contrastive_triplets": S.q_contrastive_triplets,
+        "q_knn_pq": S.q_knn_pq,
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         # skew-resistant flagship: same oracle as q_session_features —
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "q_int8_quantize": S.INT8_QUANTIZE_SQL,
         "q_knn_int8": S.KNN_INT8_SQL,
         "q_contrastive_triplets": S.CONTRASTIVE_TRIPLETS_SQL,
+        "q_knn_pq": S.KNN_PQ_SQL,
         "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,
         "q_hard_negatives": S.HARD_NEGATIVES_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,

@@ -1006,14 +1006,14 @@ def _sql_d2(e: str, c: str) -> str:
     )
 
 
-def _sql_assign(prev_cents: str, out: str) -> str:
+def _sql_assign(prev_cents: str, out: str, corpus: str = "corpus") -> str:
     d2 = _sql_d2("v.e", "c.centroid")
     return f"""{out} AS (
   SELECT vec_id, e, cluster FROM (
     SELECT v.vec_id, v.e, c.cluster,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
         ORDER BY {d2} ASC, c.cluster ASC) AS rn
-    FROM corpus v CROSS JOIN {prev_cents} c
+    FROM {corpus} v CROSS JOIN {prev_cents} c
   ) WHERE rn = 1
 )"""
 
@@ -1270,3 +1270,195 @@ SELECT query_id, query_label,
         - MAX(CASE WHEN side = 'neg' THEN cosine END), 6) AS margin
 FROM top1 GROUP BY query_id, query_label
 """
+
+
+# ------------------------------------------- product quantization (PQ)
+#
+# The other half of the FAISS-style 100 TB ANN stack next to IVF
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011): split each vector into M subspaces, train a
+# tiny k-means codebook per subspace (deterministic Lloyd's — the SAME
+# seeded/6-dp-rounded trainer as the IVF coarse quantizer, so the
+# DuckDB oracle replays it bit-for-bit), store each vector as M small
+# codes (here 2 bytes instead of 512 — the scan-cost story), and
+# search by ADC (asymmetric distance computation): the full-precision
+# query precomputes a d2 table to every codebook centroid (M·K values,
+# metadata-scale), and a corpus vector's approximate distance is just
+# M table lookups + adds.  The heavy per-vector fold happens ONCE per
+# corpus row (encoding), not once per (query, row) pair; the top-k
+# candidates are then exact-rescored (cosine) — the standard
+# PQ-then-rescore pipeline, and the exact score doubles as the
+# quantization-error audit.  M=2, K=4 here; both are one-line
+# constants, the plan shape is M-independent.
+
+PQ_K = 4
+
+_PQ_SLICE = {
+    1: "slice({e}, 1, size({e}) DIV 2)",
+    2: "slice({e}, size({e}) DIV 2 + 1, size({e}) - size({e}) DIV 2)",
+}
+
+
+def train_pq_codebooks(
+    emb: DataFrame, k: int = PQ_K, iters: int = KMEANS_ITERS
+) -> list[list[tuple[int, list[float]]]]:
+    """One deterministic-Lloyd's codebook per subspace."""
+    out = []
+    for s in (1, 2):
+        sub = emb.select(
+            "vec_id",
+            F.expr(_PQ_SLICE[s].format(e="embedding")).alias("embedding"),
+        )
+        out.append(train_kmeans_centroids(sub, k=k, iters=iters))
+    return out
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1, cb2 = train_pq_codebooks(emb)
+    lit1, lit2 = _cents_literal(cb1), _cents_literal(cb2)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e2"),
+        F.expr(
+            _assign_expr(lit1, _PQ_SLICE[1].format(e="embedding"))
+        ).alias("code1"),
+        F.expr(
+            _assign_expr(lit2, _PQ_SLICE[2].format(e="embedding"))
+        ).alias("code2"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+
+    def dtab(lit: str, s: int, out: str) -> DataFrame:
+        return (
+            queries.select(
+                "query_id", "e1", F.explode(F.expr(lit)).alias("c")
+            )
+            .withColumn(
+                out,
+                F.expr(
+                    _D2_FOLD.format(
+                        x=_PQ_SLICE[s].format(e="e1"), c="c.c"
+                    )
+                ),
+            )
+            .select("query_id", F.col("c.k").alias(f"pcode{s}"), out)
+        )
+
+    t1 = dtab(lit1, 1, "d2_1")
+    t2 = dtab(lit2, 2, "d2_2").withColumnRenamed("query_id", "query_id2")
+    scored = (
+        corpus.join(F.broadcast(t1), F.col("code1") == F.col("pcode1"))
+        .join(
+            F.broadcast(t2),
+            (F.col("code2") == F.col("pcode2"))
+            & (F.col("query_id") == F.col("query_id2")),
+        )
+        .drop("query_id2")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(F.col("d2_1") + F.col("d2_2"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+    # exact rescoring of the 50 surviving candidates only
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    return (
+        top.join(F.broadcast(queries), "query_id")
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("e2"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine_exact", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "adc_dist", "cosine_exact", "rank")
+    )
+
+
+def _knn_pq_sql() -> str:
+    import re as _re
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        "s1 AS (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e"
+        " FROM corpus)",
+        "s2 AS (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e"
+        " FROM corpus)",
+    ]
+    for s in (1, 2):
+        ctes.append(f"""p{s}c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM s{s} ORDER BY vec_id LIMIT {PQ_K})
+)""")
+        for i in range(1, KMEANS_ITERS + 1):
+            ctes.append(
+                _sql_assign(f"p{s}c{i - 1}", f"p{s}a{i}", corpus=f"s{s}")
+            )
+            ctes.append(_sql_update(f"p{s}a{i}", f"p{s}c{i}"))
+        ctes.append(
+            _sql_assign(
+                f"p{s}c{KMEANS_ITERS}", f"p{s}af", corpus=f"s{s}"
+            )
+        )
+    ctes.append("""codes AS (
+  SELECT a.vec_id, a.cluster AS code1, b.cluster AS code2
+  FROM p1af a JOIN p2af b ON b.vec_id = a.vec_id
+)""")
+    for s in (1, 2):
+        d2 = _sql_d2("q.e", "c.centroid")
+        ctes.append(f"""dtab{s} AS (
+  SELECT q.vec_id AS query_id, c.cluster AS pcode{s}, {d2} AS d2_{s}
+  FROM s{s} q CROSS JOIN p{s}c{KMEANS_ITERS} c
+  WHERE q.vec_id < {N_QUERIES}
+)""")
+    ctes.append(f"""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT t1.query_id, c.vec_id AS neighbor_id,
+           ROUND(t1.d2_1 + t2.d2_2, 6) AS adc_dist
+    FROM codes c
+    JOIN dtab1 t1 ON t1.pcode1 = c.code1
+    JOIN dtab2 t2 ON t2.pcode2 = c.code2 AND t2.query_id = t1.query_id
+    WHERE c.vec_id <> t1.query_id
+  )
+)""")
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.query_id, r.neighbor_id, r.adc_dist,
+  ROUND(list_dot_product(q.e, n.e)
+        / (sqrt(list_dot_product(q.e, q.e))
+         * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_exact,
+  r.rank
+FROM ranked r
+JOIN corpus q ON q.vec_id = r.query_id
+JOIN corpus n ON n.vec_id = r.neighbor_id
+WHERE r.rank <= {TOP_K}"""
+    )
+    # MATERIALIZED: the chained training CTEs are multiply referenced —
+    # planner inlining would re-expand the replay per reference (the
+    # exponential blowup measured on the BPE oracle)
+    return _re.sub(
+        r"\b(corpus|s1|s2|p\dc\d|p\da\d|p\daf|codes|dtab\d) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+KNN_PQ_SQL = _knn_pq_sql()

@@ -111,6 +111,7 @@ HEADLINE = [
     "q_ann_recall_eval",
     "q_knn_int8",
     "q_contrastive_triplets",
+    "q_knn_pq",
 ]
 
 

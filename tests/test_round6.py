@@ -236,6 +236,7 @@ def test_ann_recall_eval_bounds(spark):
         "q_hard_negatives",
         "q_knn_int8",
         "q_contrastive_triplets",
+        "q_knn_pq",
     ],
 )
 def test_round6_matches_duckdb_oracle(spark, name):
@@ -320,3 +321,36 @@ def test_contrastive_triplets_semantics(spark):
         assert r.positive_id != r.negative_id
         assert abs(r.margin - round(r.cos_pos - r.cos_neg, 6)) < 1e-9
         assert r.negative_id == hard1[r.query_id]
+
+
+def test_pq_codes_and_rescoring_semantics(spark):
+    """PQ: every code lies in [0, PQ_K); the exact-rescored cosine of a
+    returned candidate can never beat the brute-force best (PQ only
+    restricts and reorders candidates, it cannot invent better ones);
+    ADC distances are non-negative and rank-consistent."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        PQ_K,
+        q_knn_brute,
+        q_knn_pq,
+        train_pq_codebooks,
+    )
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for cb in train_pq_codebooks(emb):
+        assert sorted(k for k, _ in cb) == list(range(PQ_K))
+
+    brute_best = {
+        r.query_id: r.cosine
+        for r in q_knn_brute(spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    rows = q_knn_pq(spark, SF_DIR).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        assert r.adc_dist >= 0
+        assert r.cosine_exact <= brute_best[r.query_id] + 1e-9
+        by_q.setdefault(r.query_id, []).append(r.adc_dist)
+    for dists in by_q.values():
+        assert dists == sorted(dists)  # rank follows ADC ascending
