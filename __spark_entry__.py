@@ -61,18 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
     covers a 50-entry window from the front.  Round 6 executes the
-    round-5 verdict's #1 item: the 38 entries whose last *driver*
+    round-5 verdict's #1 item: the entries whose last *driver*
     verdict was round 3 (dedup / text / knn / sampling / join /
     corpus families — all locally hash-verified at sf0.01 AND sf0.1
-    in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-38 so every
-    one gets a fresh driver row.  Positions 39-48 hold the operators
-    NEW this round — trained-centroid IVF, BPE merge loop + tokenizer
-    apply, CDC delete tombstones, int8 quantization + int8-quantized
-    search, contrastive triplets, ANN recall eval, hard negatives, and
-    the skew-hybrid flagship (registered under the flagship's own
-    oracle as its bit-equality proof) — never driver-verified, so
-    in-window; the two stalest r4-green stream entries fill 49-50.
-    The 50 rows green in CORRECTNESS_r05 rotate to the very back;
+    in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-37 so every
+    one gets a fresh driver row.  Positions 38-49 hold the TWELVE
+    operators NEW this round — trained-centroid IVF, BPE merge loop +
+    tokenizer apply, CDC delete tombstones, int8 quantization +
+    int8-quantized search, contrastive triplets, product quantization
+    (ADC), PSI drift, ANN recall eval, hard negatives, and the
+    skew-hybrid flagship (registered under the flagship's own oracle
+    as its bit-equality proof) — never driver-verified, so in-window;
+    the last rotation entry (q_incremental_dedup) closes the window at
+    50.  The 50 rows green in CORRECTNESS_r05 rotate to the very back;
     after this round every registry entry has a driver verdict within
     r4-r6."""
     return {
@@ -115,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_sequences": CP.q_chunk_sequences,
         "q_domain_mix": CP.q_domain_mix,
         "q_quality_funnel": CP.q_quality_funnel,
-        "q_incremental_dedup": CP.q_incremental_dedup,
         # ==== new in round 6 — never driver-verified, in-window ====
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
@@ -125,14 +125,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_int8": S.q_knn_int8,
         "q_contrastive_triplets": S.q_contrastive_triplets,
         "q_knn_pq": S.q_knn_pq,
+        "q_drift_psi": DQ.q_drift_psi,
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         # skew-resistant flagship: same oracle as q_session_features —
         # a green row proves the bucketed sessionizer is bit-identical
         "q_session_features_skewres": P.q_session_features_skewres,
         # ==== stalest r4-green entries fill out the window ====
+        # ==================== window boundary (50) ====================
+        # q_incremental_dedup leads the round-7 window: displaced by the
+        # twelve round-6 ops (it is sweep-green at sf0.01 AND sf0.1 on
+        # round-6 HEAD, VERIFY_LOCAL_r06.txt)
+        "q_incremental_dedup": CP.q_incremental_dedup,
         "q_stream_dedup": SD.q_stream_dedup,
-        # ==================== window boundary (~50) ====================
         # ==== r4-green remainder ====
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
@@ -352,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_int8": S.KNN_INT8_SQL,
         "q_contrastive_triplets": S.CONTRASTIVE_TRIPLETS_SQL,
         "q_knn_pq": S.KNN_PQ_SQL,
+        "q_drift_psi": DQ.DRIFT_PSI_SQL,
         "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,
         "q_hard_negatives": S.HARD_NEGATIVES_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,

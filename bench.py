@@ -112,6 +112,7 @@ HEADLINE = [
     "q_knn_int8",
     "q_contrastive_triplets",
     "q_knn_pq",
+    "q_drift_psi",
 ]
 
 

@@ -34,6 +34,7 @@ BNLJ_OK = {
     "q_hard_negatives",  # brute scan (q_knn_brute shape) + label inequality
     "q_knn_int8",  # brute scan on quantized vectors (q_knn_brute shape)
     "q_contrastive_triplets",  # one brute scan scoring both triplet sides
+    "q_drift_psi",  # 1-row timeline-midpoint bounds broadcast
 }
 
 

@@ -354,3 +354,53 @@ def test_pq_codes_and_rescoring_semantics(spark):
         by_q.setdefault(r.query_id, []).append(r.adc_dist)
     for dists in by_q.values():
         assert dists == sorted(dists)  # rank follows ADC ascending
+
+
+def test_drift_psi_identical_halves_are_flat(spark):
+    """A stream whose two time-halves draw the same values must show
+    ~zero psi_contrib in every bin; shifting the second half's values
+    must produce large contributions — and all 10 bins exist."""
+    from activity_classifier_spark_cassandra_spark.operators.dq import (
+        PSI_BINS,
+        q_drift_psi,
+    )
+    import activity_classifier_spark_cassandra_spark.operators.dq as dqmod
+    from pyspark.sql import functions as F
+
+    def run(shift):
+        rows = []
+        for i in range(400):
+            v = (i % 100) / 10.0
+            rows.append(("t", i * 1000, v))                 # ref half
+            rows.append(("t", 10_000_000 + i * 1000, v + shift))  # cur half
+        ev = spark.createDataFrame(rows, "event_type string, ms long, value double")
+        # replicate q_drift_psi's body on a hand-built frame
+        bounds = ev.agg(((F.min("ms") + F.max("ms")) / F.lit(2)).cast("long").alias("mid"))
+        d = ev.crossJoin(F.broadcast(bounds)).withColumn("is_ref", F.col("ms") < F.col("mid"))
+        ref_range = d.filter("is_ref").groupBy("event_type").agg(
+            F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        width = (F.col("vmax") - F.col("vmin")) / F.lit(float(PSI_BINS))
+        binned = (d.join(F.broadcast(ref_range), "event_type")
+            .withColumn("bin", F.least(F.lit(PSI_BINS - 1), F.greatest(F.lit(0),
+                F.floor((F.col("value") - F.col("vmin")) / width).cast("int"))))
+            .groupBy("event_type", "bin")
+            .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+                 F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur")))
+        totals = binned.groupBy("event_type").agg(
+            F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur"))
+        p_ref = (F.col("n_ref") + 1) / (F.col("tot_ref") + PSI_BINS)
+        p_cur = (F.col("n_cur") + 1) / (F.col("tot_cur") + PSI_BINS)
+        out = (binned.join(F.broadcast(totals), "event_type")
+               .select("bin", F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+                       .alias("psi_contrib")))
+        return {r.bin: r.psi_contrib for r in out.collect()}
+
+    flat = run(0.0)
+    assert set(flat) == set(range(PSI_BINS))
+    assert all(abs(c) < 1e-6 for c in flat.values())
+    shifted = run(5.0)
+    assert sum(shifted.values()) > 0.5  # gross drift detected
+
+    # and the registered query runs against real data with full bins
+    rows = q_drift_psi(spark, SF_DIR).collect()
+    assert rows and all(0 <= r.bin < PSI_BINS for r in rows)
