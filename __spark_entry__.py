@@ -65,17 +65,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict was round 3 (dedup / text / knn / sampling / join /
     corpus families — all locally hash-verified at sf0.01 AND sf0.1
     in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-37 so every
-    one gets a fresh driver row.  Positions 38-49 hold the TWELVE
+    one gets a fresh driver row.  Positions 38-50 hold the THIRTEEN
     operators NEW this round — trained-centroid IVF, BPE merge loop +
     tokenizer apply, CDC delete tombstones, int8 quantization +
     int8-quantized search, contrastive triplets, product quantization
-    (ADC), PSI drift, ANN recall eval, hard negatives, and the
-    skew-hybrid flagship (registered under the flagship's own oracle
-    as its bit-equality proof) — never driver-verified, so in-window;
-    the last rotation entry (q_incremental_dedup) closes the window at
-    50.  The 50 rows green in CORRECTNESS_r05 rotate to the very back;
-    after this round every registry entry has a driver verdict within
-    r4-r6."""
+    (ADC), PSI drift, LSH recall S-curve, ANN recall eval, hard
+    negatives, and the skew-hybrid flagship (registered under the
+    flagship's own oracle as its bit-equality proof) — never
+    driver-verified, so in-window.  The 50 rows green in
+    CORRECTNESS_r05 rotate to the very back; q_incremental_dedup sits
+    first behind the boundary (sweep-green at sf0.01 AND sf0.1 on
+    round-6 HEAD) and leads the round-7 window.  After this round
+    every registry entry has a driver verdict within r4-r6."""
     return {
         # ==== positions 1-38: last driver verdict round 3 — the
         #      whole point of this round's rotation ====
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contrastive_triplets": S.q_contrastive_triplets,
         "q_knn_pq": S.q_knn_pq,
         "q_drift_psi": DQ.q_drift_psi,
+        "q_dedup_recall_eval": D.q_dedup_recall_eval,
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         # skew-resistant flagship: same oracle as q_session_features —
@@ -134,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== stalest r4-green entries fill out the window ====
         # ==================== window boundary (50) ====================
         # q_incremental_dedup leads the round-7 window: displaced by the
-        # twelve round-6 ops (it is sweep-green at sf0.01 AND sf0.1 on
+        # thirteen round-6 ops (it is sweep-green at sf0.01 AND sf0.1 on
         # round-6 HEAD, VERIFY_LOCAL_r06.txt)
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_stream_dedup": SD.q_stream_dedup,
@@ -358,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "q_contrastive_triplets": S.CONTRASTIVE_TRIPLETS_SQL,
         "q_knn_pq": S.KNN_PQ_SQL,
         "q_drift_psi": DQ.DRIFT_PSI_SQL,
+        "q_dedup_recall_eval": D.DEDUP_RECALL_EVAL_SQL,
         "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,
         "q_hard_negatives": S.HARD_NEGATIVES_SQL,
         "q_resample_gapfill": TS.RESAMPLE_GAPFILL_SQL,

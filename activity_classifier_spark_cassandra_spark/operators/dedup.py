@@ -609,3 +609,101 @@ ranked AS (
 )
 SELECT doc_id, lang, source FROM ranked WHERE rn = 1
 """
+
+
+# ------------------------------------------------ LSH recall S-curve
+#
+# Index-quality audit for the dedup stack, mirroring q_ann_recall_eval
+# on the ANN side: bucket the exact-Jaccard ground-truth pairs
+# (q_dedup_ngram_jaccard, >= 0.1) into 0.1-wide similarity bands and
+# report how many of each band the MinHash-LSH CANDIDATE set (any
+# shared band minhash, est >= 1/16 — the set the banded join actually
+# generates, BEFORE the est-threshold filter) recovers.  This is the
+# empirical S-curve every LSH deployment measures before trusting the
+# banding parameters: high-similarity bands should recall ~1.0, the
+# 0.1-0.2 tail is where r=1/b=16 banding is allowed to lose pairs.
+# All outputs are exact functions of integer counts (hash-stable);
+# recall is their rounded ratio.
+
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc1", "doc2", "jaccard"
+    )
+    bands = _shared(_minhash_bands(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(cands, ["doc1", "doc2"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("jacc_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_recovered"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_recovered") / F.col("n_truth"), 6),
+        )
+    )
+
+
+DEDUP_RECALL_EVAL_SQL = f"""
+WITH {_DOC_SHINGLES_CTE},
+counts AS (
+  SELECT doc_id, LEN(shingles) AS n_sh FROM doc_shingles
+),
+ex_all AS (
+  SELECT doc_id, UNNEST(shingles) AS sh FROM doc_shingles
+),
+ex AS (
+  SELECT doc_id, sh FROM ex_all
+  WHERE sh IN (SELECT sh FROM ex_all GROUP BY sh
+               HAVING COUNT(*) <= {MAX_SHINGLE_DF})
+),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc1, doc2,
+         ROUND(n_common / (c1.n_sh + c2.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN counts c1 ON c1.doc_id = doc1
+  JOIN counts c2 ON c2.doc_id = doc2
+  WHERE ROUND(n_common / (c1.n_sh + c2.n_sh - n_common), 6) >= 0.1
+),
+mh AS (
+  SELECT doc_id, {_MINHASH_DUCKDB} AS mh FROM doc_shingles
+),
+bands AS (
+  SELECT doc_id, i - 1 AS band, mh[i] AS h
+  FROM mh, UNNEST(range(1, {N_MINHASH} + 1)) AS t(i)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+)
+SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS jacc_band,
+       COUNT(*) AS n_truth,
+       COUNT(c.doc1) AS n_recovered,
+       ROUND(COUNT(c.doc1) / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cands c ON c.doc1 = t.doc1 AND c.doc2 = t.doc2
+GROUP BY 1
+"""

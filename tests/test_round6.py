@@ -404,3 +404,42 @@ def test_drift_psi_identical_halves_are_flat(spark):
     # and the registered query runs against real data with full bins
     rows = q_drift_psi(spark, SF_DIR).collect()
     assert rows and all(0 <= r.bin < PSI_BINS for r in rows)
+
+
+def test_dedup_recall_eval_bounds_and_multiband(spark):
+    """Registered eval: recovered <= truth and recall in [0,1] on real
+    data; on a synthetic corpus with engineered overlap levels the
+    banding produces multiple jaccard bands and near-total recall in
+    the high band (r=1/b=16 banding: P(candidate) = 1-(1-j)^16)."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        q_dedup_recall_eval,
+    )
+
+    rows = q_dedup_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_recovered <= r.n_truth
+        assert 0.0 <= r.recall <= 1.0
+
+    # engineered corpus: base doc of 40 words; copies replacing
+    # 0/10/20/30 words -> pairs across several jaccard bands
+    base = [f"w{i}" for i in range(40)]
+    docs = []
+    for d, repl in enumerate([0, 0, 10, 20, 30]):
+        words = list(base)
+        for j in range(repl):
+            words[j] = f"r{d}_{j}"
+        docs.append((d, " ".join(words)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sdf.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {
+            r.jacc_band: (r.n_truth, r.recall)
+            for r in q_dedup_recall_eval(spark, td).collect()
+        }
+    assert len(out) >= 2          # multiple similarity bands present
+    top_band = max(out)
+    assert out[top_band][1] == 1.0  # exact copies always recovered
