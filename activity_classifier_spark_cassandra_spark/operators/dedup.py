@@ -146,7 +146,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts, so capping only prunes candidate generation — a
     pair sharing only ultra-hot shingles is treated as not-near-dup,
     the documented trade of every shingle-LSH system."""
-    ex_all = _shared(_doc_shingle_rows(spark, sf_dir))
+    return _jaccard_pairs(_shared(_doc_shingle_rows(spark, sf_dir)))
+
+
+def _jaccard_pairs(ex_all: DataFrame) -> DataFrame:
+    """Jaccard pair table from an (already persisted) shingle-row
+    frame — split out so q_dedup_recall_eval can feed the SAME frame
+    to both the truth and the MinHash candidate sides."""
     counts = ex_all.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
     )
@@ -214,6 +220,10 @@ WHERE ROUND(n_common / (c1.n_sh + c2.n_sh - n_common), 6) >= 0.1
 
 # ------------------------------------------------------------ minhash
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_bands_from(_doc_shingle_rows(spark, sf_dir))
+
+
+def _minhash_bands_from(shingle_rows: DataFrame) -> DataFrame:
     """(doc_id, band, h): per band i, min over the doc's shingles of
     md5(i || ':' || s) (hex strings, lexicographic min).
 
@@ -225,7 +235,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the self-join — measured ~50x slower at sf0.1.  md5/concat
     over flat columns stays inside codegen; the agg is partial+final."""
     return (
-        _doc_shingle_rows(spark, sf_dir)
+        shingle_rows
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias(
@@ -626,10 +636,12 @@ SELECT doc_id, lang, source FROM ranked WHERE rn = 1
 # recall is their rounded ratio.
 
 def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc1", "doc2", "jaccard"
-    )
-    bands = _shared(_minhash_bands(spark, sf_dir))
+    # ONE persisted shingle frame feeds both the exact-Jaccard truth
+    # side and the MinHash candidate side — the tokenize/window/
+    # distinct subplan (the dominant cost) executes once, not twice
+    sh = _shared(_doc_shingle_rows(spark, sf_dir))
+    truth = _jaccard_pairs(sh).select("doc1", "doc2", "jaccard")
+    bands = _shared(_minhash_bands_from(sh))
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (

@@ -239,7 +239,10 @@ WITH e AS (
   FROM events
 ),
 bounds AS (
-  SELECT CAST((MIN(ms) + MAX(ms)) / 2 AS BIGINT) AS mid FROM e
+  -- FLOOR before the cast: DuckDB CAST(double AS BIGINT) ROUNDS while
+  -- Spark's .cast("long") truncates — an odd min+max would shift the
+  -- split point by 1 ms between engines without it
+  SELECT CAST(FLOOR((MIN(ms) + MAX(ms)) / 2) AS BIGINT) AS mid FROM e
 ),
 d AS (
   SELECT e.*, e.ms < b.mid AS is_ref FROM e CROSS JOIN bounds b

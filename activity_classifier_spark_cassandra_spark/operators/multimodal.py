@@ -119,9 +119,14 @@ def _png_chunks(data: bytes):
 
 
 def _png_ihdr(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from IHDR, gating unsupported shapes."""
+    """(width, height, channels) from IHDR, gating unsupported shapes.
+    Malformed containers (truncated/corrupt IHDR) raise
+    NotImplementedError too, so batch extractors record decode_ok=False
+    instead of failing the task on a struct.error."""
     for typ, chunk in _png_chunks(data):
         if typ == b"IHDR":
+            if len(chunk) != 13:
+                raise NotImplementedError("malformed PNG IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -152,7 +157,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     data = bytes(data)
     w, h, ch = _png_ihdr(data)
     idat = b"".join(c for t, c in _png_chunks(data) if t == b"IDAT")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG pixel stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise NotImplementedError("truncated PNG pixel stream")
@@ -270,7 +278,15 @@ def extract_png_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, ch, raster = decode_png(blob)
+                # null / non-PNG / corrupt rows contribute no stats row
+                # (the typed-metadata extractor above is the place that
+                # preserves them as decode_ok=False)
+                if blob is None:
+                    continue
+                try:
+                    w, h, ch, raster = decode_png(blob)
+                except (NotImplementedError, zlib.error):
+                    continue
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -900,7 +900,7 @@ def bpe_train(
     w = words.localCheckpoint()
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        top = (
+        rows = (
             w.filter(F.size("toks") >= 2)
             .select("cnt", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pr"))
             .groupBy(F.col("pr.a").alias("pa"), F.col("pr.b").alias("pb"))
@@ -912,7 +912,15 @@ def bpe_train(
             )
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not rows:
+            # vocabulary fully merged before n_merges rounds — stop,
+            # like real trainers do.  (The registered query's corpus
+            # always supports N_BPE_MERGES rounds; the chained-CTE
+            # oracle assumes it, so a short merge table would surface
+            # as a row-count mismatch there, not silently.)
+            break
+        top = rows[0]
         merges.append(
             (r, top.pa, top.pb, top.pa + top.pb, int(top.pair_count))
         )

@@ -203,3 +203,27 @@ def test_q_media_features_matches_closed_form(spark):
     o = odf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False)
     con.close()
+
+
+def test_malformed_png_is_decode_failure_not_crash(spark):
+    """A blob with a valid PNG signature but truncated/corrupt IHDR
+    must surface as decode_ok=False (row preserved), never a
+    struct.error that kills the task; extract_png_stats must likewise
+    skip null and corrupt rows instead of failing."""
+    import struct as _s
+
+    bad_ihdr = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + b"\x00" * 4
+    rows = [
+        (0, bad_ihdr, "image/png"),
+        (1, _REAL_PNG, "image/png"),
+        (2, None, "image/png"),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r.asDict()
+             for r in extract_media_features(df).collect()}
+    assert feats[0]["decode_ok"] is False
+    assert feats[1]["decode_ok"] is True
+    assert feats[2]["decode_ok"] is False
+
+    stats = extract_png_stats(df).collect()
+    assert {r["media_id"] for r in stats} == {1}  # corrupt/null skipped

@@ -237,11 +237,13 @@ def test_ann_recall_eval_bounds(spark):
         "q_knn_int8",
         "q_contrastive_triplets",
         "q_knn_pq",
+        "q_drift_psi",
+        "q_dedup_recall_eval",
     ],
 )
 def test_round6_matches_duckdb_oracle(spark, name):
     con = duckdb.connect()
-    for t in ["orders", "documents", "embeddings"]:
+    for t in ["orders", "documents", "embeddings", "events"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -202,9 +202,11 @@ def main():
             out_sk = f"{BASE}/{tag}_skew"
             if not args.skip_gen:
                 gen_events(spark, args.sf, n, out_sk, skew=True)
+                link = f"{out_sk}/documents.parquet"
+                if os.path.islink(link):
+                    os.remove(link)
                 os.symlink(
-                    os.path.abspath(f"{out}/documents.parquet"),
-                    f"{out_sk}/documents.parquet",
+                    os.path.abspath(f"{out}/documents.parquet"), link
                 )
             wall, cnt, rd, wr = timed(
                 spark, lambda o=out_sk: qs["q_session_features"](spark, o)
