@@ -65,18 +65,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict was round 3 (dedup / text / knn / sampling / join /
     corpus families — all locally hash-verified at sf0.01 AND sf0.1
     in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-37 so every
-    one gets a fresh driver row.  Positions 38-50 hold the THIRTEEN
+    one gets a fresh driver row.  Positions 37-50 hold the FOURTEEN
     operators NEW this round — trained-centroid IVF, BPE merge loop +
     tokenizer apply, CDC delete tombstones, int8 quantization +
     int8-quantized search, contrastive triplets, product quantization
-    (ADC), PSI drift, LSH recall S-curve, ANN recall eval, hard
+    (ADC), tokenizer compression rate, PSI drift, LSH recall S-curve,
+    ANN recall eval, hard
     negatives, and the skew-hybrid flagship (registered under the
     flagship's own oracle as its bit-equality proof) — never
     driver-verified, so in-window.  The 50 rows green in
-    CORRECTNESS_r05 rotate to the very back; q_incremental_dedup sits
-    first behind the boundary (sweep-green at sf0.01 AND sf0.1 on
-    round-6 HEAD) and leads the round-7 window.  After this round
-    every registry entry has a driver verdict within r4-r6."""
+    CORRECTNESS_r05 rotate to the very back; q_quality_funnel and
+    q_incremental_dedup sit first behind the boundary (sweep-green at
+    sf0.01 AND sf0.1 on round-6 HEAD) and lead the round-7 window.
+    After this round every registry entry has a driver verdict within
+    r4-r6."""
     return {
         # ==== positions 1-38: last driver verdict round 3 — the
         #      whole point of this round's rotation ====
@@ -116,11 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": CP.q_decontaminate,
         "q_chunk_sequences": CP.q_chunk_sequences,
         "q_domain_mix": CP.q_domain_mix,
-        "q_quality_funnel": CP.q_quality_funnel,
         # ==== new in round 6 — never driver-verified, in-window ====
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
+        "q_bpe_compression": T.q_bpe_compression,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
         "q_knn_int8": S.q_knn_int8,
@@ -135,9 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features_skewres": P.q_session_features_skewres,
         # ==== stalest r4-green entries fill out the window ====
         # ==================== window boundary (50) ====================
-        # q_incremental_dedup leads the round-7 window: displaced by the
-        # thirteen round-6 ops (it is sweep-green at sf0.01 AND sf0.1 on
-        # round-6 HEAD, VERIFY_LOCAL_r06.txt)
+        # q_quality_funnel / q_incremental_dedup lead the round-7
+        # window: displaced by the fourteen round-6 ops (both are
+        # sweep-green at sf0.01 AND sf0.1 on round-6 HEAD,
+        # VERIFY_LOCAL_r06.txt)
+        "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_stream_dedup": SD.q_stream_dedup,
         # ==== r4-green remainder ====
@@ -393,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pair_stats": T.BPE_PAIR_STATS_SQL,
         "q_bpe_merges": T.BPE_MERGES_SQL,
         "q_bpe_tokenize": T.BPE_TOKENIZE_SQL,
+        "q_bpe_compression": T.BPE_COMPRESSION_SQL,
         "q_upsert_with_deletes": C.UPSERT_WITH_DELETES_SQL,
         "q_temperature_sample": CP.TEMPERATURE_SAMPLE_SQL,
         "q_span_dedup": SP.SPAN_DEDUP_SQL,

@@ -1064,3 +1064,77 @@ LIMIT {BPE_VOCAB_TOP_K}"""
 
 BPE_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer quality metric a pretraining pipeline tracks per
+    corpus slice: characters-per-token under the learned BPE merges,
+    per document.  The Zipf trick again: post-merge token counts live
+    on the word-TYPE table (|vocab| rows); each document's BPE token
+    count is the sum of its words' counts through one broadcastable
+    vocab join — the corpus text is tokenized once and never re-walked
+    by the merge machinery.  Documents are bucketed by rounded
+    chars-per-token so the result is a compact distribution table
+    (bucket, n_docs, total tokens), not 100 TB of per-doc rows."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, w = bpe_train(docs)
+    # concatenating the merged tokens reconstructs the word exactly
+    # (merges only ever concatenate adjacent symbols)
+    vocab = w.select(
+        F.array_join(F.col("toks"), "").alias("word"),
+        F.size("toks").cast("long").alias("n_toks"),
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_doc"),
+        F.explode(F.expr(_TOKENIZE_SPARK)).alias("word"),
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "n_chars_doc")
+        .agg(F.sum("n_toks").alias("n_bpe_tokens"))
+        .withColumn(
+            "chars_per_token",
+            F.round(F.col("n_chars_doc") / F.col("n_bpe_tokens"), 1),
+        )
+    )
+    return per_doc.groupBy("chars_per_token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+    )
+
+
+def _bpe_compression_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Oracle: the merge replay's final w{N} CTE again — vocab token
+    counts joined back to per-document words."""
+    base = _bpe_merges_sql(n_merges)
+    ctes = base[: base.index("\nSELECT CAST(1 AS BIGINT)")]
+    return (
+        ctes
+        + f""",
+vocab AS MATERIALIZED (
+  SELECT array_to_string(toks, '') AS word,
+         CAST(len(toks) AS BIGINT) AS n_toks
+  FROM w{n_merges}
+),
+doc_words AS (
+  SELECT doc_id, LENGTH(text) AS n_chars_doc,
+         UNNEST({_TOKENIZE}) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, n_chars_doc, SUM(n_toks) AS n_bpe_tokens
+  FROM doc_words d JOIN vocab v ON v.word = d.word
+  GROUP BY doc_id, n_chars_doc
+)
+SELECT ROUND(n_chars_doc / n_bpe_tokens, 1) AS chars_per_token,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens
+FROM per_doc
+GROUP BY 1"""
+    )
+
+
+BPE_COMPRESSION_SQL = _bpe_compression_sql()

@@ -104,6 +104,7 @@ HEADLINE = [
     "q_knn_ivf_trained",
     "q_bpe_merges",
     "q_bpe_tokenize",
+    "q_bpe_compression",
     "q_session_features_skewres",
     "q_upsert_with_deletes",
     "q_int8_quantize",

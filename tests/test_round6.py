@@ -239,6 +239,7 @@ def test_ann_recall_eval_bounds(spark):
         "q_knn_pq",
         "q_drift_psi",
         "q_dedup_recall_eval",
+        "q_bpe_compression",
     ],
 )
 def test_round6_matches_duckdb_oracle(spark, name):
