@@ -182,21 +182,25 @@ def q_session_features_skewres(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouping keys include session_id/window_id, so a hot key is
         spread over its windows).
 
-    ``hot_min_rows=13`` here is deliberately tiny so the driver's
-    sf0.01 oracle run pushes roughly half the keys down EACH branch
-    (sf0.01 per-key counts span 3-24); production uses the 1M default.
-    Measured at the 100x probe with a >=20% hot key: see BASELINE.md
-    round-6 skew table."""
+    The threshold scales with the table — max(13, n_rows/1000), one
+    scalar count — so the driver's sf0.01 oracle run still pushes
+    roughly half the keys down EACH branch (sf0.01 per-key counts span
+    3-24, threshold 13) while larger inputs route only genuinely hot
+    keys (sf0.1: threshold 100; the 10M-row probe: 10k — just the
+    engineered hot key); production uses the 1M default.  Measured at
+    the 100x probe with a >=20% hot key: see BASELINE.md round-6 skew
+    table."""
     from ..operators.sessions import sessionize_skew_hybrid
 
+    samples = event_samples(spark, sf_dir)
     d = sessionize_skew_hybrid(
-        event_samples(spark, sf_dir),
+        samples,
         keys=KEYS,
         ts_col="ts_ms",
         gap=EVENTS_SESSION_GAP_MS,
         tiebreak=["event_id"],
         window_ticks=EVENTS_WINDOW_MS,
-        hot_min_rows=13,
+        hot_min_rows=max(13, samples.count() // 1000),
     )
     feats = extract_features(
         d,
