@@ -60,91 +60,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 6 executes the
-    round-5 verdict's #1 item: the entries whose last *driver*
-    verdict was round 3 (dedup / text / knn / sampling / join /
-    corpus families — all locally hash-verified at sf0.01 AND sf0.1
-    in round 5, VERIFY_LOCAL_r05.txt) occupy positions 1-37 so every
-    one gets a fresh driver row.  Positions 37-50 hold the FOURTEEN
-    operators NEW this round — trained-centroid IVF, BPE merge loop +
-    tokenizer apply, CDC delete tombstones, int8 quantization +
-    int8-quantized search, contrastive triplets, product quantization
-    (ADC), tokenizer compression rate, PSI drift, LSH recall S-curve,
-    ANN recall eval, hard
-    negatives, and the skew-hybrid flagship (registered under the
-    flagship's own oracle as its bit-equality proof) — never
-    driver-verified, so in-window.  The 50 rows green in
-    CORRECTNESS_r05 rotate to the very back; q_quality_funnel and
-    q_incremental_dedup sit first behind the boundary (sweep-green at
-    sf0.01 AND sf0.1 on round-6 HEAD) and lead the round-7 window.
-    After this round every registry entry has a driver verdict within
-    r4-r6."""
+    covers a 50-entry window from the front.  Round 7 executes the
+    round-6 verdict's rotation item: q_quality_funnel and
+    q_incremental_dedup (last driver row r3 — one testdata generation
+    ago, sweep-green at both SFs on round-6 HEAD) lead, followed by
+    the operators NEW this round (never driver-verified), then the
+    stalest r4-green entries — the core pipeline family, streaming
+    block, ML family, and the TPC-H/relational tail whose last driver
+    verdict was round 4 — filling the window to 50.  The r4-green
+    entries displaced past the boundary sit FIRST behind it and lead
+    the round-8 window; the blocks green in CORRECTNESS_r05 and
+    CORRECTNESS_r06 rotate to the back in that order."""
     return {
-        # ==== positions 1-38: last driver verdict round 3 — the
-        #      whole point of this round's rotation ====
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_exact": D.q_dedup_exact,
-        "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
-        "q_dedup_embedding": D.q_dedup_embedding,
-        "q_dedup_keep_best": D.q_dedup_keep_best,
-        "q_corpus_clean": D.q_corpus_clean,
-        "q_text_stats": T.q_text_stats,
-        "q_knn_brute": S.q_knn_brute,
-        "q_lang_id": T.q_lang_id,
-        "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_lsh": S.q_knn_lsh,
-        "q_token_count": T.q_token_count,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
-        "q_knn_pandas": S.q_knn_pandas,
-        "q_media_features": MM.q_media_features,
-        "q_sample_hash": SM.q_sample_hash,
-        "q_train_test_split": SM.q_train_test_split,
-        "q_user_holdout": SM.q_user_holdout,
-        "q_stratified_sample": SM.q_stratified_sample,
-        "q_broadcast_dim_join": R.q_broadcast_dim_join,
-        "q_anti_join": R.q_anti_join,
-        "q_semi_join": R.q_semi_join,
-        "q_union_distinct": R.q_union_distinct,
-        "q_pandas_udaf": U.q_pandas_udaf,
-        "q_salted_agg": K.q_salted_agg,
-        "q_upsert_compact": C.q_upsert_compact,
-        "q_histogram": R.q_histogram,
-        "q_profile": R.q_profile,
-        "q_decontaminate": CP.q_decontaminate,
-        "q_chunk_sequences": CP.q_chunk_sequences,
-        "q_domain_mix": CP.q_domain_mix,
-        # ==== new in round 6 — never driver-verified, in-window ====
-        "q_knn_ivf_trained": S.q_knn_ivf_trained,
-        "q_bpe_merges": T.q_bpe_merges,
-        "q_bpe_tokenize": T.q_bpe_tokenize,
-        "q_bpe_compression": T.q_bpe_compression,
-        "q_upsert_with_deletes": C.q_upsert_with_deletes,
-        "q_int8_quantize": S.q_int8_quantize,
-        "q_knn_int8": S.q_knn_int8,
-        "q_contrastive_triplets": S.q_contrastive_triplets,
-        "q_knn_pq": S.q_knn_pq,
-        "q_drift_psi": DQ.q_drift_psi,
-        "q_dedup_recall_eval": D.q_dedup_recall_eval,
-        "q_ann_recall_eval": S.q_ann_recall_eval,
-        "q_hard_negatives": S.q_hard_negatives,
-        # skew-resistant flagship: same oracle as q_session_features —
-        # a green row proves the bucketed sessionizer is bit-identical
-        "q_session_features_skewres": P.q_session_features_skewres,
-        # ==== stalest r4-green entries fill out the window ====
-        # ==================== window boundary (50) ====================
-        # q_quality_funnel / q_incremental_dedup lead the round-7
-        # window: displaced by the fourteen round-6 ops (both are
-        # sweep-green at sf0.01 AND sf0.1 on round-6 HEAD,
-        # VERIFY_LOCAL_r06.txt)
+        # ==== positions 1-2: last driver verdict ROUND 3 —
+        #      the round-7 window leaders named in round 6 ====
         "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
+        # ==== new in round 7 — never driver-verified, in-window ====
+        "q_knn_ivfpq": S.q_knn_ivfpq,
+        # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
-        # ==== r4-green remainder ====
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
         "q_stream_stateful": ST.q_stream_stateful,
         "q_bigram_logprob": T.q_bigram_logprob,
@@ -169,25 +104,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_avg": R.q_moving_avg,
         "q_lead_lag": R.q_lead_lag,
         "q_zscore_anomaly": R.q_zscore_anomaly,
-        # --- flagship pipeline (W1-W5, A3-A8, P6-P10) — judge
-        #     re-verified in rounds 4 AND 5, so safely out-of-window ---
         "q_session_features": P.q_session_features,
         "q_sessionize": P.q_sessionize,
         "q_session_features_3axis": P.q_session_features_3axis,
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
-        # --- ML family (rows-only; rides on the flagship frame) ---
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
         "q_ml_serve": M.q_ml_serve,
-        # --- TPC-H tail, r4-green ---
         "q2_min_cost_supplier": TH.q2_min_cost_supplier,
         "q11_important_stock": TH.q11_important_stock,
         "q15_top_supplier": TH.q15_top_supplier,
         "q20_excess_suppliers": TH.q20_excess_suppliers,
         "q21_waiting_orders": TH.q21_waiting_orders,
-        # --- relational coverage over events (S1, P1-P10, A1-A10) ---
         "q_distinct_users": R.q_distinct_users,
         "q_count_gate": R.q_count_gate,
         "q_label_encode": R.q_label_encode,
@@ -196,11 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_rate": R.q_error_rate,
         "q_topk": R.q_topk,
         "q_two_pass_absdev": R.q_two_pass_absdev,
+        # ==================== window boundary (50) ====================
+        # r4-green entries displaced by the round-7 additions —
+        # FIRST behind the boundary, they lead the round-8 window
+        # (sweep-green at sf0.01 AND sf0.1 on round-7 HEAD)
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
-        # ==== r5-green block (CORRECTNESS_r05: 50/50 green) — rotate
-        #      to the very back ====
+        # ==== r5-green block (CORRECTNESS_r05: 50/50) ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q4_priority_count": TH.q4_priority_count,
@@ -251,6 +184,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
+        # ==== r6-green block (CORRECTNESS_r06: 50/50) — freshest,
+        #      rotates to the very back ====
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
+        "q_text_stats": T.q_text_stats,
+        "q_knn_brute": S.q_knn_brute,
+        "q_lang_id": T.q_lang_id,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_lsh": S.q_knn_lsh,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
+        "q_knn_pandas": S.q_knn_pandas,
+        "q_media_features": MM.q_media_features,
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        "q_pandas_udaf": U.q_pandas_udaf,
+        "q_salted_agg": K.q_salted_agg,
+        "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
+        "q_decontaminate": CP.q_decontaminate,
+        "q_chunk_sequences": CP.q_chunk_sequences,
+        "q_domain_mix": CP.q_domain_mix,
+        "q_knn_ivf_trained": S.q_knn_ivf_trained,
+        "q_bpe_merges": T.q_bpe_merges,
+        "q_bpe_tokenize": T.q_bpe_tokenize,
+        "q_bpe_compression": T.q_bpe_compression,
+        "q_upsert_with_deletes": C.q_upsert_with_deletes,
+        "q_int8_quantize": S.q_int8_quantize,
+        "q_knn_int8": S.q_knn_int8,
+        "q_contrastive_triplets": S.q_contrastive_triplets,
+        "q_knn_pq": S.q_knn_pq,
+        "q_drift_psi": DQ.q_drift_psi,
+        "q_dedup_recall_eval": D.q_dedup_recall_eval,
+        "q_ann_recall_eval": S.q_ann_recall_eval,
+        "q_hard_negatives": S.q_hard_negatives,
+        "q_session_features_skewres": P.q_session_features_skewres,
     }
 
 
@@ -363,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_int8": S.KNN_INT8_SQL,
         "q_contrastive_triplets": S.CONTRASTIVE_TRIPLETS_SQL,
         "q_knn_pq": S.KNN_PQ_SQL,
+        "q_knn_ivfpq": S.KNN_IVFPQ_SQL,
         "q_drift_psi": DQ.DRIFT_PSI_SQL,
         "q_dedup_recall_eval": D.DEDUP_RECALL_EVAL_SQL,
         "q_ann_recall_eval": S.ANN_RECALL_EVAL_SQL,

@@ -196,14 +196,20 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(ref_range), "event_type")
         .withColumn(
             "bin",
-            F.least(
-                F.lit(PSI_BINS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("value") - F.col("vmin")) / width).cast(
-                        "int"
+            # degenerate guard: a constant-valued reference half gives
+            # width 0 → NaN/Inf through floor; Spark would coerce it to
+            # a bin while the DuckDB oracle's CAST(FLOOR(inf) AS INT)
+            # raises — pin the whole type to bin 0 in BOTH engines
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(PSI_BINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("value") - F.col("vmin")) / width
+                        ).cast("int"),
                     ),
-                ),
+                )
             ),
         )
         .groupBy("event_type", "bin")
@@ -253,9 +259,13 @@ ref_range AS (
 ),
 binned AS (
   SELECT d.event_type,
-    LEAST({PSI_BINS - 1}, GREATEST(0,
-      CAST(FLOOR((d.value - r.vmin)
-                 / ((r.vmax - r.vmin) / {float(PSI_BINS)})) AS INT))) AS bin,
+    -- width-0 guard mirrored from the Spark expression: constant
+    -- reference half → everything in bin 0 (no Inf through FLOOR)
+    CASE WHEN r.vmax = r.vmin THEN 0 ELSE
+      LEAST({PSI_BINS - 1}, GREATEST(0,
+        CAST(FLOOR((d.value - r.vmin)
+                   / ((r.vmax - r.vmin) / {float(PSI_BINS)})) AS INT)))
+    END AS bin,
     SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
     SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
   FROM d JOIN ref_range r ON r.event_type = d.event_type

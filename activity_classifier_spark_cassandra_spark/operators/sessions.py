@@ -233,6 +233,37 @@ def hot_keys(
     )
 
 
+def hot_keys_adaptive(
+    df: DataFrame,
+    keys: Sequence[str],
+    min_rows: int = 13,
+    frac_denom: int = 1000,
+) -> DataFrame:
+    """``hot_keys`` with a threshold that scales with the table —
+    max(min_rows, total_rows // frac_denom) — WITHOUT an eager driver
+    count: the total is folded into the detection job itself.  The
+    per-key counts are computed once (one combinable scan of ``df``);
+    the global sum is a window over the already-tiny counts frame (one
+    row per distinct key — metadata-scale by definition), so the only
+    extra cost vs ``hot_keys`` is one exchange of that metadata frame.
+    The whole thing stays lazy: building the plan triggers zero Spark
+    jobs (pinned by tests/test_sessions.py)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    # single-partition window over the counts frame, NOT over df: the
+    # frame is distinct-keys-scale, and this avoids a second scan of
+    # df that a separate agg + crossJoin would cost
+    total = F.sum("_n").over(Window.partitionBy(F.lit(1)))
+    thresh = F.greatest(
+        F.lit(min_rows).cast("long"),
+        (total / F.lit(frac_denom)).cast("long"),
+    )
+    return (
+        counts.withColumn("_thresh", thresh)
+        .filter(F.col("_n") > F.col("_thresh"))
+        .select(*keys)
+    )
+
+
 def sessionize_skew_hybrid(
     df: DataFrame,
     keys: Sequence[str],
@@ -242,6 +273,7 @@ def sessionize_skew_hybrid(
     window_ticks: int = WINDOW_TICKS,
     hot_min_rows: int = 1_000_000,
     bucket_ticks: int | None = None,
+    hot_keys_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Sessionize + window-assign with AQE-skew-join-style hot-key
     routing: detect keys above ``hot_min_rows``, run ONLY those through
@@ -268,7 +300,9 @@ def sessionize_skew_hybrid(
     detection + one broadcast of the hot-key list into both branch
     filters; the big data still shuffles exactly once per branch.
     """
-    hk = F.broadcast(hot_keys(df, keys, hot_min_rows))
+    if hot_keys_frame is None:
+        hot_keys_frame = hot_keys(df, keys, hot_min_rows)
+    hk = F.broadcast(hot_keys_frame)
     cold = df.join(hk, list(keys), "left_anti")
     hot = df.join(hk, list(keys), "left_semi")
 

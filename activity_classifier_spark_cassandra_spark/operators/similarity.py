@@ -1068,10 +1068,22 @@ def _knn_ivf_trained_sql() -> str:
               ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 )""")
-    return (
+    sql = (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, bucket, neighbor_id, cosine, rank"
         f"\nFROM ranked WHERE rank <= {TOP_K}"
+    )
+    # MATERIALIZED: same rewrite as _knn_pq_sql — the chained training
+    # CTEs (corpus, c{i}, af) are multiply referenced, and DuckDB's
+    # planner re-inlines un-materialized CTEs per reference, which
+    # grows exponentially in KMEANS_ITERS (117s → 0.1s measured on the
+    # BPE oracle for the same shape).
+    import re as _re
+
+    return _re.sub(
+        r"\b(corpus|c\d|a\d|af|probes) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
     )
 
 
@@ -1462,3 +1474,324 @@ WHERE r.rank <= {TOP_K}"""
 
 
 KNN_PQ_SQL = _knn_pq_sql()
+
+
+# ------------------------------------------------------ IVF-PQ (composed)
+#
+# The round-6 verdict's #1 item: compose the two trained halves into
+# the actual production index shape (FAISS IndexIVFPQ; Jegou et al.
+# TPAMI 2011 §IV): the trained coarse quantizer routes each vector to
+# an inverted list, and product quantization encodes the RESIDUAL
+# (vector − coarse centroid) — residuals concentrate near the origin,
+# so the same codebook budget buys far finer resolution than PQ on raw
+# vectors, whose codes waste their entropy re-describing the coarse
+# structure.  Search: rank coarse centroids per query, probe the
+# nprobe nearest lists, compute the query's residual AGAINST EACH
+# PROBED CENTROID (textbook IVF-PQ subtlety — the ADC table is
+# per-(query, list)), ADC-scan only those lists, exact-rescore the
+# survivors.
+#
+# Scale shape at 100 TB: the corpus is scanned once to (bucket, code1,
+# code2) — in a stored index this is the on-disk format, 2 bytes +
+# list id per vector; the ADC tables are (queries × nprobe × M × K)
+# rows — metadata — and BROADCAST, so candidate generation is a
+# map-side join touching only probed lists; only per-list top-k
+# survivors reach the exchange.  The exact rescore joins the TOP_K
+# survivors (broadcast) back to full vectors.  No all-pairs anything.
+#
+# Every stage is the deterministic 6-dp Lloyd's machinery the DuckDB
+# oracle already replays bit-for-bit (see train_kmeans_centroids);
+# residuals are round(e[j] − c[j], 6), an exact IEEE op both engines
+# share, so the chained-CTE oracle extends mechanically.
+#
+# Reference parity note: the reference (model/*.java) has no ANN at
+# all — this whole family is the LLM-pipeline extension surface.
+
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_residuals(
+    emb: DataFrame, coarse: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, bucket, embedding=residual) — coarse-assign each vector
+    and subtract its centroid, 6-dp.  One scan, no shuffle: the
+    centroid table is a k×dim literal evaluated per row."""
+    lit = _cents_literal(coarse)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_assign_expr(lit)).alias("bucket"),
+    )
+    return assigned.select(
+        "vec_id",
+        "bucket",
+        F.expr(
+            "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"element_at(filter({lit}, s -> s.k = bucket), 1).c, "
+            "(x, y) -> round(x - y, 6))"
+        ).alias("embedding"),
+    )
+
+
+def train_ivfpq(
+    emb: DataFrame,
+    k_coarse: int = K_TRAIN,
+    k_pq: int = PQ_K,
+    iters: int = KMEANS_ITERS,
+) -> tuple[
+    list[tuple[int, list[float]]],
+    list[list[tuple[int, list[float]]]],
+]:
+    """Coarse centroids + per-subspace residual codebooks."""
+    coarse = train_kmeans_centroids(emb, k=k_coarse, iters=iters)
+    resid = ivfpq_residuals(emb, coarse)
+    return coarse, train_pq_codebooks(resid, k=k_pq, iters=iters)
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """ADC search over the composed index: probe nprobe lists, score
+    via per-(query, list) residual distance tables, exact-rescore the
+    top-k.  Parameterized so tests can vary nprobe on ONE index."""
+    clit = _cents_literal(coarse)
+    lit1, lit2 = _cents_literal(codebooks[0]), _cents_literal(codebooks[1])
+
+    # stored-index form: list id + M codes per corpus vector
+    resid = ivfpq_residuals(emb, coarse)
+    codes = resid.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.expr(
+            _assign_expr(lit1, _PQ_SLICE[1].format(e="embedding"))
+        ).alias("code1"),
+        F.expr(
+            _assign_expr(lit2, _PQ_SLICE[2].format(e="embedding"))
+        ).alias("code2"),
+    )
+    # probe the nprobe nearest lists; the query residual is per-list
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+            F.explode(F.expr(clit)).alias("c"),
+        )
+        .withColumn("d2", F.expr(_D2_FOLD.format(x="e1", c="c.c")))
+        .withColumn(
+            "cent_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d2").asc(), F.col("c.k").asc()
+                )
+            ),
+        )
+        .filter(F.col("cent_rank") <= nprobe)
+        .select(
+            "query_id",
+            F.col("c.k").alias("bucket"),
+            F.expr(
+                "zip_with(transform(e1, x -> CAST(x AS DOUBLE)), c.c,"
+                " (x, y) -> round(x - y, 6))"
+            ).alias("qr"),
+        )
+    )
+
+    def dtab(lit: str, s: int, out: str) -> DataFrame:
+        return (
+            probes.select(
+                "query_id",
+                "bucket",
+                F.expr(_PQ_SLICE[s].format(e="qr")).alias("qs"),
+                F.explode(F.expr(lit)).alias("c"),
+            )
+            .withColumn(out, F.expr(_D2_FOLD.format(x="qs", c="c.c")))
+            .select(
+                F.col("query_id").alias(f"qid{s}"),
+                F.col("bucket").alias(f"b{s}"),
+                F.col("c.k").alias(f"pcode{s}"),
+                out,
+            )
+        )
+
+    t1 = dtab(lit1, 1, "d2_1")
+    t2 = dtab(lit2, 2, "d2_2")
+    scored = (
+        codes.join(
+            F.broadcast(t1),
+            (F.col("bucket") == F.col("b1"))
+            & (F.col("code1") == F.col("pcode1")),
+        )
+        .join(
+            F.broadcast(t2),
+            (F.col("bucket") == F.col("b2"))
+            & (F.col("code2") == F.col("pcode2"))
+            & (F.col("qid1") == F.col("qid2")),
+        )
+        .withColumnRenamed("qid1", "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(F.col("d2_1") + F.col("d2_2"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "adc_dist", "rank")
+    )
+    # exact rescore of the k survivors only
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    return (
+        top.join(F.broadcast(queries), "query_id")
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("e2"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine_exact", F.round(cos, 6))
+        .select(
+            "query_id", "bucket", "neighbor_id", "adc_dist",
+            "cosine_exact", "rank",
+        )
+    )
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5: trained coarse quantizer (k=4, 2 Lloyd's rounds)
+    + residual product codebooks (M=2, K=4), nprobe=2, ADC + exact
+    rescore.  The DuckDB oracle replays BOTH trainings as chained
+    MATERIALIZED CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, codebooks = train_ivfpq(emb)
+    return ivfpq_search(emb, coarse, codebooks)
+
+
+def _knn_ivfpq_sql() -> str:
+    import re as _re
+
+    fin = f"c{KMEANS_ITERS}"
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT {K_TRAIN})
+)""",
+    ]
+    # coarse Lloyd's replay + final full assignment
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(_sql_assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(_sql_update(f"a{i}", f"c{i}"))
+    ctes.append(_sql_assign(fin, "af"))
+    # residuals against the assigned coarse centroid, 6-dp
+    ctes.append(f"""resid AS (
+  SELECT a.vec_id, a.cluster AS bucket,
+    list_transform(range(1, len(a.e) + 1),
+                   j -> round(a.e[j] - c.centroid[j], 6)) AS e
+  FROM af a JOIN {fin} c ON c.cluster = a.cluster
+)""")
+    ctes.append(
+        "rs1 AS (SELECT vec_id, list_slice(e, 1, len(e) // 2) AS e"
+        " FROM resid)"
+    )
+    ctes.append(
+        "rs2 AS (SELECT vec_id, list_slice(e, len(e) // 2 + 1, len(e)) AS e"
+        " FROM resid)"
+    )
+    # per-subspace residual codebook replay + final codes
+    for s in (1, 2):
+        ctes.append(f"""p{s}c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM rs{s} ORDER BY vec_id LIMIT {PQ_K})
+)""")
+        for i in range(1, KMEANS_ITERS + 1):
+            ctes.append(
+                _sql_assign(f"p{s}c{i - 1}", f"p{s}a{i}", corpus=f"rs{s}")
+            )
+            ctes.append(_sql_update(f"p{s}a{i}", f"p{s}c{i}"))
+        ctes.append(
+            _sql_assign(f"p{s}c{KMEANS_ITERS}", f"p{s}af", corpus=f"rs{s}")
+        )
+    ctes.append("""codes AS (
+  SELECT r.vec_id, r.bucket, a.cluster AS code1, b.cluster AS code2
+  FROM resid r
+  JOIN p1af a ON a.vec_id = r.vec_id
+  JOIN p2af b ON b.vec_id = r.vec_id
+)""")
+    # probes: nprobe nearest lists, query residual per probed list
+    d2q = _sql_d2("v.e", "c.centroid")
+    ctes.append(f"""probes AS (
+  SELECT query_id, bucket, qr FROM (
+    SELECT v.vec_id AS query_id, c.cluster AS bucket,
+      list_transform(range(1, len(v.e) + 1),
+                     j -> round(v.e[j] - c.centroid[j], 6)) AS qr,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {d2q} ASC, c.cluster ASC) AS cent_rank
+    FROM corpus v CROSS JOIN {fin} c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE cent_rank <= {IVFPQ_NPROBE}
+)""")
+    slices = {
+        1: "list_slice(p.qr, 1, len(p.qr) // 2)",
+        2: "list_slice(p.qr, len(p.qr) // 2 + 1, len(p.qr))",
+    }
+    for s in (1, 2):
+        d2 = _sql_d2(slices[s], "c.centroid")
+        ctes.append(f"""dtab{s} AS (
+  SELECT p.query_id, p.bucket, c.cluster AS pcode{s}, {d2} AS d2_{s}
+  FROM probes p CROSS JOIN p{s}c{KMEANS_ITERS} c
+)""")
+    ctes.append(f"""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT t1.query_id, c.bucket, c.vec_id AS neighbor_id,
+           ROUND(t1.d2_1 + t2.d2_2, 6) AS adc_dist
+    FROM codes c
+    JOIN dtab1 t1 ON t1.bucket = c.bucket AND t1.pcode1 = c.code1
+    JOIN dtab2 t2 ON t2.bucket = c.bucket AND t2.pcode2 = c.code2
+                 AND t2.query_id = t1.query_id
+    WHERE c.vec_id <> t1.query_id
+  )
+)""")
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.query_id, r.bucket, r.neighbor_id, r.adc_dist,
+  ROUND(list_dot_product(q.e, n.e)
+        / (sqrt(list_dot_product(q.e, q.e))
+         * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_exact,
+  r.rank
+FROM ranked r
+JOIN corpus q ON q.vec_id = r.query_id
+JOIN corpus n ON n.vec_id = r.neighbor_id
+WHERE r.rank <= {TOP_K}"""
+    )
+    # MATERIALIZED everywhere a CTE is referenced more than once —
+    # planner re-inlining of the chained training replay is exponential
+    # in iteration count (measured on the BPE oracle: 117s → 0.1s)
+    return _re.sub(
+        r"\b(corpus|c\d|a\d|af|resid|rs\d|p\dc\d|p\da\d|p\daf"
+        r"|codes|probes|dtab\d) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+KNN_IVFPQ_SQL = _knn_ivfpq_sql()

@@ -182,15 +182,22 @@ def q_session_features_skewres(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouping keys include session_id/window_id, so a hot key is
         spread over its windows).
 
-    The threshold scales with the table — max(13, n_rows/1000), one
-    scalar count — so the driver's sf0.01 oracle run still pushes
-    roughly half the keys down EACH branch (sf0.01 per-key counts span
-    3-24, threshold 13) while larger inputs route only genuinely hot
-    keys (sf0.1: threshold 100; the 10M-row probe: 10k — just the
-    engineered hot key); production uses the 1M default.  Measured at
-    the 100x probe with a >=20% hot key: see BASELINE.md round-6 skew
-    table."""
-    from ..operators.sessions import sessionize_skew_hybrid
+    The threshold scales with the table — max(13, n_rows/1000) — and
+    since round 7 it is derived LAZILY inside the detection job
+    (``hot_keys_adaptive``: the total is a window-sum over the per-key
+    counts frame), so building this DataFrame triggers zero Spark jobs
+    (pinned by tests/test_sessions.py) and the events table is scanned
+    once for detection, not twice.  The routing outcome is unchanged:
+    the driver's sf0.01 oracle run still pushes roughly half the keys
+    down EACH branch (sf0.01 per-key counts span 3-24, threshold 13)
+    while larger inputs route only genuinely hot keys (sf0.1:
+    threshold 100; the 10M-row probe: 10k — just the engineered hot
+    key); production uses the 1M default.  Measured at the 100x probe
+    with a >=20% hot key: see BASELINE.md round-6 skew table."""
+    from ..operators.sessions import (
+        hot_keys_adaptive,
+        sessionize_skew_hybrid,
+    )
 
     samples = event_samples(spark, sf_dir)
     d = sessionize_skew_hybrid(
@@ -200,7 +207,9 @@ def q_session_features_skewres(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap=EVENTS_SESSION_GAP_MS,
         tiebreak=["event_id"],
         window_ticks=EVENTS_WINDOW_MS,
-        hot_min_rows=max(13, samples.count() // 1000),
+        hot_keys_frame=hot_keys_adaptive(
+            samples, KEYS, min_rows=13, frac_denom=1000
+        ),
     )
     feats = extract_features(
         d,

@@ -113,6 +113,7 @@ HEADLINE = [
     "q_knn_int8",
     "q_contrastive_triplets",
     "q_knn_pq",
+    "q_knn_ivfpq",
     "q_drift_psi",
     "q_dedup_recall_eval",
 ]

@@ -229,6 +229,16 @@ def test_knn_ivf_trained_broadcasts_probes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_knn_ivfpq_broadcasts_adc_tables(spark):
+    """Composed IVF-PQ: both per-(query, list) ADC tables and the
+    rescore sides are broadcast into the encoded-corpus scan — the
+    corpus is never shuffled onto buckets or codes, and nothing
+    degenerates to a cartesian product."""
+    plan = _plan(spark, "q_knn_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_skewres_flagship_exchange_budget(spark):
     """Hybrid flagship: each branch shuffles its rows a bounded number
     of times — cold (window) + hot (bucket window + metadata joins) +

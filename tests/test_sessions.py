@@ -242,3 +242,55 @@ def test_skew_hybrid_equals_plain_path(spark):
     )
     assert hyb.count() == plain.count() == ev.count()
     assert diff.count() == 0
+
+
+def test_hot_keys_adaptive_matches_eager_threshold(spark):
+    """hot_keys_adaptive must select exactly the keys the old eager
+    formula (max(13, count()//1000) driver-side) selected."""
+    from activity_classifier_spark_cassandra_spark.operators.sessions import (
+        hot_keys,
+        hot_keys_adaptive,
+    )
+    from activity_classifier_spark_cassandra_spark.plans.pipeline import (
+        event_samples,
+    )
+
+    ev = event_samples(spark, "/root/testdata/sf0.001")
+    keys = ["user_id", "event_type"]
+    eager = hot_keys(ev, keys, max(13, ev.count() // 1000))
+    lazy = hot_keys_adaptive(ev, keys, min_rows=13, frac_denom=1000)
+    assert sorted(map(tuple, eager.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
+
+
+def test_skewres_query_builds_with_no_extra_jobs(spark):
+    """Building q_session_features_skewres must be as lazy as building
+    the plain flagship: the round-6 version paid an eager full events
+    scan via samples.count() at construction time.  load_table's
+    parquet schema-inference job is construction overhead common to
+    EVERY query, so the pin is differential: the skew-resistant build
+    may not run a single job more than the plain build."""
+    from activity_classifier_spark_cassandra_spark.plans import pipeline as P
+
+    sc = spark.sparkContext
+
+    def jobs_during(tag, fn):
+        sc.setJobGroup(tag, "plan construction only")
+        try:
+            df = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        return df, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    sf = "/root/testdata/sf0.001"
+    _, n_plain = jobs_during(
+        "plain-build", lambda: P.q_session_features(spark, sf)
+    )
+    df, n_skew = jobs_during(
+        "skewres-build", lambda: P.q_session_features_skewres(spark, sf)
+    )
+    assert n_skew <= n_plain
+    # and the plan still runs
+    assert df.limit(1).count() == 1

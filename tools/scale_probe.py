@@ -57,9 +57,22 @@ def get_spark() -> SparkSession:
 def gen_events(spark, sf, n, out, skew=False):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     d = ev.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
-    d = d.withColumn(
-        "user_id", (F.col("user_id") + F.col("copy") * 1_000_000).cast("long")
-    ).drop("copy")
+    d = (
+        d.withColumn(
+            "user_id",
+            (F.col("user_id") + F.col("copy") * 1_000_000).cast("long"),
+        )
+        # event_id must stay unique across copies BEFORE the hot-key
+        # remap: otherwise the hot key holds duplicate (ts, event_id)
+        # pairs, the sessionization tiebreak is not a total order, and
+        # the probed plan's measured work is nondeterministic on
+        # exactly the key the probe targets
+        .withColumn(
+            "event_id",
+            (F.col("event_id") + F.col("copy") * 1_000_000_000).cast("long"),
+        )
+        .drop("copy")
+    )
     if skew:
         # >=20% of ALL rows onto one hot key; md5 threshold '33' ~ 20%
         hot = F.md5(F.col("event_id").cast("string")) < "33"
