@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": CP.q_incremental_dedup,
         # ==== new in round 7 — never driver-verified, in-window ====
         "q_knn_ivfpq": S.q_knn_ivfpq,
+        "q_audio_features": MM.q_audio_features,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_ratio": T.REPETITION_RATIO_SQL,
         "q_unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "q_media_features": MM.MEDIA_FEATURES_SQL,
+        "q_audio_features": MM.AUDIO_FEATURES_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

@@ -8,10 +8,12 @@ two-tier: a deterministic fake header (``encode_fake_image``) keeps
 the driver-checkable oracle closed-form, and a REAL stdlib PNG codec
 (``decode_png`` — zlib inflate + full filter reconstruction per the
 public PNG spec, no PIL needed) handles actual image bytes for 8-bit
-gray/RGB/RGBA non-interlaced files.  ``NotImplementedError`` remains
-only for genuinely unsupported codecs (JPEG/WAV/16-bit/interlaced
-PNG); swapping in PIL/libav later changes only the marked inner
-functions, not the dataflow.
+gray/RGB/RGBA non-interlaced files, and a REAL stdlib WAV codec
+(``decode_wav`` — RIFF chunk walk + PCM 8/16-bit frame decode per the
+public WAVE spec) handles actual audio bytes.  ``NotImplementedError``
+remains only for genuinely unsupported codecs (JPEG, 16-bit/interlaced
+PNG, non-PCM WAV); swapping in PIL/libav later changes only the marked
+inner functions, not the dataflow.
 
 Scale design: mapInPandas streams Arrow record batches through one
 Python worker per core — no per-row pickling (the 10-100x win over
@@ -26,6 +28,7 @@ this is north-star scope per the build brief / SURVEY.md §2.12.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -75,6 +78,10 @@ def _decode_header(data: bytes) -> tuple[int, int, int, int, int] | None:
     if data[:8] == _PNG_SIG:
         w, h, c = _png_ihdr(data)
         return w, h, c, MODALITY_IMAGE, 0
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        sr, ch, _bits, frames, _samples = decode_wav(data)
+        # audio maps onto the metadata tuple as (frames, 1, channels)
+        return frames, 1, ch, MODALITY_AUDIO, sr
     if len(data) < _HEADER_LEN:
         return None
     magic, w, h, c, m, sr, _crc = struct.unpack(
@@ -350,12 +357,15 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 out["channels"].append(c)
                 out["modality"].append(m)
                 out["n_pixels"].append(int(w) * int(h))
-                # FIMG: bytes past the 16-byte fixture header; PNG:
-                # the whole container is payload.
-                is_png = blob is not None and bytes(blob[:8]) == _PNG_SIG
+                # FIMG: bytes past the 16-byte fixture header; PNG
+                # and WAV: the whole container is payload.
+                is_container = blob is not None and (
+                    bytes(blob[:8]) == _PNG_SIG
+                    or bytes(blob[:4]) == b"RIFF"
+                )
                 n = len(blob) if blob is not None else 0
                 out["payload_bytes"].append(
-                    n if is_png else max(0, n - _HEADER_LEN)
+                    n if is_container else max(0, n - _HEADER_LEN)
                 )
                 out["decode_ok"].append(ok)
             yield pd.DataFrame(out)
@@ -391,6 +401,139 @@ def sample_frames(
     """Frame sampling for video rows exploded to (media_id, frame_idx):
     keep every n-th frame — a pure filter, no Python, scales as a scan."""
     return df.filter((F.col(ts_col) % every_n) == 0)
+
+
+# ------------------------------------------------------ real WAV codec
+#
+# Minimal but REAL RIFF/WAVE decode from the public spec (multimedia
+# programming interface spec, IBM/Microsoft 1991): chunk walk over the
+# RIFF container, `fmt ` parse, PCM frame decode for 8-bit (unsigned,
+# 128-centered) and 16-bit (signed little-endian) integer samples.
+# Non-PCM encodings (float, ADPCM, 24-bit...) raise NotImplementedError
+# so batch extractors record decode_ok=False instead of failing the
+# task.  Same 100 TB story as the PNG codec: this runs inside an
+# Arrow-batched mapInPandas worker; a vectorized swap-in (soundfile/
+# libav) would keep the exact (bytes) -> (sr, ch, bits, frames,
+# samples) signature and leave the Spark-side dataflow untouched.
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, list[int]]:
+    """Full decode: (sample_rate, channels, bits, n_frames, samples)
+    where samples are interleaved ints centered on 0 (8-bit values are
+    shifted by -128 per the spec's unsigned convention)."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise NotImplementedError("malformed WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits} not supported"
+            " (integer PCM 8/16-bit only)"
+        )
+    if bits == 8:
+        samples = [b - 128 for b in raw]
+    else:
+        usable = len(raw) - (len(raw) % 2)
+        samples = list(
+            struct.unpack(f"<{usable // 2}h", raw[:usable])
+        )
+    n_frames = len(samples) // channels
+    return sample_rate, channels, bits, n_frames, samples
+
+
+def encode_wav(
+    sample_rate: int,
+    samples: list[int],
+    bits: int = 16,
+    channels: int = 1,
+) -> bytes:
+    """Spec-compliant PCM WAV writer for test fixtures."""
+    if bits == 8:
+        raw = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError(bits)
+    balign = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * balign,
+        balign, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def extract_wav_stats(df: DataFrame) -> DataFrame:
+    """REAL sample-level audio feature extraction over (media_id,
+    content: binary) WAV rows via mapInPandas: decode the PCM frames
+    and emit duration / level stats.  Sums are exact Python ints, so
+    the derived doubles are single correctly-rounded IEEE ops — the
+    closed-form oracle reproduces them bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in WAV_STATS_SCHEMA.fieldNames()}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    sr, ch, bits, n_frames, samples = decode_wav(blob)
+                except NotImplementedError:
+                    continue
+                n = len(samples)
+                ssum = sum(samples)
+                ssq = sum(v * v for v in samples)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_frames"].append(n_frames)
+                out["duration_ms"].append(
+                    round(n_frames * 1000.0 / sr, 6) if sr else 0.0
+                )
+                out["mean_sample"].append(round(ssum / n, 6) if n else 0.0)
+                out["rms"].append(
+                    round(math.sqrt(ssq / n), 6) if n else 0.0
+                )
+                out["peak"].append(max(abs(v) for v in samples) if n else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=WAV_STATS_SCHEMA
+    )
 
 
 # ------------------------------------------------------------ query
@@ -441,4 +584,62 @@ SELECT doc_id AS media_id,
        CAST(n_chars % 64 AS BIGINT) AS payload_bytes,
        TRUE AS decode_ok
 FROM documents
+"""
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_audio_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    """Deterministic in-query audio synthesis: a short 16-bit PCM clip
+    whose frame count, sample rate, and sample values are fixed
+    arithmetic on the document row — every decoded stat is predictable
+    in closed form, so the oracle never touches bytes."""
+    out = []
+    for d, n in zip(doc_id, n_chars):
+        d, n = int(d), int(n)
+        frames = (n % 96) + 5
+        sr = 8000 + (d % 3) * 4000
+        samples = [((7 * d + 13 * i) % 201) - 100 for i in range(frames)]
+        out.append(encode_wav(sr, samples, bits=16, channels=1))
+    return pd.Series(out)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio plumbing, driver-checkable: synthesize a PCM
+    WAV per document (Arrow-batched pandas UDF), run the REAL RIFF
+    decode + frame-stat extraction through mapInPandas, return typed
+    metadata only.  Sample sums are exact ints on both sides, so
+    mean/RMS are single correctly-rounded IEEE ops and the closed-form
+    oracle matches bit-for-bit — a wrong chunk walk, byte order, or
+    sign convention all hash-mismatch."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_audio_udf(F.col("doc_id"), F.col("n_chars")).alias(
+            "content"
+        ),
+    )
+    return extract_wav_stats(docs)
+
+
+AUDIO_FEATURES_SQL = """
+WITH f AS (
+  SELECT doc_id, (n_chars % 96) + 5 AS n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, sample_rate,
+         ((7 * doc_id + 13 * j) % 201) - 100 AS v
+  FROM f, UNNEST(range(0, n)) AS u(j)
+)
+SELECT doc_id AS media_id, sample_rate,
+  1 AS channels, 16 AS bits,
+  CAST(n AS BIGINT) AS n_frames,
+  ROUND(n * 1000.0 / sample_rate, 6) AS duration_ms,
+  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_sample,
+  ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM s
+GROUP BY doc_id, n, sample_rate
 """

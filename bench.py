@@ -114,6 +114,7 @@ HEADLINE = [
     "q_contrastive_triplets",
     "q_knn_pq",
     "q_knn_ivfpq",
+    "q_audio_features",
     "q_drift_psi",
     "q_dedup_recall_eval",
 ]

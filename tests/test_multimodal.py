@@ -227,3 +227,128 @@ def test_malformed_png_is_decode_failure_not_crash(spark):
 
     stats = extract_png_stats(df).collect()
     assert {r["media_id"] for r in stats} == {1}  # corrupt/null skipped
+
+
+# ------------------------------------------------------ real WAV codec
+
+def test_wav_roundtrip_8_and_16_bit(spark):
+    """encode -> decode must reproduce the exact sample values for
+    16-bit signed and 8-bit unsigned PCM, mono and stereo, including
+    the odd-byte-length pad rule."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7, -1]
+    for ch in (1, 2):
+        usable = samples[: len(samples) - (len(samples) % ch)]
+        blob = encode_wav(44100, usable, bits=16, channels=ch)
+        sr, got_ch, bits, n_frames, got = decode_wav(blob)
+        assert (sr, got_ch, bits) == (44100, ch, 16)
+        assert n_frames == len(usable) // ch
+        assert got == usable
+    # 8-bit: values live in [-128, 127], odd count forces a pad byte
+    small = [0, 5, -5, 127, -128, 1, 2]
+    blob = encode_wav(8000, small, bits=8, channels=1)
+    sr, ch, bits, n_frames, got = decode_wav(blob)
+    assert (sr, ch, bits, n_frames) == (8000, 1, 8, 7)
+    assert got == small
+
+
+def test_wav_unsupported_formats_raise(spark):
+    import struct as _s
+
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS this is not RIFF")
+    # hand-build an IEEE-float (format 3) fmt chunk: refused, not guessed
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+    # truncated container: missing data chunk
+    body = b"WAVE" + b"fmt " + _s.pack("<I", 16) + _s.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_extract_wav_stats_hand_computed(spark):
+    """Level stats on a hand-built clip: mean/RMS/peak are exact
+    arithmetic on the sample list."""
+    import math as _m
+
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        encode_wav,
+        extract_wav_stats,
+    )
+
+    samples = [3, -3, 4, -4]  # mean 0, rms sqrt(12.5), peak 4
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(1000, samples, bits=16))),
+            (2, bytearray(b"\xff\xd8 not audio")),  # skipped, not crash
+            (3, None),
+        ],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in extract_wav_stats(rows).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r.sample_rate, r.channels, r.bits, r.n_frames) == (1000, 1, 16, 4)
+    assert r.duration_ms == 4.0
+    assert r.mean_sample == 0.0
+    assert abs(r.rms - round(_m.sqrt(12.5), 6)) < 1e-12
+    assert r.peak == 4
+
+
+def test_media_features_dispatches_wav_container(spark):
+    """A real WAV blob flows through the generic metadata extractor as
+    modality=audio with decode_ok=True; payload_bytes counts the whole
+    container like PNG."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        MODALITY_AUDIO,
+        encode_wav,
+        extract_media_features,
+    )
+
+    blob = encode_wav(16000, [1, 2, 3, 4, 5, 6], bits=16, channels=2)
+    rows = spark.createDataFrame(
+        [(9, bytearray(blob))], "media_id long, content binary"
+    )
+    r = extract_media_features(rows).collect()[0]
+    assert r.decode_ok
+    assert r.modality == MODALITY_AUDIO
+    assert (r.width, r.height, r.channels) == (3, 1, 2)  # frames, 1, ch
+    assert r.payload_bytes == len(blob)
+
+
+def test_q_audio_features_matches_closed_form(spark):
+    """The registered query against its DuckDB oracle at sf0.001 —
+    value-exact (the driver's check, inlined)."""
+    import duckdb as _d
+    import pandas as _pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["q_audio_features"](spark, sf).toPandas()
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(entrymod.oracle_sql()["q_audio_features"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    _pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -252,3 +252,11 @@ def test_skewres_flagship_exchange_budget(spark):
     # a branch-filtered or metadata-scale subset; the pin catches a
     # refactor that starts re-shuffling the full frame per stage.
     assert _nodes(plan, "Exchange") <= 14, _nodes(plan, "Exchange")
+
+
+def test_audio_features_prunes_payload_before_exchange(spark):
+    """The binary WAV payload must exist only inside the Python stages:
+    nothing after the mapInPandas decode carries the content column,
+    and the plan has no exchange at all (pure per-partition map)."""
+    plan = _plan(spark, "q_audio_features")
+    assert _nodes(plan, "Exchange") == 0, plan
