@@ -35,6 +35,7 @@ from activity_classifier_spark_cassandra_spark.operators import incremental as I
 from activity_classifier_spark_cassandra_spark.operators import layout as LY
 from activity_classifier_spark_cassandra_spark.operators import manifest as MF
 from activity_classifier_spark_cassandra_spark.operators import paths as PA
+from activity_classifier_spark_cassandra_spark.operators import retrieval as RT
 from activity_classifier_spark_cassandra_spark.operators import shuffle as SF
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import spans as SP
@@ -79,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== new in round 7 — never driver-verified, in-window ====
         "q_knn_ivfpq": S.q_knn_ivfpq,
         "q_audio_features": MM.q_audio_features,
+        "q_hybrid_search_rrf": RT.q_hybrid_search_rrf,
+        "q_mmr_rerank": RT.q_mmr_rerank,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -334,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "q_media_features": MM.MEDIA_FEATURES_SQL,
         "q_audio_features": MM.AUDIO_FEATURES_SQL,
+        "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
+        "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

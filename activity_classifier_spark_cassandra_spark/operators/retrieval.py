@@ -1,0 +1,336 @@
+"""Retrieval-stack composition: hybrid lexical+dense search (RRF) and
+MMR diversity re-ranking — the two head-of-pipeline operators every
+RAG / training-data retrieval stack runs on top of the BM25 and ANN
+families that already exist here.
+
+Reference parity note: the reference (model/*.java) has no retrieval
+surface at all — this is north-star scope next to the ANN family
+(SURVEY.md §2.12 extension table).
+
+Scale shape: both operators are *head* operators — the distributed
+work is the candidate generation that already scales (BM25 postings
+prune before any shuffle; dense top-k is one corpus scan with
+broadcast queries); the fusion / re-rank itself runs on top-k
+metadata (≤ tens of rows), so every join here is a broadcast of a
+bounded frame and the corpus is never re-shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .similarity import _DOT, _N1, _N2
+from .text import BM25_QUERY_TERMS, BM25_SEARCH_SQL, bm25_search
+
+# ------------------------------------------------- hybrid search (RRF)
+#
+# Reciprocal rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009):
+# score(d) = Σ_lists 1/(K + rank_list(d)) with the standard K=60.
+# Rank arithmetic on integers → the fused score is an exact function
+# of two small ints, so cross-engine hashing is tie-free by
+# construction (the only doubles are two divisions and an add on
+# identical operands).  Docs missing from one list contribute 0 from
+# that list and carry rank 0 in the output (0 = "absent", never a
+# valid 1-based rank).
+
+RRF_K = 60
+RRF_LIST_N = 20
+HYBRID_TOP = 10
+DENSE_QUERY_ID = 0
+
+
+def _dense_ranking(emb: DataFrame, top_n: int = RRF_LIST_N) -> DataFrame:
+    """Brute cosine top-n for the fixed dense query vector
+    (vec_id = DENSE_QUERY_ID), ranked.  One corpus scan, broadcast
+    1-row query, partition-local scoring — q_knn_brute's shape."""
+    q = emb.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("e1")
+    )
+    corpus = emb.filter(F.col("vec_id") != DENSE_QUERY_ID).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e2")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("dense_rank", F.row_number().over(w))
+        .filter(F.col("dense_rank") <= top_n)
+        .select("doc_id", "dense_rank")
+    )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval: BM25 top-20 (lexical) fused with brute
+    cosine top-20 for the dense query via reciprocal rank fusion.
+    vec_id ↔ doc_id is the corpus linkage (TESTDATA.md: embeddings are
+    the documents' vectors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        bm25_search(docs, BM25_QUERY_TERMS, top_n=RRF_LIST_N)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("doc_id", "lex_rank")
+    )
+    dense = _dense_ranking(emb)
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("lex_rank") > 0,
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("dense_rank") > 0,
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("hybrid_rank", F.row_number().over(wf))
+        .filter(F.col("hybrid_rank") <= HYBRID_TOP)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_score", "hybrid_rank")
+    )
+
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH lex0 AS MATERIALIZED (
+  SELECT * FROM ({BM25_SEARCH_SQL})
+),
+lex AS MATERIALIZED (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex0
+),
+dense AS MATERIALIZED (
+  SELECT doc_id, dense_rank FROM (
+    SELECT c.vec_id AS doc_id,
+      ROW_NUMBER() OVER (ORDER BY
+        ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[])))), 6)
+        DESC, c.vec_id ASC) AS dense_rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {DENSE_QUERY_ID}
+  ) WHERE dense_rank <= {RRF_LIST_N}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+    COALESCE(l.lex_rank, 0) AS lex_rank,
+    COALESCE(d.dense_rank, 0) AS dense_rank,
+    ROUND(
+      CASE WHEN l.lex_rank IS NOT NULL
+           THEN 1.0 / ({RRF_K} + l.lex_rank) ELSE 0.0 END
+      + CASE WHEN d.dense_rank IS NOT NULL
+             THEN 1.0 / ({RRF_K} + d.dense_rank) ELSE 0.0 END, 6)
+      AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score,
+  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS hybrid_rank
+FROM fused
+QUALIFY hybrid_rank <= {HYBRID_TOP}
+"""
+
+
+# --------------------------------------------- MMR diversity re-rank
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+# greedily build the result list by picking, each round, the candidate
+# maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).  The
+# candidate set is the dense top-MMR_CAND (distributed, one corpus
+# scan); the greedy loop is a head operator over that bounded frame:
+# the (MMR_CAND relevances + MMR_CAND² pairwise sims) integers are
+# fetched once — bounded metadata, the same class as the k×dim
+# centroid collects — and the selection runs in pure INTEGER
+# arithmetic.  All scores are exact integers in 1e-7 units (λ=0.7 ⇒
+# score_e7 = 7·rel_e6 − 3·maxsim_e6 over the 6-dp-rounded cosines), so
+# selection order and output values are tie-free and bit-identical
+# across engines by construction.  (A fully-lazy chained-DataFrame
+# variant was measured first: the recursive selected→pick references
+# grow the logical plan ~3^rounds and Catalyst+AQE re-analysis
+# dominates — minutes of planning for 5 rounds over 10 rows.)
+
+MMR_CAND = 10
+MMR_SELECT = 5
+MMR_LAMBDA_NUM = 7  # λ = 0.7 in tenths: score_e7 = 7·rel_e6 − 3·sim_e6
+
+
+def _mmr_candidates(emb: DataFrame) -> DataFrame:
+    """Dense top-MMR_CAND for the fixed query: (doc_id, rel, rel_e6,
+    e2).  Cached — ten rows feed every greedy round; without the cache
+    the lazy chain would re-run the corpus scan per round."""
+    q = emb.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("e1")
+    )
+    corpus = emb.filter(F.col("vec_id") != DENSE_QUERY_ID).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e2")
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    w = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("rel", F.round(cos, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MMR_CAND)
+        .select(
+            "doc_id",
+            "rel",
+            F.round(F.col("rel") * 1e6).cast("long").alias("rel_e6"),
+            "e2",
+        )
+        .cache()
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-5 over the dense top-10 candidates.  Output: selection
+    order, the relevance and worst-case redundancy that drove each
+    pick, and the exact integer MMR score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = _mmr_candidates(emb)
+
+    a = cands.select(
+        F.col("doc_id").alias("a"), F.col("e2").alias("e1")
+    )
+    b = cands.select(F.col("doc_id").alias("b"), "e2")
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .withColumn(
+            "sim_e6",
+            F.round(F.round(cos, 6) * 1e6).cast("long"),
+        )
+        .select("a", "b", "sim_e6")
+    )
+
+    # bounded-metadata fetch: MMR_CAND rows + MMR_CAND·(MMR_CAND−1) sims
+    cand_rows = cands.select("doc_id", "rel", "rel_e6").collect()
+    rel_e6 = {r.doc_id: r.rel_e6 for r in cand_rows}
+    rel = {r.doc_id: r.rel for r in cand_rows}
+    sim_e6 = {(r.a, r.b): r.sim_e6 for r in sims.collect()}
+
+    lam, mu = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    first = max(rel_e6, key=lambda d: (rel_e6[d], -d))
+    picked = [(first, 0)]  # (doc_id, max_sim_prev_e6)
+    while len(picked) < MMR_SELECT:
+        chosen = {d for d, _ in picked}
+        best = None
+        for d in rel_e6:
+            if d in chosen:
+                continue
+            ms = max(sim_e6[(d, p)] for p, _ in picked)
+            score = lam * rel_e6[d] - mu * ms
+            key = (score, -d)
+            if best is None or key > best[0]:
+                best = (key, d, ms)
+        picked.append((best[1], best[2]))
+
+    rows = [
+        (int(d), i + 1, float(rel[d]), int(ms),
+         int(lam * rel_e6[d] - mu * ms))
+        for i, (d, ms) in enumerate(picked)
+    ]
+    cands.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, mmr_rank int, relevance double,"
+        " max_sim_prev_e6 long, mmr_score_e7 long",
+    )
+
+
+def _mmr_sql() -> str:
+    import re as _re
+
+    cos = (
+        "ROUND(list_dot_product({x}, {y})"
+        " / (sqrt(list_dot_product({x}, {x}))"
+        " * sqrt(list_dot_product({y}, {y}))), 6)"
+    )
+    qcos = cos.format(
+        x="CAST(q.embedding AS DOUBLE[])", y="CAST(c.embedding AS DOUBLE[])"
+    )
+    pcos = cos.format(x="x.e", y="y.e")
+    ctes = [
+        f"""cand AS (
+  SELECT doc_id, rel, CAST(ROUND(rel * 1000000, 0) AS BIGINT) AS rel_e6, e
+  FROM (
+    SELECT c.vec_id AS doc_id, {qcos} AS rel,
+      CAST(c.embedding AS DOUBLE[]) AS e,
+      ROW_NUMBER() OVER (ORDER BY {qcos} DESC, c.vec_id ASC) AS rnk
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {DENSE_QUERY_ID}
+  ) WHERE rnk <= {MMR_CAND}
+)""",
+        f"""sims AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    CAST(ROUND({pcos} * 1000000, 0) AS BIGINT) AS sim_e6
+  FROM cand x JOIN cand y ON y.doc_id <> x.doc_id
+)""",
+        """sel1 AS (
+  SELECT doc_id, 1 AS mmr_rank FROM cand
+  ORDER BY rel_e6 DESC, doc_id ASC LIMIT 1
+)""",
+    ]
+    prev = "sel1"
+    lam, mu = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    for r in range(2, MMR_SELECT + 1):
+        ctes.append(f"""pick{r} AS (
+  SELECT doc_id, {r} AS mmr_rank FROM (
+    SELECT c.doc_id, {lam} * c.rel_e6 - {mu} * MAX(s.sim_e6) AS score_e7
+    FROM cand c
+    JOIN sims s ON s.a = c.doc_id
+    JOIN {prev} p ON p.doc_id = s.b
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+    GROUP BY c.doc_id, c.rel_e6
+  ) ORDER BY score_e7 DESC, doc_id ASC LIMIT 1
+)""")
+        ctes.append(
+            f"sel{r} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM pick{r})"
+        )
+        prev = f"sel{r}"
+    ctes.append(f"""red AS (
+  SELECT s1.doc_id, s1.mmr_rank, MAX(s.sim_e6) AS maxsim_e6
+  FROM {prev} s1
+  JOIN sims s ON s.a = s1.doc_id
+  JOIN {prev} s2 ON s2.doc_id = s.b AND s2.mmr_rank < s1.mmr_rank
+  GROUP BY s1.doc_id, s1.mmr_rank
+)""")
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.doc_id, s.mmr_rank, c.rel AS relevance,
+  COALESCE(r.maxsim_e6, 0) AS max_sim_prev_e6,
+  {lam} * c.rel_e6 - {mu} * COALESCE(r.maxsim_e6, 0) AS mmr_score_e7
+FROM {prev} s
+JOIN cand c ON c.doc_id = s.doc_id
+LEFT JOIN red r ON r.doc_id = s.doc_id"""
+    )
+    return _re.sub(
+        r"\b(cand|sims|sel\d|pick\d|red) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+MMR_RERANK_SQL = _mmr_sql()

@@ -115,6 +115,8 @@ HEADLINE = [
     "q_knn_pq",
     "q_knn_ivfpq",
     "q_audio_features",
+    "q_hybrid_search_rrf",
+    "q_mmr_rerank",
     "q_drift_psi",
     "q_dedup_recall_eval",
 ]

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "q_knn_int8",  # brute scan on quantized vectors (q_knn_brute shape)
     "q_contrastive_triplets",  # one brute scan scoring both triplet sides
     "q_drift_psi",  # 1-row timeline-midpoint bounds broadcast
+    "q_hybrid_search_rrf",  # 1-row dense query vector broadcast
 }
 
 
@@ -260,3 +261,15 @@ def test_audio_features_prunes_payload_before_exchange(spark):
     and the plan has no exchange at all (pure per-partition map)."""
     plan = _plan(spark, "q_audio_features")
     assert _nodes(plan, "Exchange") == 0, plan
+
+
+def test_hybrid_rrf_fusion_joins_are_bounded(spark):
+    """RRF: the only big-data work is the two candidate generations;
+    the fusion joins run on ≤2·RRF_LIST_N rows.  Pin: no cartesian,
+    and the scan count stays at the two candidate generators' own
+    budget (4 pruned documents scans from the BM25 shape — postings,
+    doclen, stats — plus 2 embeddings scans); a refactor that
+    re-scans per fused row would blow this up."""
+    plan = _plan(spark, "q_hybrid_search_rrf")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") <= 6, plan

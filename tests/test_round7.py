@@ -180,3 +180,97 @@ def test_ivfpq_oracle_parity_sf0001(spark):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+# ------------------------------------------- retrieval: RRF + MMR
+
+def test_rrf_score_formula_and_ranks(spark):
+    """Every fused row's rrf_score must equal the closed-form rank
+    arithmetic, hybrid ranks must be 1..10 without gaps, and rank 0
+    must mean 'absent from that list' (never both 0)."""
+    from activity_classifier_spark_cassandra_spark.operators.retrieval import (
+        RRF_K,
+        q_hybrid_search_rrf,
+    )
+
+    rows = q_hybrid_search_rrf(spark, SF_DIR).collect()
+    assert sorted(r.hybrid_rank for r in rows) == list(range(1, 11))
+    for r in rows:
+        assert (r.lex_rank, r.dense_rank) != (0, 0)
+        want = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.dense_rank) if r.dense_rank else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 6)) < 1e-12
+    # fused order is non-increasing in score
+    by_rank = sorted(rows, key=lambda r: r.hybrid_rank)
+    scores = [r.rrf_score for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_matches_independent_replay(spark):
+    """Greedy MMR replayed independently in the test (sequential-fold
+    cosines over the raw parquet vectors, integer-scaled scores) must
+    select the same docs in the same order with the same scores."""
+    import duckdb as _d
+
+    from activity_classifier_spark_cassandra_spark.operators.retrieval import (
+        DENSE_QUERY_ID,
+        MMR_CAND,
+        MMR_LAMBDA_NUM,
+        MMR_SELECT,
+        q_mmr_rerank,
+    )
+
+    vecs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in _d.sql(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[])"
+            f" FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(u, v):
+        d = n1 = n2 = 0.0
+        for x, y in zip(u, v):  # sequential fold, the engines' order
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        import math as _m
+
+        return round(d / (_m.sqrt(n1) * _m.sqrt(n2)), 6)
+
+    q = vecs[DENSE_QUERY_ID]
+    rel = {
+        i: cos(q, v) for i, v in vecs.items() if i != DENSE_QUERY_ID
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_CAND]
+    rel_e6 = {i: round(rel[i] * 1e6) for i in cand}
+    sim_e6 = {
+        (a, b): round(cos(vecs[a], vecs[b]) * 1e6)
+        for a in cand
+        for b in cand
+        if a != b
+    }
+    lam, mu = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    picked = [(max(rel_e6, key=lambda d: (rel_e6[d], -d)), 0)]
+    while len(picked) < MMR_SELECT:
+        chosen = {d for d, _ in picked}
+        best = None
+        for d in cand:
+            if d in chosen:
+                continue
+            ms = max(sim_e6[(d, p)] for p, _ in picked)
+            key = (lam * rel_e6[d] - mu * ms, -d)
+            if best is None or key > best[0]:
+                best = (key, d, ms)
+        picked.append((best[1], best[2]))
+    want = [
+        (d, i + 1, lam * rel_e6[d] - mu * ms)
+        for i, (d, ms) in enumerate(picked)
+    ]
+
+    got = sorted(q_mmr_rerank(spark, SF_DIR).collect(), key=lambda r: r.mmr_rank)
+    assert [(r.doc_id, r.mmr_rank, r.mmr_score_e7) for r in got] == want
+    # rank 1 is the raw-relevance argmax with zero redundancy
+    assert got[0].max_sim_prev_e6 == 0
+    assert got[0].relevance == max(r.relevance for r in got)

@@ -184,6 +184,12 @@ def main():
         default="q_session_features,q_span_dedup",
         help="comma list; the probe generates every table they need",
     )
+    ap.add_argument(
+        "--tables",
+        default="events,documents,embeddings,orders",
+        help="comma list of tables to generate (skip 100x generation"
+        " cost for tables the probed queries never read)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     probe_queries = args.queries.split(",")
@@ -196,11 +202,15 @@ def main():
     for n in factors:
         tag = f"{n}x"
         out = f"{BASE}/{tag}"
+        gen = {
+            "events": gen_events,
+            "documents": gen_documents,
+            "embeddings": gen_embeddings,
+            "orders": gen_orders,
+        }
         if not args.skip_gen:
-            gen_events(spark, args.sf, n, out)
-            gen_documents(spark, args.sf, n, out)
-            gen_embeddings(spark, args.sf, n, out)
-            gen_orders(spark, args.sf, n, out)
+            for t in args.tables.split(","):
+                gen[t](spark, args.sf, n, out)
         for qname in probe_queries:
             wall, cnt, rd, wr = timed(
                 spark, lambda q=qname, o=out: qs[q](spark, o)
