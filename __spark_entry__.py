@@ -127,13 +127,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_encode": R.q_label_encode,
         "q_truncate_cast": R.q_truncate_cast,
         "q_string_cast": R.q_string_cast,
+        # ==================== window boundary (50) ====================
+        # r4-green entries displaced by the round-7 additions (four new
+        # operators entered the window) — FIRST behind the boundary,
+        # they lead the round-8 window (sweep-green at sf0.01 AND
+        # sf0.1 on round-7 HEAD, VERIFY_LOCAL_r07.txt)
         "q_error_rate": R.q_error_rate,
         "q_topk": R.q_topk,
         "q_two_pass_absdev": R.q_two_pass_absdev,
-        # ==================== window boundary (50) ====================
-        # r4-green entries displaced by the round-7 additions —
-        # FIRST behind the boundary, they lead the round-8 window
-        # (sweep-green at sf0.01 AND sf0.1 on round-7 HEAD)
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
