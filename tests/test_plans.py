@@ -249,10 +249,15 @@ def test_skewres_flagship_exchange_budget(spark):
     plan = _plan(spark, "q_session_features_skewres")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # hot-key list + metadata
-    # 14 at round 6: detection agg + per-branch windows/aggs, each over
-    # a branch-filtered or metadata-scale subset; the pin catches a
+    # 14 at round 6; 19 at round 7: the lazy adaptive threshold
+    # (hot_keys_adaptive) replaced the eager full events scan with a
+    # window-sum over the per-key counts frame, and Catalyst plans
+    # that detection subtree once per branch reference — the extra
+    # exchanges all move the counts frame (one row per distinct key,
+    # metadata-scale), never the events table, and the runtime
+    # de-duplicates via exchange reuse.  The pin still catches a
     # refactor that starts re-shuffling the full frame per stage.
-    assert _nodes(plan, "Exchange") <= 14, _nodes(plan, "Exchange")
+    assert _nodes(plan, "Exchange") <= 19, _nodes(plan, "Exchange")
 
 
 def test_audio_features_prunes_payload_before_exchange(spark):
