@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..sources.io import load_table
 from .similarity import _DOT, _N1, _N2
+from .similarity import N_QUERIES as ANN_N_QUERIES
 from .text import BM25_QUERY_TERMS, BM25_SEARCH_SQL, bm25_search
 
 # ------------------------------------------------- hybrid search (RRF)
@@ -334,3 +335,160 @@ LEFT JOIN red r ON r.doc_id = s.doc_id"""
 
 
 MMR_RERANK_SQL = _mmr_sql()
+
+
+# ----------------------------------------------------- NDCG@k eval
+#
+# Rank-discounted retrieval quality, completing the eval suite:
+# recall@k (q_ann_recall_eval) says WHETHER the true neighbors are
+# found; NDCG@k (Järvelin & Kekäläinen, TOIS 2002) says whether they
+# are found IN THE RIGHT ORDER.  The evaluated system is the same
+# label-bucket IVF ranking the recall eval audits; ground truth is the
+# exact brute-force top-NDCG_K with graded relevance
+# rel = NDCG_K + 1 − exact_rank (integers 10..1, 0 for misses).
+#
+# Determinism: every gain term rel / log2(rank+1) is rounded to 6 dp
+# BEFORE the per-query sum, and the sums run over
+# DECIMAL(38,18)-cast terms (exact, order-free — the same trick as
+# the k-means centroid means), so DCG/IDCG/NDCG are bit-stable across
+# engines despite float log2.  Scale shape: both rankings are one
+# corpus scan with broadcast queries; the eval joins touch only
+# N_QUERIES·NDCG_K rows of rank metadata.
+
+NDCG_K = 10
+
+
+def _ranked_lists(emb: DataFrame, bucketed: bool) -> DataFrame:
+    """Per-query top-NDCG_K ranking: exact brute (bucketed=False) or
+    label-bucket IVF (bucketed=True) — the two sides of the eval."""
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qbucket"),
+        F.col("embedding").alias("e1"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("bucket"),
+        F.col("embedding").alias("e2"),
+    )
+    if bucketed:
+        joined = corpus.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+    else:
+        joined = corpus.crossJoin(F.broadcast(queries))
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NDCG_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _decimal_sum_6dp(col):
+    """Order-free 6-dp sum: round each term, exact DECIMAL add."""
+    return F.round(
+        F.sum(F.round(col, 6).cast("decimal(38,18)")).cast("double"), 6
+    )
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the label-bucket IVF ranking vs exact brute truth,
+    one row per query: (query_id, dcg, idcg, ndcg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: both the DCG join and the IDCG aggregate consume the
+    # truth ranking — without this, each branch re-runs the brute
+    # corpus scan.  N_QUERIES·NDCG_K rows: bounded metadata.
+    truth = (
+        _ranked_lists(emb, bucketed=False)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(NDCG_K + 1) - F.col("rank")).alias("rel"),
+            F.col("rank").alias("t_rank"),
+        )
+        .persist()
+    )
+    approx = _ranked_lists(emb, bucketed=True).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("a_rank"),
+    )
+    gain = F.coalesce(F.col("rel"), F.lit(0)).cast("double") / F.log2(
+        F.col("a_rank") + F.lit(1)
+    )
+    dcg = (
+        approx.join(
+            truth,
+            (F.col("a_query_id") == F.col("query_id"))
+            & (F.col("cand_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("a_query_id").alias("query_id"))
+        .agg(_decimal_sum_6dp(gain).alias("dcg"))
+    )
+    igain = F.col("rel").cast("double") / F.log2(F.col("t_rank") + F.lit(1))
+    idcg = truth.groupBy("query_id").agg(
+        _decimal_sum_6dp(igain).alias("idcg")
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "query_id")
+        .withColumn("ndcg", F.round(F.col("dcg") / F.col("idcg"), 6))
+        .select("query_id", "dcg", "idcg", "ndcg")
+    )
+
+
+def _ndcg_ranked_sql(bucketed: bool) -> str:
+    extra = "AND c.label = q.label" if bucketed else ""
+    return f"""
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(
+          list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))), 6)
+          DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id {extra}
+    WHERE q.vec_id < {ANN_N_QUERIES}
+  ) WHERE rank <= {NDCG_K}"""
+
+
+NDCG_EVAL_SQL = f"""
+WITH truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         {NDCG_K} + 1 - rank AS rel, rank AS t_rank
+  FROM ({_ndcg_ranked_sql(False)})
+),
+approx AS MATERIALIZED (
+  SELECT query_id AS a_query_id, neighbor_id AS cand_id, rank AS a_rank
+  FROM ({_ndcg_ranked_sql(True)})
+),
+dcg AS (
+  SELECT a.a_query_id AS query_id,
+    ROUND(CAST(SUM(CAST(ROUND(
+      CAST(COALESCE(t.rel, 0) AS DOUBLE) / log2(a.a_rank + 1), 6)
+      AS DECIMAL(38,18))) AS DOUBLE), 6) AS dcg
+  FROM approx a
+  LEFT JOIN truth t
+    ON t.query_id = a.a_query_id AND t.neighbor_id = a.cand_id
+  GROUP BY 1
+),
+idcg AS (
+  SELECT query_id,
+    ROUND(CAST(SUM(CAST(ROUND(
+      CAST(rel AS DOUBLE) / log2(t_rank + 1), 6)
+      AS DECIMAL(38,18))) AS DOUBLE), 6) AS idcg
+  FROM truth GROUP BY 1
+)
+SELECT d.query_id, d.dcg, i.idcg, ROUND(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+"""

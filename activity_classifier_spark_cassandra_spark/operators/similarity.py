@@ -1807,3 +1807,196 @@ WHERE r.rank <= {TOP_K}"""
 
 
 KNN_IVFPQ_SQL = _knn_ivfpq_sql()
+
+
+# ------------------------------------------- power-iteration PCA
+#
+# Top principal component of the CENTERED embedding matrix by
+# deterministic power iteration — the linear-algebra primitive under
+# embedding whitening / dimensionality reduction in training-data
+# pipelines, expressed entirely as DataFrame aggregates:
+#
+#   v_{t+1} = normalize( Xᵀ (X v_t) )
+#
+# Each iteration is ONE corpus scan: y = <x_c, v> per row (broadcast
+# 64-double literal, partition-local fold), then a posexplode +
+# groupBy(pos) sum — a 64-key exchange, the same bounded-metadata
+# shape as the k-means centroid update.  The driver only ever holds
+# 64-double vectors (mu, s, v) — the k×dim-centroid collect class, so
+# the loop is cluster-safe at any corpus size.
+#
+# Determinism (cross-engine bit-stability): all row-order-sensitive
+# sums go through DECIMAL(38,18) casts (exact, order-free); every
+# stage boundary rounds to 6 dp; the start vector is the fixed basis
+# vector e_0 (generic for convergence — the data would have to be
+# exactly orthogonal to dim 0 for the iteration to stall, and the
+# normalize step keeps every iterate unit-scale).  The DuckDB oracle
+# replays the whole training as chained MATERIALIZED CTEs, like the
+# k-means / PQ / BPE replays.  (Reference has no linear algebra at
+# all — model/*.java is classification only; north-star scope.)
+
+PCA_ITERS = 3
+
+
+def _arr_literal(vals: list[float]) -> str:
+    return (
+        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+    )
+
+
+def train_power_iteration(
+    emb: DataFrame, iters: int = PCA_ITERS
+) -> tuple[list[float], list[float]]:
+    """Returns (mu, v): the 6-dp per-dim mean and the unit top
+    principal direction after ``iters`` power-iteration rounds."""
+    e = emb.select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    mu_rows = (
+        e.select(F.posexplode("e").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [float(r.m) for r in mu_rows]
+    dim = len(mu)
+    v = [1.0] + [0.0] * (dim - 1)
+    xc_expr = f"zip_with(e, {_arr_literal(mu)}, (a, b) -> a - b)"
+    for _ in range(iters):
+        vlit = _arr_literal(v)
+        y_expr = (
+            f"round(aggregate(zip_with(xc, {vlit}, (a, b) -> a * b),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), 6)"
+        )
+        s = (
+            e.select(F.expr(xc_expr).alias("xc"))
+            .select(
+                F.expr(y_expr).alias("y"),
+                F.posexplode("xc").alias("pos", "xv"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("y") * F.col("xv")).cast("decimal(38,18)")
+                    ).cast("double"),
+                    6,
+                ).alias("s")
+            )
+            # persisted: the normalize crossJoin references this
+            # 64-row aggregate twice (values + norm); without the
+            # persist both plan branches re-scan the corpus
+            .persist()
+        )
+        nrm = s.groupBy().agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("s") * F.col("s"), 6).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            ).alias("nrm")
+        )
+        v_rows = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos", F.round(F.col("s") / F.col("nrm"), 6).alias("v")
+            )
+            .orderBy("pos")
+            .collect()
+        )
+        s.unpersist()
+        v = [float(r.v) for r in v_rows]
+    return mu, v
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal score per vector: pc1 = <x − mu, v> after
+    PCA_ITERS deterministic power-iteration rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, v = train_power_iteration(emb)
+    xc_expr = f"zip_with(e, {_arr_literal(mu)}, (a, b) -> a - b)"
+    pc1 = (
+        f"round(aggregate(zip_with({xc_expr}, {_arr_literal(v)},"
+        " (a, b) -> a * b),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), 6)"
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).select("vec_id", "label", F.expr(pc1).alias("pc1"))
+
+
+def _pca_power_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, label,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        """mu AS (
+  SELECT list(m ORDER BY dim) AS mu FROM (
+    SELECT j AS dim,
+      ROUND(CAST(SUM(CAST(e[j] AS DECIMAL(38,18))) AS DOUBLE)
+            / COUNT(*), 6) AS m
+    FROM corpus, UNNEST(range(1, len(e) + 1)) AS u(j)
+    GROUP BY j
+  )
+)""",
+        """xc AS (
+  SELECT vec_id, label,
+    list_transform(range(1, len(e) + 1), j -> e[j] - mu.mu[j]) AS x
+  FROM corpus, mu
+)""",
+        """v0 AS (
+  SELECT list_transform(range(1, len(mu) + 1),
+    j -> CASE WHEN j = 1 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END) AS v
+  FROM mu
+)""",
+    ]
+    for i in range(1, PCA_ITERS + 1):
+        ctes.append(f"""y{i} AS (
+  SELECT vec_id, x,
+    ROUND(list_dot_product(x, v{i - 1}.v), 6) AS y
+  FROM xc, v{i - 1}
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT j AS dim,
+    ROUND(CAST(SUM(CAST(y * x[j] AS DECIMAL(38,18))) AS DOUBLE), 6) AS s
+  FROM y{i}, UNNEST(range(1, len(x) + 1)) AS u(j)
+  GROUP BY j
+)""")
+        ctes.append(f"""v{i} AS (
+  SELECT list(ROUND(s / n.nrm, 6) ORDER BY dim) AS v
+  FROM s{i}, (
+    SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(s * s, 6)
+      AS DECIMAL(38,18))) AS DOUBLE)), 6) AS nrm
+    FROM s{i}
+  ) n
+)""")
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, label, ROUND(list_dot_product(x, vf.v), 6) AS pc1
+FROM xc, v{PCA_ITERS} vf"""
+    )
+    import re as _re
+
+    return _re.sub(
+        r"\b(corpus|mu|xc|[vys]\d+) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+PCA_POWER_SQL = _pca_power_sql()

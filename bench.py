@@ -119,6 +119,11 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_drift_psi",
     "q_dedup_recall_eval",
+    # added in round 7 second batch: cascade edit-distance verify,
+    # rank-discounted retrieval eval, distributed power-iteration PCA
+    "q_dedup_edit_distance",
+    "q_ndcg_eval",
+    "q_pca_power",
 ]
 
 

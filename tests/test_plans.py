@@ -36,6 +36,7 @@ BNLJ_OK = {
     "q_contrastive_triplets",  # one brute scan scoring both triplet sides
     "q_drift_psi",  # 1-row timeline-midpoint bounds broadcast
     "q_hybrid_search_rrf",  # 1-row dense query vector broadcast
+    "q_ndcg_eval",  # ground-truth side IS the documented brute scan
 }
 
 
@@ -278,3 +279,35 @@ def test_hybrid_rrf_fusion_joins_are_bounded(spark):
     plan = _plan(spark, "q_hybrid_search_rrf")
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "Scan parquet") <= 6, plan
+
+
+def test_edit_distance_dp_runs_after_candidate_gate(spark):
+    """Edit-distance verify: the Levenshtein DP must sit above the
+    banded candidate join + est-Jaccard gate (a HashAggregate with the
+    n_match count), never on a raw doc×doc product; scans stay at the
+    candidate generator's budget + the two text-side reads."""
+    plan = _plan(spark, "q_dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    # band-count gate aggregates (partial+final) are present
+    assert _nodes(plan, "HashAggregate") >= 2, plan
+    assert _nodes(plan, "Scan parquet") <= 3, plan
+
+
+def test_ndcg_eval_joins_rank_metadata_only(spark):
+    """NDCG: corpus scans feed the two rankings; the DCG join runs on
+    N_QUERIES·NDCG_K rank rows.  Pin the scan budget (truth + approx
+    sides read embeddings twice each: queries + corpus)."""
+    plan = _plan(spark, "q_ndcg_eval")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") <= 4, plan
+
+
+def test_pca_power_final_plan_is_exchange_free(spark):
+    """The registered PCA frame is one projection over the parquet
+    scan: training collapsed to broadcast literals (mu, v), so the
+    scoring plan must contain no exchange, no join, no aggregate."""
+    plan = _plan(spark, "q_pca_power")
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert _nodes(plan, "HashAggregate") == 0, plan
+    assert _nodes(plan, "Scan parquet") == 1, plan

@@ -1,0 +1,212 @@
+"""Round-7 second batch: edit-distance near-dup verify, NDCG@k
+retrieval eval, power-iteration PCA — each checked against an
+independent Python/numpy replay on real testdata, plus the
+cross-engine parity the oracles depend on."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from activity_classifier_spark_cassandra_spark.operators.dedup import (
+    EDIT_CAND_MIN_BANDS,
+    EDIT_DIST_DENOM,
+    q_dedup_edit_distance,
+)
+from activity_classifier_spark_cassandra_spark.operators.retrieval import (
+    NDCG_K,
+    q_ndcg_eval,
+)
+from activity_classifier_spark_cassandra_spark.operators.similarity import (
+    PCA_ITERS,
+    q_pca_power,
+    train_power_iteration,
+)
+from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------ edit distance
+
+def _py_levenshtein(a: str, b: str) -> int:
+    """Textbook two-row DP — the independent ground truth."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_outputs_replay_exactly(spark):
+    """Every emitted pair's distance equals the Python DP on the raw
+    texts, and the keep predicate holds as stated."""
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = q_dedup_edit_distance(spark, SF_DIR).collect()
+    assert rows, "fixture corpus contains near-dups; empty result is a bug"
+    for r in rows:
+        t1, t2 = texts[r.doc1], texts[r.doc2]
+        assert r.doc1 < r.doc2
+        assert r.edit_dist == _py_levenshtein(t1, t2)
+        assert r.max_len == max(len(t1), len(t2))
+        assert r.edit_dist * EDIT_DIST_DENOM <= r.max_len
+
+
+def test_spark_levenshtein_matches_python_dp_batch(spark):
+    """Cross-implementation pin for the DP itself: Spark's builtin ==
+    the Python replay on 60 seeded pseudo-random mutation pairs
+    (insert/delete/substitute edits over word-ish alphabets)."""
+    rng = random.Random(20260814)
+    alpha = "abcde fgh"
+    pairs = []
+    for _ in range(60):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 80)))
+        t = list(s)
+        for _ in range(rng.randrange(0, 12)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(t) + 1) if t else 0
+            if op == 0:
+                t.insert(pos, rng.choice(alpha))
+            elif op == 1 and t:
+                del t[min(pos, len(t) - 1)]
+            elif t:
+                t[min(pos, len(t) - 1)] = rng.choice(alpha)
+        pairs.append((s, "".join(t)))
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    for r in df.collect():
+        assert r.d == _py_levenshtein(r.a, r.b), (r.a, r.b)
+
+
+def test_edit_distance_candidates_are_minhash_gated(spark):
+    """The DP never sees a pair below the est-Jaccard gate: every
+    output pair must share >= EDIT_CAND_MIN_BANDS minhash bands."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        _minhash_bands,
+    )
+
+    bands = {}
+    for r in _minhash_bands(spark, SF_DIR).collect():
+        bands.setdefault(r.doc_id, set()).add((r.band, r.h))
+    for r in q_dedup_edit_distance(spark, SF_DIR).collect():
+        shared = len(bands[r.doc1] & bands[r.doc2])
+        assert shared >= EDIT_CAND_MIN_BANDS, (r.doc1, r.doc2, shared)
+
+
+# ------------------------------------------------------------- NDCG
+
+def _rankings(emb: np.ndarray, labels: np.ndarray, bucketed: bool):
+    """Replay of _ranked_lists: 6-dp rounded cosine, (cos desc, id asc)
+    tie-break, top NDCG_K per query."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    norms = np.sqrt((emb * emb).sum(1))
+    out = {}
+    for q in range(N_QUERIES):
+        cand = [
+            (round(float(emb[q] @ emb[i]) / float(norms[q] * norms[i]), 6), i)
+            for i in range(len(emb))
+            if i != q and (not bucketed or labels[i] == labels[q])
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [i for _, i in cand[:NDCG_K]]
+    return out
+
+
+def test_ndcg_matches_numpy_replay(spark):
+    emb_rows = (
+        load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    )
+    emb = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    labels = np.array([r.label for r in emb_rows])
+    truth = _rankings(emb, labels, bucketed=False)
+    approx = _rankings(emb, labels, bucketed=True)
+    got = {r.query_id: r for r in q_ndcg_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(truth)
+    for q in truth:
+        rel = {d: NDCG_K + 1 - i for i, d in enumerate(truth[q], 1)}
+        dcg = sum(
+            round(rel.get(d, 0) / math.log2(i + 1), 6)
+            for i, d in enumerate(approx[q], 1)
+        )
+        idcg = sum(
+            round((NDCG_K + 1 - i) / math.log2(i + 1), 6)
+            for i, d in enumerate(truth[q], 1)
+        )
+        assert abs(got[q].dcg - round(dcg, 6)) < 2e-6, q
+        assert abs(got[q].idcg - round(idcg, 6)) < 2e-6, q
+        assert abs(got[q].ndcg - round(got[q].dcg / got[q].idcg, 6)) < 2e-6
+        assert 0.0 <= got[q].ndcg <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------ PCA (power)
+
+def test_pca_power_matches_numpy_replay(spark):
+    """The trained direction equals a numpy replay of the SAME
+    truncated iteration (same 6-dp boundary rounding), within float
+    tolerance — and the registered frame scores <x - mu, v>."""
+    emb_rows = (
+        load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    )
+    X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    mu, v = train_power_iteration(load_table(spark, SF_DIR, "embeddings"))
+    mu_np = np.round(X.mean(0), 6)
+    assert np.allclose(mu, mu_np, atol=2e-6)
+    Xc = X - mu_np
+    v_np = np.zeros(X.shape[1])
+    v_np[0] = 1.0
+    for _ in range(PCA_ITERS):
+        y = np.round(Xc @ v_np, 6)
+        s = np.round(Xc.T @ y, 6)
+        v_np = np.round(s / round(math.sqrt(np.round(s * s, 6).sum()), 6), 6)
+    assert np.allclose(v, v_np, atol=2e-5)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    got = {
+        r.vec_id: r.pc1 for r in q_pca_power(spark, SF_DIR).collect()
+    }
+    want = Xc @ np.array(v)
+    for r_id, pc1 in got.items():
+        assert abs(pc1 - want[r_id]) < 2e-5, r_id
+
+
+def test_pca_power_rayleigh_quotient_climbs(spark):
+    """Power iteration guarantee: the Rayleigh quotient is
+    non-decreasing per round and reaches >= 0.8 of the true top
+    eigenvalue by PCA_ITERS on this data (measured 0.83-0.87 across
+    SFs; the top eigenvalues are nearly tied — eigengap ~1.01-1.07 —
+    so DIRECTION convergence in 3 rounds is not claimed, only
+    captured-variance quality)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(0)
+    C = Xc.T @ Xc
+    lmax = float(np.linalg.eigvalsh(C)[-1])
+    rqs = []
+    for iters in range(1, PCA_ITERS + 1):
+        _, v = train_power_iteration(emb, iters=iters)
+        v = np.array(v)
+        rqs.append(float(v @ C @ v) / float(v @ v))
+    assert all(b >= a - 1e-9 for a, b in zip(rqs, rqs[1:])), rqs
+    assert rqs[-1] >= 0.8 * lmax, (rqs[-1], lmax)
