@@ -876,13 +876,17 @@ _D2_FOLD = (
 
 
 def _assign_expr(cents_lit: str, vec_col: str = "embedding") -> str:
+    """Nearest-centroid id: array_min over (d2, k) structs — struct
+    ordering is lexicographic, so ties in d2 break to the lowest k,
+    the same rule as the oracle's ROW_NUMBER (ORDER BY d2, cluster).
+    This shape evaluates each centroid's d2 fold ONCE; the earlier
+    aggregate-CASE fold evaluated it twice per centroid (comparison +
+    keep) and measured 2x slower at the 100x probe scale, with the
+    identical assignment on every row."""
     d2 = _D2_FOLD.format(x=vec_col, c="c.c")
     return (
-        f"aggregate({cents_lit},"
-        " named_struct('k', CAST(-1 AS INT), 'best', CAST(1e308 AS DOUBLE)),"
-        f" (acc, c) -> CASE WHEN {d2} < acc.best"
-        f" THEN named_struct('k', c.k, 'best', {d2})"
-        " ELSE acc END).k"
+        f"array_min(transform({cents_lit},"
+        f" c -> named_struct('best', {d2}, 'k', c.k))).k"
     )
 
 
