@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_edit_distance": D.q_dedup_edit_distance,
         "q_ndcg_eval": RT.q_ndcg_eval,
         "q_pca_power": S.q_pca_power,
+        "q_dedup_minhash_cc": D.q_dedup_minhash_cc,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -126,12 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": TH.q20_excess_suppliers,
         "q21_waiting_orders": TH.q21_waiting_orders,
         "q_distinct_users": R.q_distinct_users,
-        "q_count_gate": R.q_count_gate,
         # ==================== window boundary (50) ====================
-        # r4-green entries displaced by the round-7 additions (seven new
+        # r4-green entries displaced by the round-7 additions (eight new
         # operators entered the window) — FIRST behind the boundary,
         # they lead the round-8 window (sweep-green at sf0.01 AND
         # sf0.1 on round-7 HEAD, VERIFY_LOCAL_r07.txt)
+        "q_count_gate": R.q_count_gate,
         "q_label_encode": R.q_label_encode,
         "q_truncate_cast": R.q_truncate_cast,
         "q_string_cast": R.q_string_cast,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,
         "q_ndcg_eval": RT.NDCG_EVAL_SQL,
         "q_pca_power": S.PCA_POWER_SQL,
+        "q_dedup_minhash_cc": D.DEDUP_MINHASH_CC_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

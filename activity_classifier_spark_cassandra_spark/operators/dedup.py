@@ -826,3 +826,73 @@ WHERE ABS(LENGTH(d1.text) - LENGTH(d2.text)) * {EDIT_DIST_DENOM}
   AND levenshtein(d1.text, d2.text) * {EDIT_DIST_DENOM}
       <= GREATEST(LENGTH(d1.text), LENGTH(d2.text))
 """
+
+
+# -------------------------------------- connected components (groups)
+#
+# Pair tables answer "are these two near-dups?"; production dedup
+# needs GROUPS — the transitive closure over the near-dup graph, so
+# one canonical doc survives per cluster even when A~B~C but A!~C.
+# Edges are the MinHash est >= 0.25 pairs (q_dedup_minhash's own
+# output); the closure is the existing convergent large-star /
+# small-star alternation (operators/graph.py:connected_components_star
+# — O(log n) rounds, per-round localCheckpoint so the plan never
+# nests, edge frames pair-table scale).  This is a pure composition:
+# the only new surface is the per-member output shape
+# (doc_id, component_id, component_size) a keep-one-per-cluster
+# delete pass joins against.  The DuckDB oracle computes the TRUE
+# closure with a recursive CTE (same pattern as dedup_clusters_sql),
+# so the green row proves the star fixpoint IS the transitive
+# closure on this graph — no truncated-iteration caveat.
+
+
+def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, component_size) for every doc with at
+    least one est >= 0.25 MinHash near-dup edge; component_id = the
+    component's minimum doc_id."""
+    from .graph import connected_components_star
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components_star(pairs, src="doc1", dst="doc2")
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )
+
+
+DEDUP_MINHASH_CC_SQL = f"""
+WITH RECURSIVE {_DOC_SHINGLES_CTE},
+mh AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_DUCKDB} AS mh FROM doc_shingles
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS band, mh[i] AS h
+  FROM mh, UNNEST(range(1, {N_MINHASH} + 1)) AS t(i)
+),
+p AS MATERIALIZED (
+  SELECT doc1, doc2 FROM (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_match
+    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) WHERE ROUND(n_match / {N_MINHASH}.0, 6) >= 0.25
+),
+sym AS MATERIALIZED (
+  SELECT doc1 AS a, doc2 AS b FROM p
+  UNION
+  SELECT doc2, doc1 FROM p
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+),
+labels AS MATERIALIZED (
+  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+)
+SELECT id AS doc_id, comp AS component_id,
+       COUNT(*) OVER (PARTITION BY comp) AS component_size
+FROM labels
+"""

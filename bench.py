@@ -124,6 +124,7 @@ HEADLINE = [
     "q_dedup_edit_distance",
     "q_ndcg_eval",
     "q_pca_power",
+    "q_dedup_minhash_cc",
 ]
 
 

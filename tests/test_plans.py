@@ -311,3 +311,15 @@ def test_pca_power_final_plan_is_exchange_free(spark):
     assert _nodes(plan, "Exchange") == 0, plan
     assert _nodes(plan, "HashAggregate") == 0, plan
     assert _nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_minhash_cc_plan_is_checkpoint_rooted(spark):
+    """The star-CC fixpoint runs eagerly with per-round
+    localCheckpoints, so the RETURNED plan must be rooted at
+    checkpointed RDD scans — no parquet scan, no re-derivation of the
+    banded candidate join, and the only remaining work is the
+    metadata-scale root-labeling joins + the size window."""
+    plan = _plan(spark, "q_dedup_minhash_cc")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan

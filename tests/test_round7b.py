@@ -210,3 +210,45 @@ def test_pca_power_rayleigh_quotient_climbs(spark):
         rqs.append(float(v @ C @ v) / float(v @ v))
     assert all(b >= a - 1e-9 for a, b in zip(rqs, rqs[1:])), rqs
     assert rqs[-1] >= 0.8 * lmax, (rqs[-1], lmax)
+
+
+# ------------------------------------------- minhash components
+
+def test_minhash_cc_matches_union_find(spark):
+    """The star-CC fixpoint must equal FULL union-find closure, and
+    the component id must be each component's minimum doc_id."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        q_dedup_minhash,
+        q_dedup_minhash_cc,
+    )
+
+    pairs = [
+        (r.doc1, r.doc2)
+        for r in q_dedup_minhash(spark, SF_DIR).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = {d: find(d) for d in parent}
+    sizes: dict[int, int] = {}
+    for d in want_comp:
+        sizes[want_comp[d]] = sizes.get(want_comp[d], 0) + 1
+    got = q_dedup_minhash_cc(spark, SF_DIR).collect()
+    assert {r.doc_id for r in got} == set(want_comp)
+    for r in got:
+        assert r.component_id == want_comp[r.doc_id], r
+        assert r.component_size == sizes[want_comp[r.doc_id]], r
+    # the interesting case exists: at least one transitive component
+    # (size > 2) or multiple 2-components
+    assert len(got) > 0 and max(sizes.values()) >= 2
