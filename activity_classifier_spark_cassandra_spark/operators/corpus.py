@@ -658,3 +658,144 @@ SELECT r.source, r.n_docs,
 FROM rates r LEFT JOIN sampled s USING (source)
 ORDER BY r.source
 """
+
+
+# ------------------------------------- DSIR importance resampling
+#
+# Data Selection with Importance Resampling (Xie et al., NeurIPS
+# 2023): score every raw document by how much more likely its hashed
+# n-gram features are under a TARGET-domain bag-of-ngrams model than
+# under the raw-corpus model,
+#
+#   log w(doc) = sum_features n_doc[b] * (ln p_target[b] - ln p_raw[b])
+#
+# with both models estimated over B hash buckets with add-alpha
+# smoothing.  DSIR then Gumbel-top-k resamples on these weights; the
+# resampling draw is RNG, so the OPERATOR's contract here is the
+# deterministic part every selection run needs: the per-document log
+# importance weight (ranking on it IS top-k selection).
+#
+# Target domain on this corpus: the non-English slice (lang <> 'en')
+# — the classic low-resource upsampling setup.
+#
+# Scale shape (the reason DSIR is THE data-selection method at 100 TB):
+# the model is B=256 integers per side, built by ONE pass over the
+# hashed-bigram stream (c_raw and c_target come out of the same
+# groupBy — target membership is a tag, not a second scan); the
+# per-doc scoring join is a broadcast of the 256-row log-ratio table.
+# The only wide exchanges are keyed on (doc_id, bucket) and doc_id.
+# Features hash through the shared 60-bit md5 recipe (sketches.py) so
+# DuckDB replays bucket assignment bit-exactly; per-bucket terms are
+# 6-dp-rounded and summed as DECIMAL(38,18) (order-free, the
+# retrieval.py trick).
+
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+DSIR_SEED = 41
+
+
+def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_target, bucket): one row per bigram occurrence,
+    hashed into DSIR_BUCKETS feature buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.select(
+        "doc_id",
+        (F.col("lang") != "en").alias("is_target"),
+        F.expr(_TOKENIZE_SPARK).alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    feats = wt.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (w, i) -> concat(w, ' ', toks[i + 1]))"
+            )
+        ).alias("feat"),
+    )
+    from .sketches import _hash60
+
+    return feats.select(
+        "doc_id",
+        "is_target",
+        (_hash60(F.col("feat"), DSIR_SEED) % DSIR_BUCKETS).alias("bucket"),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight toward the non-English
+    target slice: (doc_id, n_feats, log_weight).  Rank descending on
+    log_weight and take the head = the DSIR-selected subset."""
+    bucketed = _shared(_dsir_bucketed(spark, sf_dir))
+    # ONE pass builds both models: raw count = every row, target
+    # count = the tagged subset of the same rows.
+    dist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"),
+    )
+    # totals over the <=256-row dist frame: a single-partition window
+    # on metadata, NOT a corpus-rescanning scalar subquery
+    wall = Window.partitionBy(F.lit(1))
+    a, b = F.lit(DSIR_ALPHA), F.lit(DSIR_BUCKETS * DSIR_ALPHA)
+    ratio = dist.select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + a) / (F.sum("c_tgt").over(wall) + b))
+            - F.log((F.col("c_raw") + a) / (F.sum("c_raw").over(wall) + b))
+        ).alias("log_ratio"),
+    )
+    per_doc = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    term = F.col("n") * F.col("log_ratio")
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.round(
+                F.sum(F.round(term, 6).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH wt AS (
+  SELECT doc_id, lang <> 'en' AS is_target, {_TOKENIZE} AS toks
+  FROM documents
+),
+bucketed AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         {_hash60_sql("toks[i] || ' ' || toks[i + 1]", DSIR_SEED)}
+           % {DSIR_BUCKETS} AS bucket
+  FROM wt, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+dist AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         COUNT(*) FILTER (WHERE is_target) AS c_tgt
+  FROM bucketed GROUP BY bucket
+),
+ratio AS (
+  SELECT bucket,
+         LN((c_tgt + {DSIR_ALPHA}) /
+            (SUM(c_tgt) OVER () + {DSIR_BUCKETS * DSIR_ALPHA}))
+       - LN((c_raw + {DSIR_ALPHA}) /
+            (SUM(c_raw) OVER () + {DSIR_BUCKETS * DSIR_ALPHA}))
+           AS log_ratio
+  FROM dist
+),
+per_doc AS (
+  SELECT doc_id, bucket, COUNT(*) AS n
+  FROM bucketed GROUP BY doc_id, bucket
+)
+SELECT doc_id, SUM(n) AS n_feats,
+       ROUND(CAST(SUM(CAST(ROUND(n * log_ratio, 6) AS DECIMAL(38,18)))
+                  AS DOUBLE), 6) AS log_weight
+FROM per_doc JOIN ratio USING (bucket)
+GROUP BY doc_id
+"""

@@ -896,3 +896,150 @@ SELECT id AS doc_id, comp AS component_id,
        COUNT(*) OVER (PARTITION BY comp) AS component_size
 FROM labels
 """
+
+
+# -------------------------------------------- winnowing fingerprints
+#
+# Local document fingerprinting (Schleimer, Wilkerson, Aiken 2003 —
+# the MOSS algorithm): hash every word-k-gram, slide a window of
+# WINNOW_W consecutive gram hashes, keep each window's minimum.  The
+# selected-hash SET per document is deterministic regardless of the
+# positional tie rule (a window's min VALUE is unique as a value), and
+# carries winnowing's guarantee: any shared run of at least
+# WINNOW_W + SHINGLE_K - 1 tokens shares at least one fingerprint.
+# Unlike MinHash (a global-similarity sketch) this is a LOCAL sketch —
+# it catches a copied paragraph inside an otherwise unrelated pair,
+# the overlap the Jaccard estimators dilute away.
+#
+# Scale shape: gram hashing + window-min ride the SAME single doc_id
+# exchange as shingling (posexplode + lead/min over one window — flat
+# codegen, no interpreted HOF lambdas); fingerprint density is
+# ~2/(WINNOW_W+1) of grams, so the exploded fingerprint table is ~2.5x
+# SMALLER than the shingle table the Jaccard join shuffles.  The pair
+# join is the standard banded shape: equi-join on the fingerprint with
+# a document-frequency cap bounding per-key collision lists.  Hashes
+# are md5 hex strings compared lexicographically — the same
+# cross-engine collation trick as MinHash (module docstring).
+
+WINNOW_W = 4
+MAX_FP_DF = 50
+WINNOW_MIN_CONTAIN = 0.5
+
+
+def _winnow_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): the distinct winnowing-selected gram hashes per
+    document.  Documents shorter than WINNOW_W + SHINGLE_K - 1 tokens
+    have no full window and produce no fingerprints (the classic
+    convention — below the guarantee threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKENIZE_SPARK)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            )
+        ).alias("gh"),
+        F.lead("tok", SHINGLE_K - 1).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    mins = grams.select(
+        "doc_id",
+        F.min("gh").over(wf).alias("fp"),
+        # full windows only: the window anchored here must hold
+        # WINNOW_W grams — mark by the existence of its last member
+        F.lead("gh", WINNOW_W - 1).over(wl).alias("_full"),
+    ).filter(F.col("_full").isNotNull())
+    return mins.select("doc_id", "fp").distinct()
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-containment near-dup pairs: documents sharing enough
+    selected fingerprints that the smaller side's containment
+    n_shared / min(|FP1|, |FP2|) >= 0.5.  Containment (not Jaccard):
+    the local-copy detector must fire when a small doc is wholly
+    embedded in a large one.  Denominators use the UNCAPPED per-doc
+    fingerprint counts; the df cap only prunes candidate generation
+    (same documented trade as the Jaccard join)."""
+    fps = _shared(_winnow_fingerprint_rows(spark, sf_dir))
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_FP_DF)
+        .select("fp")
+    )
+    ex = fps.join(rare, "fp", "left_semi")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n2"))
+    contain = F.col("n_shared") / F.least(F.col("n1"), F.col("n2"))
+    return (
+        shared.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("containment", F.round(contain, 6))
+        .filter(F.col("containment") >= WINNOW_MIN_CONTAIN)
+        .select("doc1", "doc2", "n_shared", "containment")
+    )
+
+
+WINNOW_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE} AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(len(t) - {SHINGLE_K - 1}),
+                        i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+           AS g
+  FROM toks WHERE len(t) >= {SHINGLE_K}
+),
+fps AS MATERIALIZED (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(len(g) - {WINNOW_W - 1}),
+           j -> list_aggregate(g[j+1:j+{WINNOW_W}], 'min')))) AS fp
+  FROM grams WHERE len(g) >= {WINNOW_W}
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {MAX_FP_DF}
+),
+pruned AS MATERIALIZED (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_shared,
+       ROUND(n_shared / LEAST(s1.n_fp, s2.n_fp), 6) AS containment
+FROM shared
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE ROUND(n_shared / LEAST(s1.n_fp, s2.n_fp), 6) >= {WINNOW_MIN_CONTAIN}
+"""

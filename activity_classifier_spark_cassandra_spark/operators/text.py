@@ -470,6 +470,122 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------- Kneser-Ney bigram perplexity
+#
+# The production LM-quality filter (CCNet / KenLM style) is not the
+# MLE conditional above — it is an interpolated Kneser-Ney model:
+#
+#   P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1 .)
+#               + lambda(w1) * P_cont(w2)
+#   lambda(w1)  = D * N1+(w1 .) / c(w1 .)
+#   P_cont(w2)  = N1+(. w2) / N1+(. .)
+#
+# with absolute discount D = 0.75 (Chen & Goodman 1999).  Every model
+# quantity is a COUNT over the bigram TYPE table:
+#   c(w1 .)    total bigram tokens with left word w1
+#   N1+(w1 .)  distinct continuations of w1
+#   N1+(. w2)  distinct left contexts of w2 (the continuation count)
+#   N1+(. .)   total bigram types (scalar)
+# so the whole training is two groupBys over bg_counts plus one
+# scalar aggregate — all Zipf-bounded vocab tables that AQE
+# broadcasts at 100 TB; the corpus is scanned twice (type-table
+# build + per-doc scoring join) and never re-keyed wider than a
+# token pair, exactly like q_bigram_logprob above.  Scoring is
+# in-corpus (train == score set), so every bigram has c12 >= 1 and
+# the max(., 0) clamp never binds — kept for form.
+
+KN_DISCOUNT = 0.75
+
+
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram score: average
+    negative log P_KN over the doc's adjacent pairs, plus perplexity
+    exp(avg).  Lower = more LM-typical text — the CCNet quality
+    bucket signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", _tokens_col().alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    # the type table is consumed by FOUR branches (scoring join + the
+    # three model-stat aggregates); persist it so each branch reads
+    # the Zipf-bounded counts instead of re-tokenizing the corpus —
+    # without this the plan holds five full parquet scans
+    from pyspark import StorageLevel
+
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # left stats ride ONE pass over the type table: token total +
+    # distinct-continuation count per w1
+    left = bg_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    # continuation count per w2, and the scalar type total
+    right = bg_counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    types = bg_counts.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n1f") / F.col("c1"))
+        * (F.col("n1p") / F.col("n_types"))
+    )
+    return (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 6).alias("avg_neg_logprob_kn"),
+            F.round(F.exp(F.avg(-F.log(p_kn))), 6).alias("ppl_kn"),
+        )
+    )
+
+
+KN_LOGPROB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENIZE} AS toks FROM documents
+), tt AS (
+  SELECT * FROM t WHERE len(toks) >= 2
+), bigrams AS MATERIALIZED (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tt, UNNEST(range(1, len(toks))) AS u(i)
+), bg_counts AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+), lft AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bg_counts GROUP BY w1
+), rgt AS (
+  SELECT w2, COUNT(*) AS n1p FROM bg_counts GROUP BY w2
+), ts AS (
+  SELECT COUNT(*) AS n_types FROM bg_counts
+), scored AS (
+  SELECT doc_id,
+         GREATEST(c12 - {KN_DISCOUNT}, 0.0) / c1
+           + ({KN_DISCOUNT} * n1f / c1) * (n1p * 1.0 / n_types) AS p
+  FROM bigrams
+  JOIN bg_counts USING (w1, w2)
+  JOIN lft USING (w1)
+  JOIN rgt USING (w2)
+  CROSS JOIN ts
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN(p)), 6) AS avg_neg_logprob_kn,
+       ROUND(EXP(AVG(-LN(p))), 6) AS ppl_kn
+FROM scored GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------ BM25 search
 BM25_K1 = 1.2
 BM25_B = 0.75

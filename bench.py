@@ -125,6 +125,8 @@ HEADLINE = [
     "q_ndcg_eval",
     "q_pca_power",
     "q_dedup_minhash_cc",
+    "q_winnow_overlap",
+    "q_kn_logprob",
 ]
 
 

@@ -37,6 +37,7 @@ BNLJ_OK = {
     "q_drift_psi",  # 1-row timeline-midpoint bounds broadcast
     "q_hybrid_search_rrf",  # 1-row dense query vector broadcast
     "q_ndcg_eval",  # ground-truth side IS the documented brute scan
+    "q_kn_logprob",  # 1-row bigram-type-total broadcast
 }
 
 
@@ -323,3 +324,33 @@ def test_minhash_cc_plan_is_checkpoint_rooted(spark):
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "Scan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_winnow_overlap_plan_shape(spark):
+    """Winnowing: gram hashing + window-min ride ONE doc_id sort
+    (adjacent window specs share the exchange), the pair join is an
+    equi-join (no cartesian), and the documents scan is shared — the
+    fps frame feeds sizes/rare/join via one scan subtree, so the plan
+    must stay within a bounded scan budget."""
+    plan = _plan(spark, "q_winnow_overlap")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # window-min + lead over the same (doc_id, pos) ordering must not
+    # introduce a second exchange per window spec
+    assert _nodes(plan, "Exchange") <= 6, plan
+    assert _nodes(plan, "Scan parquet") <= 4, plan
+
+
+def test_kn_logprob_trains_on_type_table_only(spark):
+    """Kneser-Ney: all model stats (c1/n1f, n1p, type total) derive
+    from the bigram TYPE table, not repeated corpus scans — the plan
+    re-derives the bigram projection a bounded number of times (type
+    build + scoring side) and never joins corpus-to-corpus."""
+    plan = _plan(spark, "q_kn_logprob")
+    assert "CartesianProduct" not in plan
+    # the scalar type-count join must be the broadcast variant
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # persisted type table: one corpus scan feeds the type build, one
+    # feeds the scoring side; the 3 model stats read the cache
+    assert "InMemoryTableScan" in plan, plan
+    assert _nodes(plan, "Scan parquet") <= 2, plan

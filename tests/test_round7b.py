@@ -252,3 +252,190 @@ def test_minhash_cc_matches_union_find(spark):
     # the interesting case exists: at least one transitive component
     # (size > 2) or multiple 2-components
     assert len(got) > 0 and max(sizes.values()) >= 2
+
+
+# ------------------------------------------------- winnowing (MOSS)
+
+def _py_winnow_fps(text: str) -> set[str]:
+    """Independent Python replay of winnowing fingerprint selection:
+    md5 word-3-grams, window-of-4 minimum (string order on hex), set
+    of selected hashes."""
+    import hashlib
+    import re
+
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        SHINGLE_K,
+        WINNOW_W,
+    )
+
+    toks = [t for t in re.split(r"\s+", text) if t]
+    grams = [
+        hashlib.md5(" ".join(toks[i : i + SHINGLE_K]).encode()).hexdigest()
+        for i in range(len(toks) - SHINGLE_K + 1)
+    ]
+    return {
+        min(grams[j : j + WINNOW_W])
+        for j in range(len(grams) - WINNOW_W + 1)
+    }
+
+
+def test_winnow_fingerprints_replay_exactly(spark):
+    """Spark-selected fingerprint sets equal the Python replay for
+    every document at sf0.001 — including the short-doc convention
+    (fewer than W+K-1 tokens -> no fingerprints)."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        _winnow_fingerprint_rows,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got: dict[int, set] = {}
+    for r in _winnow_fingerprint_rows(spark, SF_DIR).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in texts.items():
+        want = _py_winnow_fps(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_winnow_local_copy_guarantee(spark, tmp_path):
+    """The MOSS guarantee, end to end: a paragraph of >= W+K-1 tokens
+    copied into two otherwise-unrelated documents forces a shared
+    fingerprint, and q_winnow_overlap surfaces the pair when the
+    containment clears the threshold.  A third unrelated doc must NOT
+    pair with either."""
+    import pandas as pd
+
+    para = " ".join(f"stolen{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma " + para,
+                para + " delta epsilon zeta eta theta",
+                " ".join(f"clean{i}" for i in range(60)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        q_winnow_overlap,
+    )
+
+    rows = q_winnow_overlap(spark, str(tmp_path)).collect()
+    pairs = {(r.doc1, r.doc2) for r in rows}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    row = next(r for r in rows if (r.doc1, r.doc2) == (1, 2))
+    # shared fingerprints are exactly the Python replay's intersection
+    f1 = _py_winnow_fps(docs.loc[0, "text"])
+    f2 = _py_winnow_fps(docs.loc[1, "text"])
+    assert row.n_shared == len(f1 & f2)
+    assert abs(row.containment - round(len(f1 & f2) / min(len(f1), len(f2)), 6)) < 1e-12
+
+
+# ------------------------------------- Kneser-Ney bigram perplexity
+
+def test_kn_logprob_matches_python_replay(spark):
+    """Per-doc interpolated-KN averages equal an independent Python
+    implementation of Chen & Goodman's bigram KN (counts, continuation
+    counts, discount 0.75) to 6 decimals."""
+    import math
+    import re
+    from collections import Counter
+
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        KN_DISCOUNT,
+        q_kn_logprob,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    docs_bg: dict[int, list] = {}
+    for doc_id, text in texts.items():
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if len(toks) >= 2:
+            docs_bg[doc_id] = list(zip(toks, toks[1:]))
+    c12 = Counter()
+    for bgs in docs_bg.values():
+        c12.update(bgs)
+    c1 = Counter()
+    n1f = Counter()
+    n1p = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    n_types = len(c12)
+
+    def p_kn(w1, w2):
+        return max(c12[(w1, w2)] - KN_DISCOUNT, 0.0) / c1[w1] + (
+            KN_DISCOUNT * n1f[w1] / c1[w1]
+        ) * (n1p[w2] / n_types)
+
+    got = {r.doc_id: r for r in q_kn_logprob(spark, SF_DIR).collect()}
+    assert set(got) == set(docs_bg)
+    for doc_id, bgs in docs_bg.items():
+        want = sum(-math.log(p_kn(a, b)) for a, b in bgs) / len(bgs)
+        r = got[doc_id]
+        assert r.n_bigrams == len(bgs), doc_id
+        assert abs(r.avg_neg_logprob_kn - round(want, 6)) < 2e-6, doc_id
+        assert abs(r.ppl_kn - round(math.exp(want), 6)) < 1e-4, doc_id
+
+
+def test_kn_probabilities_are_a_distribution(spark):
+    """Sanity on the model itself (not just the score): for a sampled
+    left word, sum over observed continuations + mass reserved for
+    unseen ones must not exceed 1, and every scored p is in (0, 1]."""
+    import re
+    from collections import Counter
+
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        KN_DISCOUNT,
+    )
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    ]
+    c12 = Counter()
+    for text in texts:
+        toks = [t for t in re.split(r"\s+", text) if t]
+        c12.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    n1f = Counter()
+    n1p = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    n_types = len(c12)
+    # the KN identity: sum over OBSERVED w2 of the discounted term is
+    # 1 - D*n1f/c1, and the interpolation weight times sum of P_cont
+    # over ALL w2 is exactly D*n1f/c1 — so totals hit 1 when summed
+    # over the full vocab.  Check the discounted part exactly for the
+    # 5 most frequent left words.
+    for w1, _ in c1.most_common(5):
+        disc = sum(
+            max(c12[(w1, w2)] - KN_DISCOUNT, 0.0) / c1[w1]
+            for (a, w2) in c12
+            if a == w1
+        )
+        lam = KN_DISCOUNT * n1f[w1] / c1[w1]
+        assert abs(disc + lam - 1.0) < 1e-9, w1
+        assert 0.0 < lam < 1.0
+    # P_cont sums to 1 over the vocab
+    assert abs(sum(n1p.values()) / n_types - 1.0) < 1e-9
