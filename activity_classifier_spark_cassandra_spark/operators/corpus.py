@@ -793,7 +793,7 @@ per_doc AS (
   SELECT doc_id, bucket, COUNT(*) AS n
   FROM bucketed GROUP BY doc_id, bucket
 )
-SELECT doc_id, SUM(n) AS n_feats,
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
        ROUND(CAST(SUM(CAST(ROUND(n * log_ratio, 6) AS DECIMAL(38,18)))
                   AS DOUBLE), 6) AS log_weight
 FROM per_doc JOIN ratio USING (bucket)

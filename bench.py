@@ -127,6 +127,7 @@ HEADLINE = [
     "q_dedup_minhash_cc",
     "q_winnow_overlap",
     "q_kn_logprob",
+    "q_dsir_weights",
 ]
 
 

@@ -341,6 +341,18 @@ def test_winnow_overlap_plan_shape(spark):
     assert _nodes(plan, "Scan parquet") <= 4, plan
 
 
+def test_dsir_scores_via_broadcast_ratio_join(spark):
+    """DSIR: the 256-row log-ratio model joins the per-doc bucket
+    counts as a BROADCAST (the corpus side is never shuffled for the
+    scoring join), the bucketed frame is persisted so model build and
+    scoring share ONE corpus scan, and nothing is cartesian."""
+    plan = _plan(spark, "q_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert _nodes(plan, "Scan parquet") <= 1, plan
+
+
 def test_kn_logprob_trains_on_type_table_only(spark):
     """Kneser-Ney: all model stats (c1/n1f, n1p, type total) derive
     from the bigram TYPE table, not repeated corpus scans — the plan
