@@ -586,6 +586,125 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ------------------------------------------------ Gopher quality rules
+#
+# The published heuristic filter set from Gopher (Rae et al. 2021,
+# Appendix A), reused by MassiveText/RefinedWeb/Dolma pipelines.
+# Document-level rules (the corpus has no line structure, so the
+# line-based bullet/ellipsis-line rules don't apply and are omitted —
+# documented divergence, not an approximation of them):
+#
+#   R1  50 <= word count <= 100,000
+#   R2  3 <= mean word length <= 10
+#   R3  symbol-to-word ratio <= 0.1   (symbols: '#' and '...')
+#   R4  >= 80% of words contain at least one alphabetic character
+#   R5  at least 2 DISTINCT words from the Gopher stop list
+#       {the, be, to, of, and, that, have, with}
+#
+# Scale shape: a pure projection over the scan — every rule is a
+# whole-stage-codegen expression on the token array; ZERO shuffle at
+# any corpus size.  This is deliberately the cheapest filter in the
+# funnel: at 100 TB it runs at scan speed ahead of every model-based
+# score (KN perplexity, DSIR).
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags + the composite keep decision:
+    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    n_stop_hits, r1..r5, keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens_col())
+    safe_n = F.nullif(n_words, F.lit(0))
+    mwl = (
+        F.expr(
+            f"aggregate({_TOKENIZE_SPARK}, 0L, (acc, x) -> acc + length(x))"
+        )
+        / safe_n
+    )
+    hashes = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    dots = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (hashes + dots) / safe_n
+    alpha_ratio = (
+        F.expr(
+            f"size(filter({_TOKENIZE_SPARK}, x -> x rlike '[a-zA-Z]'))"
+        )
+        / safe_n
+    )
+    stops = _sql_in_list(GOPHER_STOPWORDS)
+    stop_hits = F.expr(
+        f"size(array_distinct(filter({_TOKENIZE_SPARK},"
+        f" x -> x IN ({stops}))))"
+    )
+    r1 = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r2 = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    r3 = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r4 = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    r5 = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        r1.alias("r1_word_count"),
+        r2.alias("r2_mean_word_len"),
+        r3.alias("r3_symbol_ratio"),
+        r4.alias("r4_alpha_words"),
+        r5.alias("r5_stopwords"),
+        (r1 & r2 & r3 & r4 & r5).alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENIZE} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         LEN(toks) AS n_words,
+         LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x)))
+           / NULLIF(LEN(toks), 0) AS mwl,
+         (LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+          + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3)
+           / NULLIF(LEN(toks), 0) AS symbol_ratio,
+         LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           / NULLIF(LEN(toks), 0) AS alpha_ratio,
+         LEN(LIST_DISTINCT(LIST_FILTER(toks,
+             x -> x IN ({_sql_in_list(GOPHER_STOPWORDS)})))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+       CAST(stop_hits AS BIGINT) AS n_stop_hits,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS r1_word_count,
+       mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+         AS r2_mean_word_len,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS r3_symbol_ratio,
+       alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS r4_alpha_words,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS r5_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+         AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+FROM m
+"""
+
+
 # ------------------------------------------------------ BM25 search
 BM25_K1 = 1.2
 BM25_B = 0.75

@@ -128,6 +128,7 @@ HEADLINE = [
     "q_winnow_overlap",
     "q_kn_logprob",
     "q_dsir_weights",
+    "q_gopher_rules",
 ]
 
 

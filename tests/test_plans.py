@@ -353,6 +353,15 @@ def test_dsir_scores_via_broadcast_ratio_join(spark):
     assert _nodes(plan, "Scan parquet") <= 1, plan
 
 
+def test_gopher_rules_is_a_pure_projection(spark):
+    """The Gopher filter must run at scan speed: one parquet scan, no
+    exchange, no join — every rule is a codegen'd expression."""
+    plan = _plan(spark, "q_gopher_rules")
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert _nodes(plan, "Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_kn_logprob_trains_on_type_table_only(spark):
     """Kneser-Ney: all model stats (c1/n1f, n1p, type total) derive
     from the bigram TYPE table, not repeated corpus scans — the plan

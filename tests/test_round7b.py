@@ -544,3 +544,109 @@ def test_dsir_upsamples_the_target_domain(spark):
     frac_all = len(tgt) / len(rows)
     assert frac_head >= 0.9
     assert frac_head > frac_all
+
+
+# ---------------------------------------------- Gopher quality rules
+
+def _py_gopher(text: str):
+    import re
+
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    toks = [t for t in re.split(r"\s+", text) if t]
+    n = len(toks)
+    if n == 0:
+        return None
+    mwl = sum(len(t) for t in toks) / n
+    symbols = text.count("#") + text.count("...")
+    symbol_ratio = symbols / n
+    alpha = sum(1 for t in toks if re.search(r"[a-zA-Z]", t)) / n
+    stop_hits = len({t for t in toks if t in GOPHER_STOPWORDS})
+    r = (
+        GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL,
+        symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        alpha >= GOPHER_MIN_ALPHA_RATIO,
+        stop_hits >= GOPHER_MIN_STOP_HITS,
+    )
+    return n, mwl, symbol_ratio, alpha, stop_hits, r, all(r)
+
+
+def test_gopher_rules_match_python_replay(spark):
+    """Every metric, every rule flag, and the composite keep decision
+    equal an independent Python replay of the published rule set."""
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        q_gopher_rules,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r.doc_id: r for r in q_gopher_rules(spark, SF_DIR).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        n, mwl, sym, alpha, stops, rules, keep = _py_gopher(text)
+        g = got[doc_id]
+        assert g.n_words == n, doc_id
+        assert abs(g.mean_word_len - mwl) < 1e-6, doc_id
+        assert abs(g.symbol_ratio - sym) < 1e-6, doc_id
+        assert abs(g.alpha_word_ratio - alpha) < 1e-6, doc_id
+        assert g.n_stop_hits == stops, doc_id
+        flags = (
+            g.r1_word_count,
+            g.r2_mean_word_len,
+            g.r3_symbol_ratio,
+            g.r4_alpha_words,
+            g.r5_stopwords,
+        )
+        assert flags == rules, doc_id
+        assert g.keep == keep, doc_id
+
+
+def test_gopher_rules_fire_on_adversarial_docs(spark, tmp_path):
+    """Hand-built documents violating exactly one rule each: the rule
+    flags must localize the failure (all other rules pass)."""
+    import pandas as pd
+
+    base = ("the be to of and that have with " + "word " * 60).strip()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                base,                                   # passes all
+                "the be short",                         # r1: too few words
+                base + " " + "#### " * 20,              # r3: symbols
+                base.replace("word", "1234"),           # r4: no-alpha words
+                base.replace("the be to of and that have with",
+                             "w w w w w w w w"),        # r5: no stopwords
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [0] * 5,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        q_gopher_rules,
+    )
+
+    got = {r.doc_id: r for r in q_gopher_rules(spark, str(tmp_path)).collect()}
+    assert got[1].keep
+    assert not got[2].keep and not got[2].r1_word_count
+    assert not got[3].keep and not got[3].r3_symbol_ratio
+    assert got[3].r1_word_count and got[3].r5_stopwords
+    assert not got[4].keep and not got[4].r4_alpha_words
+    assert not got[5].keep and not got[5].r5_stopwords and got[5].r1_word_count
