@@ -862,8 +862,10 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_CC_SQL = f"""
-WITH RECURSIVE {_DOC_SHINGLES_CTE},
+# Shared CTE chain: banded MinHash pairs -> recursive transitive
+# closure -> per-member component labels.  Reused by the groups query
+# and the keep-one-per-component apply query.
+_MINHASH_CC_CTES = f"""WITH RECURSIVE {_DOC_SHINGLES_CTE},
 mh AS MATERIALIZED (
   SELECT doc_id, {_MINHASH_DUCKDB} AS mh FROM doc_shingles
 ),
@@ -891,10 +893,75 @@ reach AS (
 ),
 labels AS MATERIALIZED (
   SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
-)
+)"""
+
+DEDUP_MINHASH_CC_SQL = f"""
+{_MINHASH_CC_CTES}
 SELECT id AS doc_id, comp AS component_id,
        COUNT(*) OVER (PARTITION BY comp) AS component_size
 FROM labels
+"""
+
+
+# --------------------------------------- dedup apply (keep-longest)
+#
+# The DELETE pass production dedup actually runs: one canonical
+# document survives per near-dup component (policy: longest text,
+# ties -> min doc_id — "keep best" by the cheapest quality proxy);
+# every document with no near-dup edge is kept untouched.  Output is
+# the full per-document decision table (doc_id, component_id,
+# component_size, kept) a corpus writer inner-joins on kept = true.
+#
+# Scale shape: the component label table is TINY (only docs with at
+# least one near-dup edge — a few % of a crawl), so the corpus joins
+# it BROADCAST both times (members ranked, non-members anti-joined);
+# the ranking window partitions by component over the member table
+# only.  The corpus itself is never shuffled — the plan's only wide
+# exchanges belong to the upstream banded-minhash pair build.
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, component_size, kept): keep-longest-per-
+    component dedup decision over the MinHash-CC near-dup groups."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    cc = _shared(q_dedup_minhash_cc(spark, sf_dir))
+    members = docs.join(
+        F.broadcast(cc), "doc_id"
+    )  # only docs inside components
+    wr = Window.partitionBy("component_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id")
+    )
+    ranked = members.select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        (F.row_number().over(wr) == 1).alias("kept"),
+    )
+    singles = docs.join(
+        F.broadcast(cc.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("component_id"),
+        F.lit(1).cast("long").alias("component_size"),
+        F.lit(True).alias("kept"),
+    )
+    return ranked.unionByName(singles)
+
+
+DEDUP_APPLY_SQL = f"""
+{_MINHASH_CC_CTES},
+sizes AS (SELECT comp, COUNT(*) AS sz FROM labels GROUP BY comp)
+SELECT d.doc_id,
+       COALESCE(l.comp, d.doc_id) AS component_id,
+       COALESCE(s.sz, 1) AS component_size,
+       (l.id IS NULL) OR (ROW_NUMBER() OVER (
+           PARTITION BY l.comp
+           ORDER BY LENGTH(d.text) DESC, d.doc_id) = 1) AS kept
+FROM documents d
+LEFT JOIN labels l ON l.id = d.doc_id
+LEFT JOIN sizes s ON s.comp = l.comp
 """
 
 

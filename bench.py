@@ -129,6 +129,7 @@ HEADLINE = [
     "q_kn_logprob",
     "q_dsir_weights",
     "q_gopher_rules",
+    "q_dedup_apply",
 ]
 
 

@@ -353,6 +353,21 @@ def test_dsir_scores_via_broadcast_ratio_join(spark):
     assert _nodes(plan, "Scan parquet") <= 1, plan
 
 
+def test_dedup_apply_broadcasts_the_component_table(spark):
+    """The corpus joins the (tiny) component-label table broadcast on
+    BOTH paths — members ranked, non-members anti-joined — so the
+    corpus itself is never shuffled; the ranking window partitions
+    the member table only (its exchange input is the broadcast-join
+    output, not a corpus sort)."""
+    plan = _plan(spark, "q_dedup_apply")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 2, plan
+    # two corpus scans (member join + anti join); CC itself is rooted
+    # at the checkpointed RDD, not parquet
+    assert _nodes(plan, "Scan parquet") <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_gopher_rules_is_a_pure_projection(spark):
     """The Gopher filter must run at scan speed: one parquet scan, no
     exchange, no join — every rule is a codegen'd expression."""

@@ -650,3 +650,44 @@ def test_gopher_rules_fire_on_adversarial_docs(spark, tmp_path):
     assert got[3].r1_word_count and got[3].r5_stopwords
     assert not got[4].keep and not got[4].r4_alpha_words
     assert not got[5].keep and not got[5].r5_stopwords and got[5].r1_word_count
+
+
+# ------------------------------------------- dedup apply (keep-best)
+
+def test_dedup_apply_keeps_longest_per_component(spark):
+    """Decision-table invariants against an independent replay: every
+    document appears exactly once; exactly ONE kept doc per component;
+    the kept doc is the longest text (ties -> min doc_id); singletons
+    (no near-dup edge) are kept with component_size 1."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        q_dedup_apply,
+        q_dedup_minhash_cc,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    cc = {r.doc_id: r for r in q_dedup_minhash_cc(spark, SF_DIR).collect()}
+    got = q_dedup_apply(spark, SF_DIR).collect()
+    assert sorted(r.doc_id for r in got) == sorted(texts)
+    by_comp: dict[int, list] = {}
+    for r in got:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, rows in by_comp.items():
+        kept = [r for r in rows if r.kept]
+        assert len(kept) == 1, comp
+        want = min(rows, key=lambda r: (-len(texts[r.doc_id]), r.doc_id))
+        assert kept[0].doc_id == want.doc_id, comp
+        for r in rows:
+            assert r.component_size == len(rows) if r.doc_id in cc else r.component_size == 1
+    for doc_id, r in ((r.doc_id, r) for r in got):
+        if doc_id in cc:
+            assert r.component_id == cc[doc_id].component_id
+            assert r.component_size == cc[doc_id].component_size
+        else:
+            assert r.component_id == doc_id and r.component_size == 1 and r.kept
+    # the corpus contains real near-dup groups: something was dropped
+    assert any(not r.kept for r in got)
