@@ -705,6 +705,76 @@ FROM m
 """
 
 
+# --------------------------------------- CCNet perplexity buckets
+#
+# CCNet (Wenzek et al. 2020) splits each language's corpus into
+# head / middle / tail thirds by LM perplexity and trains
+# preferentially on the head.  Composition: the interpolated-KN
+# per-doc perplexity above + per-language EXACT tercile thresholds
+# (interpolated percentile — the same Spark percentile / DuckDB
+# quantile_cont pair q_percentiles proves bit-parity for), then a
+# broadcast threshold join.  Thresholds are 6-dp rounded in both
+# engines so the bucket comparison can't flip on a final-ulp
+# interpolation difference.
+#
+# Scale shape: the scored frame is (doc_id, lang, ppl) — narrow,
+# persisted once; the threshold table is |languages| rows (single
+# metadata aggregate, broadcast back).  Exact percentiles imply one
+# sort-based agg per language partition at 100 TB; if that ever
+# dominates, approx_percentile is the documented relaxation — kept
+# exact here for the oracle.
+
+CCNET_P1 = repr(1.0 / 3.0)
+CCNET_P2 = repr(2.0 / 3.0)
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ppl_kn, bucket): CCNet head/middle/tail split
+    per language by interpolated-KN perplexity terciles."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        q_kn_logprob(spark, sf_dir)
+        .select("doc_id", "ppl_kn")
+        .join(docs, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    th = scored.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(ppl_kn, {CCNET_P1})"), 6).alias("t1"),
+        F.round(F.expr(f"percentile(ppl_kn, {CCNET_P2})"), 6).alias("t2"),
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "ppl_kn",
+        F.when(F.col("ppl_kn") <= F.col("t1"), "head")
+        .when(F.col("ppl_kn") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+PPL_BUCKETS_SQL = f"""
+WITH kn AS MATERIALIZED ({KN_LOGPROB_SQL}),
+scored AS MATERIALIZED (
+  SELECT k.doc_id, d.lang, k.ppl_kn
+  FROM kn k JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         ROUND(quantile_cont(ppl_kn, {CCNET_P1}), 6) AS t1,
+         ROUND(quantile_cont(ppl_kn, {CCNET_P2}), 6) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.ppl_kn,
+       CASE WHEN s.ppl_kn <= t.t1 THEN 'head'
+            WHEN s.ppl_kn <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th t USING (lang)
+"""
+
+
 # ------------------------------------------------------ BM25 search
 BM25_K1 = 1.2
 BM25_B = 0.75

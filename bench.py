@@ -130,6 +130,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_gopher_rules",
     "q_dedup_apply",
+    "q_ppl_buckets",
 ]
 
 

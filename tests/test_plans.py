@@ -377,6 +377,16 @@ def test_gopher_rules_is_a_pure_projection(spark):
     assert "Join" not in plan, plan
 
 
+def test_ppl_buckets_broadcasts_the_threshold_table(spark):
+    """CCNet bucketing: the per-language tercile table joins back
+    BROADCAST; the scored (doc_id, lang, ppl) frame is persisted so
+    threshold agg and bucket join share one KN evaluation."""
+    plan = _plan(spark, "q_ppl_buckets")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
 def test_kn_logprob_trains_on_type_table_only(spark):
     """Kneser-Ney: all model stats (c1/n1f, n1p, type total) derive
     from the bigram TYPE table, not repeated corpus scans — the plan

@@ -691,3 +691,49 @@ def test_dedup_apply_keeps_longest_per_component(spark):
             assert r.component_id == doc_id and r.component_size == 1 and r.kept
     # the corpus contains real near-dup groups: something was dropped
     assert any(not r.kept for r in got)
+
+
+# --------------------------------------- CCNet perplexity buckets
+
+def test_ppl_buckets_match_python_replay(spark):
+    """Bucket assignment equals a Python replay: per-language exact
+    interpolated terciles (numpy linear interpolation == Spark
+    percentile == DuckDB quantile_cont) over the KN perplexities,
+    6-dp rounded thresholds, <= comparisons."""
+    from activity_classifier_spark_cassandra_spark.operators.text import (
+        q_kn_logprob,
+        q_ppl_buckets,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    ppl = {
+        r.doc_id: r.ppl_kn for r in q_kn_logprob(spark, SF_DIR).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for doc_id, p in ppl.items():
+        by_lang.setdefault(langs[doc_id], []).append(p)
+    th = {}
+    for lang, vals in by_lang.items():
+        th[lang] = (
+            round(float(np.percentile(vals, 100 / 3.0 * 1)), 6),
+            round(float(np.percentile(vals, 100 / 3.0 * 2)), 6),
+        )
+    got = {r.doc_id: r for r in q_ppl_buckets(spark, SF_DIR).collect()}
+    assert set(got) == set(ppl)
+    for doc_id, r in got.items():
+        t1, t2 = th[langs[doc_id]]
+        want = "head" if ppl[doc_id] <= t1 else (
+            "middle" if ppl[doc_id] <= t2 else "tail"
+        )
+        assert r.bucket == want, (doc_id, r.bucket, want)
+        assert r.lang == langs[doc_id]
+        assert abs(r.ppl_kn - ppl[doc_id]) < 1e-9
+    # terciles actually split: every language has all three buckets
+    for lang in by_lang:
+        buckets = {r.bucket for r in got.values() if r.lang == lang}
+        assert buckets == {"head", "middle", "tail"}, lang
