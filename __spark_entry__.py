@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": T.q_gopher_rules,
         "q_dedup_apply": D.q_dedup_apply,
         "q_ppl_buckets": T.q_ppl_buckets,
+        "q_matryoshka_eval": S.q_matryoshka_eval,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -126,12 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding_features": STR.q_stream_sliding_features,
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
-        "q_ml_serve": M.q_ml_serve,
         # ==================== window boundary (50) ====================
-        # r4-green entries displaced by the round-7 additions (fourteen
+        # r4-green entries displaced by the round-7 additions (fifteen
         # new operators entered the window) — FIRST behind the
         # boundary, they lead the round-8 window (sweep-green at
         # sf0.01 AND sf0.1 on round-7 HEAD, VERIFY_LOCAL_r07.txt)
+        "q_ml_serve": M.q_ml_serve,
         "q2_min_cost_supplier": TH.q2_min_cost_supplier,
         "q11_important_stock": TH.q11_important_stock,
         "q15_top_supplier": TH.q15_top_supplier,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": T.GOPHER_RULES_SQL,
         "q_dedup_apply": D.DEDUP_APPLY_SQL,
         "q_ppl_buckets": T.PPL_BUCKETS_SQL,
+        "q_matryoshka_eval": S.MATRYOSHKA_EVAL_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,
         "q_knn_ivf": S.KNN_IVF_SQL,
         # identical semantics, Arrow/Pandas-UDF execution path

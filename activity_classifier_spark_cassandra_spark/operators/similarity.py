@@ -814,6 +814,126 @@ GROUP BY t.query_id
 """
 
 
+# ------------------------------------- Matryoshka truncation eval
+#
+# Matryoshka Representation Learning (Kusupati et al. 2022) serves
+# retrieval from a PREFIX of the embedding (the first m dims) and
+# rescores with the full vector only for a shortlist — the standard
+# dimension/cost dial in modern vector stacks.  Before turning that
+# dial, you measure what the truncation costs: recall@k of prefix-dim
+# cosine retrieval against the full-dim ground truth.  Same
+# distributed shape as q_ann_recall_eval (broadcast query sample, one
+# corpus scan per side, tiny (query, neighbor) join); the truncated
+# side's dot product runs on slice(embedding, 1, MRL_DIM) — at 100 TB
+# this is also the I/O story, since a column of first-m dims prunes
+# the scan by dim/m.
+
+MRL_DIM = 16
+
+
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall): recall@TOP_K of MRL_DIM-prefix
+    cosine retrieval vs the full-dim brute-force truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("e1"),
+        F.slice(F.col("embedding"), 1, MRL_DIM).alias("m1"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e2"),
+        F.slice(F.col("embedding"), 1, MRL_DIM).alias("m2"),
+    )
+    cos_full = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    cos_trunc = F.expr(
+        f"({_DOT.replace('e1', 'm1').replace('e2', 'm2')})"
+        f" / (({_N1.replace('e1', 'm1')}) * ({_N2.replace('e2', 'm2')}))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    base = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    truth = (
+        base.withColumn("cosine", F.round(cos_full, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("t_query_id"),
+            F.col("neighbor_id").alias("t_neighbor_id"),
+        )
+    )
+    approx = (
+        base.withColumn("cosine", F.round(cos_trunc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("cand_id"),
+        )
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("t_query_id") == F.col("a_query_id"))
+            & (F.col("t_neighbor_id") == F.col("cand_id")),
+            "left",
+        )
+        .groupBy(F.col("t_query_id").alias("query_id"))
+        .agg(
+            F.count("cand_id").alias("n_hits"),
+            F.round(
+                F.count("cand_id") / F.lit(float(TOP_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+_MRL_COS = f"""ROUND(
+          list_dot_product(CAST(q.embedding[1:{MRL_DIM}] AS DOUBLE[]),
+                           CAST(c.embedding[1:{MRL_DIM}] AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(q.embedding[1:{MRL_DIM}] AS DOUBLE[]),
+                                   CAST(q.embedding[1:{MRL_DIM}] AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding[1:{MRL_DIM}] AS DOUBLE[]),
+                                   CAST(c.embedding[1:{MRL_DIM}] AS DOUBLE[])))), 6)"""
+
+MATRYOSHKA_EVAL_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND(
+          list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))), 6)
+          DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id AS cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_MRL_COS}
+          DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT t.query_id, COUNT(a.cand_id) AS n_hits,
+       ROUND(COUNT(a.cand_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.cand_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 # ------------------------------------------- trained-centroid IVF
 #
 # The round-5 verdict's north-star item: all earlier IVF paths coarse-

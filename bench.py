@@ -131,6 +131,7 @@ HEADLINE = [
     "q_gopher_rules",
     "q_dedup_apply",
     "q_ppl_buckets",
+    "q_matryoshka_eval",
 ]
 
 

@@ -31,6 +31,7 @@ BNLJ_OK = {
     "q_pmi_collocations",  # 1-row (token-total, pair-total) broadcast
     "q_user_trend",  # 1-row global min-day broadcast into the x offset
     "q_ann_recall_eval",  # ground-truth side IS the documented brute scan
+    "q_matryoshka_eval",  # both sides are the documented brute scan
     "q_hard_negatives",  # brute scan (q_knn_brute shape) + label inequality
     "q_knn_int8",  # brute scan on quantized vectors (q_knn_brute shape)
     "q_contrastive_triplets",  # one brute scan scoring both triplet sides

@@ -737,3 +737,48 @@ def test_ppl_buckets_match_python_replay(spark):
     for lang in by_lang:
         buckets = {r.bucket for r in got.values() if r.lang == lang}
         assert buckets == {"head", "middle", "tail"}, lang
+
+
+# ------------------------------------- Matryoshka truncation eval
+
+def test_matryoshka_eval_matches_numpy_replay(spark):
+    """Recall@k of prefix-dim retrieval equals a numpy replay of both
+    rankings (6-dp rounded cosine, (cos desc, id asc) tie-break)."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        MRL_DIM,
+        N_QUERIES,
+        TOP_K,
+        q_matryoshka_eval,
+    )
+
+    emb_rows = (
+        load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    )
+    X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+
+    def topk(M):
+        norms = np.sqrt((M * M).sum(1))
+        out = {}
+        for q in range(N_QUERIES):
+            cand = [
+                (round(float(M[q] @ M[i]) / float(norms[q] * norms[i]), 6), i)
+                for i in range(len(M))
+                if i != q
+            ]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = {i for _, i in cand[:TOP_K]}
+        return out
+
+    truth = topk(X)
+    approx = topk(X[:, :MRL_DIM])
+    got = {r.query_id: r for r in q_matryoshka_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(range(N_QUERIES))
+    for q in truth:
+        hits = len(truth[q] & approx[q])
+        assert got[q].n_hits == hits, q
+        assert abs(got[q].recall - round(hits / TOP_K, 6)) < 1e-12
+        assert 0.0 <= got[q].recall <= 1.0
+    # the eval is informative on this data: truncation neither keeps
+    # recall at a perfect 1.0 everywhere nor destroys it to 0
+    vals = [got[q].recall for q in got]
+    assert max(vals) > 0.0
