@@ -102,25 +102,31 @@ def _doc_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash exchange on doc_id (partition-local sort on token position),
     which also co-locates each document's rows for the downstream
     distinct."""
+    return _gram_rows(spark, sf_dir).select("doc_id", "sh").distinct()
+
+
+def _gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, sh): one row per word-SHINGLE_K-gram OCCURRENCE
+    (position-keyed, pre-distinct) — the shared front of the shingle
+    and winnowing pipelines, built by ONE posexplode + lead window so
+    the gram construction lives in exactly one place."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.expr(_TOKENIZE_SPARK)).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)
+    ]
     return (
         toks.select(
             "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("tok"),
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-            ).alias("sh"),
+            "pos",
+            F.concat_ws(" ", *parts).alias("sh"),
             F.lead("tok", SHINGLE_K - 1).over(w).alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select("doc_id", "sh")
-        .distinct()
+        .select("doc_id", "pos", "sh")
     )
 
 
@@ -760,23 +766,11 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer text, candidates from the MinHash band join gated at
     est-Jaccard ≥ 0.25."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = _shared(_minhash_bands(spark, sf_dir))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_match"))
-        .filter(F.col("n_match") >= EDIT_CAND_MIN_BANDS)
-        .select("doc1", "doc2")
-    )
+    # candidate generation IS q_dedup_minhash: its est >= 0.25 output
+    # threshold equals the EDIT_CAND_MIN_BANDS/16 gate, composed here
+    # (like q_dedup_minhash_cc) so the two gates can never drift
+    assert EDIT_CAND_MIN_BANDS / N_MINHASH == 0.25
+    cands = q_dedup_minhash(spark, sf_dir).select("doc1", "doc2")
     t1 = docs.select(F.col("doc_id").alias("doc1"), F.col("text").alias("t1"))
     t2 = docs.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2"))
     lens = (
@@ -998,24 +992,11 @@ def _winnow_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     document.  Documents shorter than WINNOW_W + SHINGLE_K - 1 tokens
     have no full window and produce no fingerprints (the classic
     convention — below the guarantee threshold)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(_TOKENIZE_SPARK)).alias("pos", "tok")
+    # the gram stream is the SAME construction the shingle pipeline
+    # uses (_gram_rows) — winnowing just hashes it and window-mins
+    grams = _gram_rows(spark, sf_dir).select(
+        "doc_id", "pos", F.md5("sh").alias("gh")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.select(
-        "doc_id",
-        "pos",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.col("tok"),
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-            )
-        ).alias("gh"),
-        F.lead("tok", SHINGLE_K - 1).over(w).alias("_last"),
-    ).filter(F.col("_last").isNotNull())
     wf = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

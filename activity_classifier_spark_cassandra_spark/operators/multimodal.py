@@ -433,6 +433,13 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, list[int]]:
                 raise NotImplementedError("malformed WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            # a declared-but-truncated data chunk must FLAG, not decode
+            # as a silently shorter clip (decode_ok=false downstream,
+            # same contract as the fmt check above)
+            if len(body) < ln:
+                raise NotImplementedError(
+                    f"truncated WAV data chunk ({len(body)} < {ln} bytes)"
+                )
             raw = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or raw is None:

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from ..sources.io import load_table
 from .similarity import _DOT, _N1, _N2
 from .similarity import N_QUERIES as ANN_N_QUERIES
-from .text import BM25_QUERY_TERMS, BM25_SEARCH_SQL, bm25_search
+from .text import (
+    BM25_QUERY_TERMS,
+    BM25_SEARCH_SQL,
+    BM25_TOP_N,
+    bm25_search,
+)
 
 # ------------------------------------------------- hybrid search (RRF)
 #
@@ -37,15 +42,17 @@ from .text import BM25_QUERY_TERMS, BM25_SEARCH_SQL, bm25_search
 # valid 1-based rank).
 
 RRF_K = 60
-RRF_LIST_N = 20
+RRF_LIST_N = BM25_TOP_N  # lex list size == the oracle's LIMIT, by construction
 HYBRID_TOP = 10
 DENSE_QUERY_ID = 0
 
 
-def _dense_ranking(emb: DataFrame, top_n: int = RRF_LIST_N) -> DataFrame:
-    """Brute cosine top-n for the fixed dense query vector
-    (vec_id = DENSE_QUERY_ID), ranked.  One corpus scan, broadcast
-    1-row query, partition-local scoring — q_knn_brute's shape."""
+def _dense_scored(emb: DataFrame) -> DataFrame:
+    """Corpus scored against the fixed dense query (vec_id =
+    DENSE_QUERY_ID): (doc_id, cosine, e2), 6-dp rounded — ONE corpus
+    scan with a broadcast 1-row query (q_knn_brute's shape), shared
+    by the RRF dense list and the MMR candidate pool so the scoring
+    contract (rounding, tie-break inputs) lives in one place."""
     q = emb.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
         F.col("embedding").alias("e1")
     )
@@ -53,11 +60,25 @@ def _dense_ranking(emb: DataFrame, top_n: int = RRF_LIST_N) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e2")
     )
     cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
-    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
     return (
         corpus.crossJoin(F.broadcast(q))
         .withColumn("cosine", F.round(cos, 6))
-        .withColumn("dense_rank", F.row_number().over(w))
+        .select("doc_id", "cosine", "e2")
+    )
+
+
+def _dense_rank_w():
+    """The one tie-break every single-query ranking here uses.  A
+    function, not a module constant: building a Column requires an
+    active SparkContext, which imports must not assume."""
+    return Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+
+
+def _dense_ranking(emb: DataFrame, top_n: int = RRF_LIST_N) -> DataFrame:
+    """Brute cosine top-n for the fixed dense query vector, ranked."""
+    return (
+        _dense_scored(emb)
+        .withColumn("dense_rank", F.row_number().over(_dense_rank_w()))
         .filter(F.col("dense_rank") <= top_n)
         .select("doc_id", "dense_rank")
     )
@@ -179,23 +200,14 @@ def _mmr_candidates(emb: DataFrame) -> DataFrame:
     """Dense top-MMR_CAND for the fixed query: (doc_id, rel, rel_e6,
     e2).  Cached — ten rows feed every greedy round; without the cache
     the lazy chain would re-run the corpus scan per round."""
-    q = emb.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
-        F.col("embedding").alias("e1")
-    )
-    corpus = emb.filter(F.col("vec_id") != DENSE_QUERY_ID).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e2")
-    )
-    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
-    w = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
     return (
-        corpus.crossJoin(F.broadcast(q))
-        .withColumn("rel", F.round(cos, 6))
-        .withColumn("rnk", F.row_number().over(w))
+        _dense_scored(emb)
+        .withColumn("rnk", F.row_number().over(_dense_rank_w()))
         .filter(F.col("rnk") <= MMR_CAND)
         .select(
             "doc_id",
-            "rel",
-            F.round(F.col("rel") * 1e6).cast("long").alias("rel_e6"),
+            F.col("cosine").alias("rel"),
+            F.round(F.col("cosine") * 1e6).cast("long").alias("rel_e6"),
             "e2",
         )
         .cache()
@@ -360,7 +372,10 @@ NDCG_K = 10
 
 def _ranked_lists(emb: DataFrame, bucketed: bool) -> DataFrame:
     """Per-query top-NDCG_K ranking: exact brute (bucketed=False) or
-    label-bucket IVF (bucketed=True) — the two sides of the eval."""
+    label-bucket IVF (bucketed=True) — the two sides of the eval.
+    Deliberately NOT folded into _dense_scored: this is the
+    multi-query variant (per-query rank partitions, label-bucket
+    candidate filter) with its own output contract."""
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qbucket"),
@@ -436,8 +451,12 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = truth.groupBy("query_id").agg(
         _decimal_sum_6dp(igain).alias("idcg")
     )
+    # anchor on IDCG (every query has truth rows): a query whose
+    # bucketed ranking is EMPTY (singleton label) must surface as
+    # ndcg = 0, not silently vanish and inflate the average
     return (
-        dcg.join(F.broadcast(idcg), "query_id")
+        idcg.join(F.broadcast(dcg), "query_id", "left")
+        .withColumn("dcg", F.coalesce(F.col("dcg"), F.lit(0.0)))
         .withColumn("ndcg", F.round(F.col("dcg") / F.col("idcg"), 6))
         .select("query_id", "dcg", "idcg", "ndcg")
     )
@@ -489,6 +508,7 @@ idcg AS (
       AS DECIMAL(38,18))) AS DOUBLE), 6) AS idcg
   FROM truth GROUP BY 1
 )
-SELECT d.query_id, d.dcg, i.idcg, ROUND(d.dcg / i.idcg, 6) AS ndcg
-FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+SELECT i.query_id, COALESCE(d.dcg, 0.0) AS dcg, i.idcg,
+       ROUND(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
 """

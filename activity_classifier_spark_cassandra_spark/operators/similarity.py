@@ -1785,17 +1785,16 @@ def ivfpq_search(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
     )
     cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    # the SURVIVOR frame (n_queries x k rows) is the broadcast side;
+    # the corpus is scanned once and never shipped — broadcasting emb
+    # here would build the whole vector table on every executor
     return (
-        top.join(F.broadcast(queries), "query_id")
-        .join(
-            F.broadcast(
-                emb.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("e2"),
-                )
-            ),
-            "neighbor_id",
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("e2"),
         )
+        .join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
         .withColumn("cosine_exact", F.round(cos, 6))
         .select(
             "query_id", "bucket", "neighbor_id", "adc_dist",

@@ -778,6 +778,10 @@ FROM scored s JOIN th t USING (lang)
 # ------------------------------------------------------ BM25 search
 BM25_K1 = 1.2
 BM25_B = 0.75
+# top-N cut shared by bm25_search's default AND the SQL oracle's
+# LIMIT — and imported by retrieval.py as the RRF lexical list size,
+# so the three can never drift apart
+BM25_TOP_N = 20
 
 
 def bm25_search(
@@ -785,7 +789,7 @@ def bm25_search(
     query_terms: list[str],
     k1: float = BM25_K1,
     b: float = BM25_B,
-    top_n: int = 20,
+    top_n: int = BM25_TOP_N,
 ) -> DataFrame:
     """Lexical retrieval next to the ANN family: score every document
     against a bag of query terms with BM25 and keep the top_n.
@@ -884,7 +888,7 @@ SELECT doc_id,
 FROM tf JOIN df_t USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
-LIMIT 20
+LIMIT {BM25_TOP_N}
 """
 
 

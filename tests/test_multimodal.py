@@ -280,6 +280,12 @@ def test_wav_unsupported_formats_raise(spark):
     )
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+    # data chunk DECLARES more bytes than the file holds: must flag
+    # (decode_ok=false path), never decode as a shorter clip
+    good = encode_wav(8000, [0, 100, -100, 50], bits=16)
+    assert decode_wav(good)[3] == 4
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_wav(good[:-3])
 
 
 def test_extract_wav_stats_hand_computed(spark):

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "q_hybrid_search_rrf",  # 1-row dense query vector broadcast
     "q_ndcg_eval",  # ground-truth side IS the documented brute scan
     "q_kn_logprob",  # 1-row bigram-type-total broadcast
+    "q_ppl_buckets",  # inherits the KN subplan's 1-row type-total broadcast
 }
 
 

@@ -782,3 +782,42 @@ def test_matryoshka_eval_matches_numpy_replay(spark):
     # recall at a perfect 1.0 everywhere nor destroys it to 0
     vals = [got[q].recall for q in got]
     assert max(vals) > 0.0
+
+
+def test_ndcg_emits_zero_for_singleton_label_queries(spark, tmp_path):
+    """A query whose label bucket holds no other vector has an EMPTY
+    approx ranking — it must surface as ndcg = 0.0, not vanish from
+    the output (vanishing silently inflates averaged NDCG)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.operators.retrieval import (
+        q_ndcg_eval,
+    )
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    rng = random.Random(7)
+    n = N_QUERIES + 6
+    rows = {
+        "vec_id": list(range(n)),
+        "embedding": [
+            [rng.uniform(-1, 1) for _ in range(8)] for _ in range(n)
+        ],
+        # vec_id 0 gets a label nobody else has; everyone else shares
+        "label": [99] + [1] * (n - 1),
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(rows["label"], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = {r.query_id: r for r in q_ndcg_eval(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(N_QUERIES))
+    assert got[0].ndcg == 0.0 and got[0].dcg == 0.0 and got[0].idcg > 0
+    assert all(got[q].ndcg > 0 for q in range(1, N_QUERIES))
