@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_apply": D.q_dedup_apply,
         "q_ppl_buckets": T.q_ppl_buckets,
         "q_matryoshka_eval": S.q_matryoshka_eval,
+        "q_semdedup": D.q_semdedup,
+        "q_quality_classifier": CP.q_quality_classifier,
+        "q_decontaminate_semantic": CP.q_decontaminate_semantic,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -360,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": CP.DSIR_WEIGHTS_SQL,
         "q_gopher_rules": T.GOPHER_RULES_SQL,
         "q_dedup_apply": D.DEDUP_APPLY_SQL,
+        "q_semdedup": D.SEMDEDUP_SQL,
+        "q_quality_classifier": CP.QUALITY_CLASSIFIER_SQL,
+        "q_decontaminate_semantic": CP.DECONTAMINATE_SEMANTIC_SQL,
         "q_ppl_buckets": T.PPL_BUCKETS_SQL,
         "q_matryoshka_eval": S.MATRYOSHKA_EVAL_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,

@@ -799,3 +799,406 @@ SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
 FROM per_doc JOIN ratio USING (bucket)
 GROUP BY doc_id
 """
+
+
+# ----------------------------------- quality classifier (fastText-ish)
+#
+# The GPT-3 / LLaMA / RefinedWeb quality gate is a LINEAR classifier
+# over hashed bag-of-words features, trained to recognize
+# target-domain text and then run over the whole crawl (Brown et al.
+# 2020 §A; Joulin et al. 2016 fastText).  This is that operator with
+# the training made ENGINE-BIT-EXACT so the DuckDB oracle can replay
+# it: full-batch gradient descent with Polyak heavy-ball momentum
+# (QC_BETA), QC_ITERS fixed iterations, on QC_BUCKETS hashed-unigram
+# tf features.  No bias feature: the classes are ~balanced, the fast
+# sigmoid is 0.5 at z = 0, and a unit-x bias feature dwarfs the
+# ~1/n_toks tf features under one global LR (measured: the bias
+# oscillates and the model collapses to the majority class; without
+# it the same budget reaches 0.94 train accuracy).  Momentum is what
+# makes 8 iterations enough on this small-margin problem — plain GD
+# at the stable LR needs hundreds.  The teacher label is a stopword-density
+# gate (stop-token tf >= QC_STOP_TAU) — a classic surface quality
+# signal (C4 / Gopher both key on stopword counts) chosen over the
+# corpus's ``lang`` column because the synthetic langs share one
+# 31-token vocabulary (lang is text-independent: a 5000-iteration
+# float logistic regression tops out at 0.62 on it), while the
+# density gate is genuinely a function of the features, so the
+# learnability pytest can assert the training loop WORKS (train
+# accuracy >> majority class) rather than just that it terminates.
+#
+# Determinism contract (the same recipe as kmeans/BPE training):
+#   - features x = ROUND(count/n_toks, 6); hashing via the shared
+#     60-bit md5 recipe (sketches.py);
+#   - the link is the RATIONAL fast sigmoid p = 0.5 + 0.5*z/(1+|z|)
+#     (pure +,*,/,abs IEEE arithmetic — no libm exp whose final ulp
+#     could differ between JVM and DuckDB inside a compounding loop);
+#   - every cross-row sum is ROUND(...,9) -> DECIMAL(38,18) (exact,
+#     order-free); weights re-round to 6 dp each update, IN-ENGINE
+#     (Spark ROUND on one side, DuckDB ROUND on the other — never
+#     Python's banker's round).
+#
+# Scale shape: the feature frame is built once and persisted (at
+# warehouse scale: written to parquet); each GD iteration is one
+# broadcast join against a (QC_BUCKETS+1)-row weight table plus two
+# combinable aggregates keyed on doc_id / bucket.  Model state
+# crossing the driver per iteration is QC_BUCKETS+1 doubles — the
+# same bounded-metadata pattern as the k-means centroids and the BPE
+# top pair.  Iterations scan the persisted features, never the raw
+# corpus.
+
+QC_BUCKETS = 1024
+QC_SEED = 53
+QC_ITERS = 8
+QC_LR = 150.0
+QC_BETA = 0.9
+QC_STOPLIST = ["the", "a", "of", "and", "to"]
+QC_STOP_TAU = 0.06
+
+
+def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.expr(_TOKENIZE_SPARK).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    stops = _sql_in_list(QC_STOPLIST)
+    ratio = F.round(
+        F.expr(f"size(filter(toks, x -> x IN ({stops})))")
+        / F.size("toks"),
+        6,
+    )
+    return toked.select(
+        "doc_id",
+        (ratio >= QC_STOP_TAU).cast("double").alias("y"),
+        "toks",
+    )
+
+
+def _qc_features(base: DataFrame) -> DataFrame:
+    """(doc_id, bucket, x): hashed-unigram tf features (sparse)."""
+    from .sketches import _hash60
+
+    return (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.explode("toks").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (_hash60(F.col("tok"), QC_SEED) % QC_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.round(F.count(F.lit(1)) / F.first("n_toks"), 6).alias("x")
+        )
+    )
+
+
+def _qc_wmap_literal(w_rows: list[tuple[int, float]]) -> str:
+    """bucket -> weight literal map.  Only OCCUPIED buckets appear (a
+    31-token vocab touches <= 31 of the QC_BUCKETS buckets; every
+    other bucket's weight is identically 0 through all iterations
+    since its gradient is 0), so the literal stays tiny no matter how
+    large the hash space is.  repr() doubles round-trip exactly."""
+    if not w_rows:
+        return "map(CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE))"
+    parts = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({w!r} AS DOUBLE)"
+        for b, w in sorted(w_rows)
+    )
+    return f"map({parts})"
+
+
+def _qc_p_expr(wmap: str) -> str:
+    """Fast-sigmoid score from the per-doc feature ARRAY: a pure
+    projection (no join, no per-doc shuffle).  The z sum accumulates
+    ROUND(w*x, 9) terms in DECIMAL(38,18) inside the fold — exact, so
+    the (nondeterministic) collect_list order of ``fs`` cannot change
+    the result."""
+    # the re-CAST of the addition keeps the accumulator type stable at
+    # DECIMAL(38,18) (Spark widens a (38,18)+(38,18) add to (38,17));
+    # lossless here — the terms carry 9 decimal places
+    z = (
+        f"round(CAST(aggregate(fs, CAST(0 AS DECIMAL(38,18)),"
+        f" (acc, f) -> CAST(acc + CAST(round("
+        f"coalesce(element_at({wmap}, f.bucket), CAST(0.0 AS DOUBLE))"
+        f" * f.x, 9) AS DECIMAL(38,18)) AS DECIMAL(38,18)))"
+        f" AS DOUBLE), 9)"
+    )
+    return f"round(0.5D + 0.5D * ({z}) / (1.0D + abs({z})), 9)"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed linear quality classifier (QC_ITERS full-batch
+    GD rounds) and score every document: (doc_id, y_label, score,
+    predicted).
+
+    Iteration shape: weights travel as a broadcast literal MAP (the
+    k-means-centroid pattern), features live as one persisted row per
+    doc carrying its sparse (bucket, x) array — so each GD round is a
+    single job: score = pure projection, gradient = explode + ONE
+    combinable aggregate on <= vocab-size groups, weight update folded
+    into the same aggregate's select.  No joins, no per-round
+    createDataFrame round-trip; the driver sees only the <= 31
+    occupied weights per round."""
+    base = _qc_base(spark, sf_dir)
+    # y rides through both aggregations as first() — one corpus pass,
+    # no label re-join (a join here re-tokenizes documents a 2nd time)
+    from .sketches import _hash60
+
+    doc_feats = _shared(
+        base.select(
+            "doc_id",
+            "y",
+            F.size("toks").alias("n_toks"),
+            F.explode("toks").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            "n_toks",
+            (_hash60(F.col("tok"), QC_SEED) % QC_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.round(F.count(F.lit(1)) / F.first("n_toks"), 6).alias("x"),
+            F.first("y").alias("y0"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("bucket", "x")).alias("fs"),
+            F.first("y0").alias("y"),
+        )
+    )
+    n_docs = float(doc_feats.count())  # bounded scalar, like kmeans' k
+
+    w_rows: list[tuple[int, float]] = []
+    wp_rows: list[tuple[int, float]] = []
+    for _ in range(QC_ITERS):
+        wmap, wpmap = _qc_wmap_literal(w_rows), _qc_wmap_literal(wp_rows)
+        p = F.expr(_qc_p_expr(wmap))
+        term = (
+            doc_feats.select(
+                (p - F.col("y")).alias("d"), F.explode("fs").alias("f")
+            )
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(
+                F.sum(
+                    F.round(F.col("d") * F.col("f.x"), 9).cast(
+                        "decimal(38,18)"
+                    )
+                )
+                .cast("double")
+                .alias("g")
+            )
+        )
+        wc = F.expr(
+            f"coalesce(element_at({wmap}, bucket), CAST(0.0 AS DOUBLE))"
+        )
+        wp = F.expr(
+            f"coalesce(element_at({wpmap}, bucket), CAST(0.0 AS DOUBLE))"
+        )
+        updated = term.select(
+            "bucket",
+            F.round(
+                wc
+                - F.lit(QC_LR) * F.col("g") / F.lit(n_docs)
+                + F.lit(QC_BETA) * (wc - wp),
+                6,
+            ).alias("w"),
+            wc.alias("wprev"),
+        ).collect()
+        w_rows = [(r.bucket, r.w) for r in updated]
+        wp_rows = [(r.bucket, r.wprev) for r in updated]
+    p_final = F.expr(_qc_p_expr(_qc_wmap_literal(w_rows)))
+    return doc_feats.select(
+        "doc_id",
+        F.col("y").alias("y_label"),
+        F.round(p_final, 6).alias("score"),
+        (p_final >= 0.5).alias("predicted"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    zsum = (
+        "ROUND(CAST(SUM(CAST(ROUND(w.w * f.x, 9) AS DECIMAL(38,18)))"
+        " AS DOUBLE), 9)"
+    )
+    gsum = (
+        "CAST(SUM(CAST(ROUND((p.p - p.y) * f.x, 9) AS DECIMAL(38,18)))"
+        " AS DOUBLE)"
+    )
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(ROUND(LEN(LIST_FILTER(toks,
+                x -> x IN ({_sql_in_list(QC_STOPLIST)})))
+              / LEN(toks), 6) >= {QC_STOP_TAU} AS DOUBLE) AS y,
+         toks
+  FROM (SELECT doc_id, {_TOKENIZE} AS toks FROM documents)
+  WHERE len(toks) >= 1
+)""",
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id, bucket, ROUND(COUNT(*) / ANY_VALUE(n_toks), 6) AS x
+  FROM (
+    SELECT doc_id, len(toks) AS n_toks,
+           {_hash60_sql('tok', QC_SEED)} % {QC_BUCKETS} AS bucket
+    FROM base, UNNEST(toks) AS u(tok)
+  ) GROUP BY doc_id, bucket
+)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base)",
+        f"""w0 AS (
+  SELECT CAST(b AS BIGINT) AS bucket, CAST(0.0 AS DOUBLE) AS w
+  FROM range(0, {QC_BUCKETS}) t(b)
+)""",
+        # the t=0 'previous iterate' for heavy-ball momentum
+        "wm1 AS (SELECT bucket, w FROM w0)",
+    ]
+    for t in range(1, QC_ITERS + 1):
+        prev = f"w{t - 1}"
+        prev2 = f"w{t - 2}" if t >= 2 else "wm1"
+        ctes.append(f"""z{t} AS MATERIALIZED (
+  SELECT f.doc_id, {zsum} AS z
+  FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id
+)""")
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT z.doc_id, b.y,
+         ROUND(0.5 + 0.5 * z.z / (1.0 + ABS(z.z)), 9) AS p
+  FROM z{t} z JOIN base b USING (doc_id)
+)""")
+        ctes.append(f"""g{t} AS (
+  SELECT f.bucket, {gsum} AS g
+  FROM feats f JOIN p{t} p USING (doc_id) GROUP BY f.bucket
+)""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT w.bucket,
+         ROUND(w.w - {QC_LR} * COALESCE(g.g, 0.0) / nn.n
+               + {QC_BETA} * (w.w - w2.w), 6) AS w
+  FROM {prev} w JOIN {prev2} w2 USING (bucket)
+  LEFT JOIN g{t} g USING (bucket) CROSS JOIN nn
+)""")
+    t = QC_ITERS
+    ctes.append(f"""zf AS MATERIALIZED (
+  SELECT f.doc_id, {zsum} AS z
+  FROM feats f JOIN w{t} w USING (bucket) GROUP BY f.doc_id
+)""")
+    ctes.append("""pf AS (
+  SELECT z.doc_id, b.y,
+         ROUND(0.5 + 0.5 * z.z / (1.0 + ABS(z.z)), 9) AS p
+  FROM zf z JOIN base b USING (doc_id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, y AS y_label, ROUND(p, 6) AS score,"
+        "\n       p >= 0.5 AS predicted"
+        "\nFROM pf"
+    )
+
+
+QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
+
+
+# ------------------------------------ semantic decontamination
+#
+# Embedding-space benchmark decontamination: n-gram overlap (the
+# q_decontaminate gate above) misses PARAPHRASED benchmark leakage,
+# so modern pipelines add an embedding-similarity gate (e.g. the
+# phrasing-robust decontamination in Llama/Phi data reports): drop
+# every training vector whose cosine to ANY held-out benchmark
+# vector reaches SEM_DECON_TAU.
+#
+# Scale shape — the best in the whole family: benchmark eval sets are
+# FIXED-SIZE (MBs) while the corpus is TBs, so the benchmark side is
+# collected once (bounded metadata, same contract as the k-means
+# centroid literal) and embedded in the plan as a broadcast literal;
+# the query is then a pure projection over the corpus scan — ZERO
+# exchange at any corpus size.  Benchmark membership mirrors the
+# text-level gate: vec_id % BENCH_MOD == 0, 6-dp-rounded vectors so
+# the literal round-trips the SQL parser exactly (oracle mirrors).
+
+SEM_DECON_TAU = 0.2
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-vector verdict against the benchmark slice:
+    (vec_id, nearest_bench_id, max_cos, dropped)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_rows = (
+        emb.filter(F.col("vec_id") % BENCH_MOD == 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
+            ).alias("e"),
+        )
+        .collect()
+    )
+    parts = []
+    for r in sorted(bench_rows, key=lambda r: r.vec_id):
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in r.e)
+        parts.append(
+            f"named_struct('i', CAST({r.vec_id} AS BIGINT),"
+            f" 'v', array({arr}))"
+        )
+    bench_lit = "array(" + ", ".join(parts) + ")"
+    dot = (
+        "aggregate(zip_with(embedding, b.v, (x, y) ->"
+        " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v2) -> acc + v2)"
+    )
+    nb = (
+        "sqrt(aggregate(b.v, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x * x))"
+    )
+    # struct array_min: (-cos, id) → max cosine, ties to the LOWEST
+    # benchmark id (lexicographic struct order), one fold per vector
+    best = F.expr(
+        f"array_min(transform({bench_lit}, b -> named_struct("
+        f"'negc', -round(({dot}) / (n_e * ({nb})), 6),"
+        f" 'i', b.i)))"
+    )
+    corpus = emb.filter(F.col("vec_id") % BENCH_MOD != 0).withColumn(
+        "n_e",
+        F.expr(
+            "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        ),
+    )
+    return corpus.select(
+        "vec_id",
+        best.alias("_b"),
+    ).select(
+        "vec_id",
+        F.col("_b.i").alias("nearest_bench_id"),
+        (-F.col("_b.negc")).alias("max_cos"),
+        (-F.col("_b.negc") >= SEM_DECON_TAU).alias("dropped"),
+    )
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS b
+  FROM embeddings WHERE vec_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % {BENCH_MOD} <> 0
+),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+    ROUND(list_dot_product(c.e, b.b)
+          / (sqrt(list_dot_product(c.e, c.e))
+           * sqrt(list_dot_product(b.b, b.b))), 6) AS cos
+  FROM corpus c CROSS JOIN bench b
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
+       cos >= {SEM_DECON_TAU} AS dropped
+FROM ranked WHERE rn = 1
+"""

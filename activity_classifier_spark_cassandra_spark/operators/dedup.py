@@ -1091,3 +1091,192 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE ROUND(n_shared / LEAST(s1.n_fp, s2.n_fp), 6) >= {WINNOW_MIN_CONTAIN}
 """
+
+
+# ------------------------------------------------------------ SemDeDup
+#
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): cluster the
+# embedding space with k-means, then WITHIN each cluster drop every
+# vector that has a semantic duplicate (cosine >= tau) ranked ahead of
+# it.  The paper keeps, per duplicate group, the example FARTHEST from
+# the cluster centroid (the least prototypical one carries the most
+# marginal information); we realize that greedy rule as its
+# order-theoretic closure — a vector is removed iff some tau-neighbor
+# in its cluster strictly dominates it under (d2-to-centroid DESC,
+# vec_id ASC).  That "dominated" formulation is join-expressible (no
+# sequential greedy state), deterministic, and keeps at least one
+# member of every duplicate group (the dominance maximum).
+#
+# Composition: train_kmeans_centroids (similarity.py — deterministic
+# Lloyd's, bit-replayed by the oracle's chained CTEs) -> broadcast
+# centroid literal -> one projection computes (cluster, d2c) per row
+# -> cluster-local pair join.  Scale shape: the corpus is shuffled
+# ONCE on cluster id; pairing is n_c^2 per cluster, guarded by the
+# same MAX_CLUSTER_SIZE cap as q_dedup_embedding (over-cap clusters
+# pass through un-deduped; at production scale they would be
+# re-quantized finer).  tau=0.2 keeps the gate non-vacuous on the
+# synthetic embeddings (production uses ~0.95 on real encoders).
+
+SEMDEDUP_TAU = 0.2
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict: (vec_id, cluster, d2_centroid,
+    kept) over trained k-means clusters — kept=false iff a tau-similar
+    same-cluster vector is farther from the centroid (tie: lower id)."""
+    from .similarity import (
+        _D2_FOLD,
+        _cents_literal,
+        train_kmeans_centroids,
+    )
+
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(emb)
+    lit = _cents_literal(cents)
+    d2 = _D2_FOLD.format(x="embedding", c="c.c")
+    # One transform evaluates every centroid's d2 fold once; array_min
+    # over (d2, k) structs gives both the assignment and the distance.
+    bk = F.expr(
+        f"array_min(transform({lit},"
+        f" c -> named_struct('best', {d2}, 'k', c.k)))"
+    )
+    assigned = _shared(
+        emb.select(
+            "vec_id",
+            "embedding",
+            bk.alias("_bk"),
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("_bk.k").alias("cluster"),
+            F.col("_bk.best").alias("d2_centroid"),
+        )
+    )
+    small = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_CLUSTER_SIZE)
+        .select("cluster")
+    )
+
+    # Cluster-grouped verdicts via applyInPandas: each vector crosses
+    # the wire ONCE (one exchange keyed on cluster), and the n_c^2
+    # similarity work runs as a single BLAS gram matrix per cluster —
+    # the pair-join formulation ships every vector ~n_c/2 times
+    # through Arrow instead (measured 10x slower at sf0.1).  Group
+    # size is bounded by MAX_CLUSTER_SIZE (10k x 64 doubles = 5 MB).
+    def _verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        d2c = pdf["d2_centroid"].to_numpy()
+        norms = np.sqrt((E * E).sum(axis=1))
+        C = (E @ E.T) / np.outer(norms, norms)
+        # half-up at 6 dp (np.round is banker's; ROUND in both engines
+        # is half away from zero — only positives can reach TAU)
+        C = np.floor(C * 1e6 + 0.5) / 1e6
+        sim = C >= SEMDEDUP_TAU
+        np.fill_diagonal(sim, False)
+        # dominated: some tau-neighbor sits farther from the centroid
+        # (tie: lower vec_id) — the order-theoretic closure of the
+        # paper's keep-farthest greedy
+        beats = (d2c[None, :] < d2c[:, None]) | (
+            (d2c[None, :] == d2c[:, None]) & (ids[None, :] > ids[:, None])
+        )
+        lost = (sim & beats.T).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "d2_centroid": d2c,
+                "kept": ~lost,
+            }
+        )
+
+    schema = "vec_id long, cluster int, d2_centroid double, kept boolean"
+    deduped = (
+        assigned.join(F.broadcast(small), "cluster", "left_semi")
+        .groupBy("cluster")
+        .applyInPandas(_verdicts, schema)
+    )
+    # over-cap clusters pass through un-deduped (re-quantized finer at
+    # production scale) — mirrored by the oracle's `small` gate
+    passthrough = (
+        assigned.join(F.broadcast(small), "cluster", "left_anti")
+        .select("vec_id", "cluster", "d2_centroid", F.lit(True).alias("kept"))
+    )
+    return deduped.unionByName(passthrough)
+
+
+def _semdedup_sql() -> str:
+    from .similarity import (
+        K_TRAIN,
+        KMEANS_ITERS,
+        _sql_assign,
+        _sql_d2,
+        _sql_update,
+    )
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT {K_TRAIN})
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(_sql_assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(_sql_update(f"a{i}", f"c{i}"))
+    final = f"c{KMEANS_ITERS}"
+    d2 = _sql_d2("v.e", "c.centroid")
+    ctes.append(f"""afd AS (
+  SELECT vec_id, e, cluster, d2 FROM (
+    SELECT vec_id, e, cluster, d2,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT v.vec_id, v.e, c.cluster, {d2} AS d2
+      FROM corpus v CROSS JOIN {final} c
+    )
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""small AS (
+  SELECT cluster FROM afd GROUP BY cluster
+  HAVING COUNT(*) <= {MAX_CLUSTER_SIZE}
+)""")
+    ctes.append(f"""losers AS (
+  SELECT DISTINCT CASE
+      WHEN a.d2 > b.d2 THEN b.vec_id
+      WHEN b.d2 > a.d2 THEN a.vec_id
+      ELSE b.vec_id END AS vec_id
+  FROM afd a JOIN afd b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.cluster IN (SELECT cluster FROM small)
+    AND ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= {SEMDEDUP_TAU}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT f.vec_id, f.cluster, f.d2 AS d2_centroid,"
+        "\n       l.vec_id IS NULL AS kept"
+        "\nFROM afd f LEFT JOIN losers l ON l.vec_id = f.vec_id"
+    )
+    import re as _re
+
+    # MATERIALIZED: the chained training CTEs are multiply referenced;
+    # DuckDB re-inlines plain CTEs per reference (see similarity.py).
+    return _re.sub(
+        r"\b(corpus|c\d|a\d|afd|small|losers) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql()

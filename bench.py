@@ -132,6 +132,11 @@ HEADLINE = [
     "q_dedup_apply",
     "q_ppl_buckets",
     "q_matryoshka_eval",
+    # added in round 7 third batch: SemDeDup over trained k-means,
+    # GD-trained hashed quality classifier, embedding decontamination
+    "q_semdedup",
+    "q_quality_classifier",
+    "q_decontaminate_semantic",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Round-7 third batch: SemDeDup over trained k-means clusters, the
+GD-trained hashed quality classifier, and embedding-space benchmark
+decontamination — each checked against an independent numpy replay on
+real testdata, plus the semantic invariants the operators promise."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from activity_classifier_spark_cassandra_spark.operators.corpus import (
+    BENCH_MOD,
+    QC_STOP_TAU,
+    QC_STOPLIST,
+    SEM_DECON_TAU,
+    q_decontaminate_semantic,
+    q_quality_classifier,
+)
+from activity_classifier_spark_cassandra_spark.operators.dedup import (
+    SEMDEDUP_TAU,
+    q_semdedup,
+)
+from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------- semdedup
+def test_semdedup_covers_every_vector_once(spark):
+    out = q_semdedup(spark, SF_DIR).collect()
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(out) == n_emb
+    assert len({r.vec_id for r in out}) == n_emb
+
+
+def test_semdedup_dominance_rule_replayed_in_numpy(spark):
+    """Independent replay: within each cluster (as assigned by the
+    operator itself), a vector is removed iff some tau-neighbor is
+    strictly farther from the centroid (tie: lower vec_id)."""
+    rows = q_semdedup(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    kept_flags = {}
+    for members in by_cluster.values():
+        E = np.stack([emb[r.vec_id] for r in members])
+        ids = np.array([r.vec_id for r in members])
+        d2c = np.array([r.d2_centroid for r in members])
+        norms = np.sqrt((E * E).sum(axis=1))
+        C = (E @ E.T) / np.outer(norms, norms)
+        C = np.floor(C * 1e6 + 0.5) / 1e6
+        for i in range(len(members)):
+            lost = False
+            for j in range(len(members)):
+                if i == j or C[i, j] < SEMDEDUP_TAU:
+                    continue
+                if d2c[j] > d2c[i] or (
+                    d2c[j] == d2c[i] and ids[j] < ids[i]
+                ):
+                    lost = True
+                    break
+            kept_flags[ids[i]] = not lost
+    for r in rows:
+        assert r.kept == kept_flags[r.vec_id], r
+
+
+def test_semdedup_keeps_a_representative_per_group(spark):
+    """The dominance maximum of any tau-connected set survives — so no
+    cluster is ever emptied, and some vector is removed at tau=0.2 on
+    this data (the gate is non-vacuous)."""
+    rows = q_semdedup(spark, SF_DIR).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        assert any(r.kept for r in members)
+    assert any(not r.kept for r in rows)
+
+
+# ---------------------------------------------- quality classifier
+def test_quality_classifier_learns_its_teacher(spark):
+    """The training loop must WORK, not just terminate: train accuracy
+    far above the majority class on the stopword-density teacher."""
+    rows = q_quality_classifier(spark, SF_DIR).collect()
+    acc = sum(r.predicted == (r.y_label == 1.0) for r in rows) / len(rows)
+    majority = max(
+        sum(r.y_label == 1.0 for r in rows),
+        sum(r.y_label == 0.0 for r in rows),
+    ) / len(rows)
+    assert acc >= 0.85
+    assert acc > majority + 0.15
+
+
+def test_quality_classifier_label_and_score_contract(spark):
+    rows = q_quality_classifier(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    assert len(rows) == len(docs)
+    stops = set(QC_STOPLIST)
+    for d in docs:
+        toks = [t for t in d.text.split() if t]
+        ratio = round(sum(t in stops for t in toks) / len(toks), 6)
+        expected = 1.0 if ratio >= QC_STOP_TAU else 0.0
+        row = next(r for r in rows if r.doc_id == d.doc_id)
+        assert row.y_label == expected
+        assert 0.0 <= row.score <= 1.0
+        assert row.predicted == (row.score >= 0.5)
+
+
+# ------------------------------------- semantic decontamination
+def test_decontaminate_semantic_excludes_benchmark_rows(spark):
+    out = q_decontaminate_semantic(spark, SF_DIR).collect()
+    assert all(r.vec_id % BENCH_MOD != 0 for r in out)
+    n_corpus = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % BENCH_MOD != 0)
+        .count()
+    )
+    assert len(out) == n_corpus
+
+
+def test_decontaminate_semantic_matches_numpy_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb
+    }
+    bench = {
+        i: np.round(v, 6) for i, v in vecs.items() if i % BENCH_MOD == 0
+    }
+    out = q_decontaminate_semantic(spark, SF_DIR).collect()
+    for r in out:
+        e = vecs[r.vec_id]
+        ne = np.sqrt((e * e).sum())
+        best = max(
+            (
+                round(float(e @ b) / (ne * np.sqrt((b * b).sum())), 6),
+                -bid,
+            )
+            for bid, b in bench.items()
+        )
+        assert abs(r.max_cos - best[0]) < 2e-6
+        assert r.nearest_bench_id == -best[1]
+        assert r.dropped == (r.max_cos >= SEM_DECON_TAU)
