@@ -913,18 +913,21 @@ def _qc_wmap_literal(w_rows: list[tuple[int, float]]) -> str:
 def _qc_p_expr(wmap: str) -> str:
     """Fast-sigmoid score from the per-doc feature ARRAY: a pure
     projection (no join, no per-doc shuffle).  The z sum accumulates
-    ROUND(w*x, 9) terms in DECIMAL(38,18) inside the fold — exact, so
-    the (nondeterministic) collect_list order of ``fs`` cannot change
-    the result."""
-    # the re-CAST of the addition keeps the accumulator type stable at
-    # DECIMAL(38,18) (Spark widens a (38,18)+(38,18) add to (38,17));
-    # lossless here — the terms carry 9 decimal places
-    z = (
-        f"round(CAST(aggregate(fs, CAST(0 AS DECIMAL(38,18)),"
-        f" (acc, f) -> CAST(acc + CAST(round("
+    ROUND(w*x, 9) terms as 1e9-SCALED LONGs inside the fold — exact
+    and order-free (so the nondeterministic collect_list order of
+    ``fs`` cannot change the result), and primitive: the first cut
+    accumulated DECIMAL(38,18) and the per-element BigDecimal boxing
+    inside the interpreted higher-order fold made the 100x probe
+    superlinear (241s); |w*x| <= ~10 so the scaled terms and any
+    per-doc sum sit far below 2^53."""
+    term = (
+        f"CAST(round(round("
         f"coalesce(element_at({wmap}, f.bucket), CAST(0.0 AS DOUBLE))"
-        f" * f.x, 9) AS DECIMAL(38,18)) AS DECIMAL(38,18)))"
-        f" AS DOUBLE), 9)"
+        f" * f.x, 9) * 1000000000.0D, 0) AS LONG)"
+    )
+    z = (
+        f"round(CAST(aggregate(fs, 0L, (acc, f) -> acc + {term})"
+        f" AS DOUBLE) / 1000000000.0D, 9)"
     )
     return f"round(0.5D + 0.5D * ({z}) / (1.0D + abs({z})), 9)"
 
@@ -978,10 +981,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(QC_ITERS):
         wmap, wpmap = _qc_wmap_literal(w_rows), _qc_wmap_literal(wp_rows)
         p = F.expr(_qc_p_expr(wmap))
+        # two-step select: the scoring fold must be evaluated ONCE per
+        # doc, BELOW the Generate — a single select with explode puts
+        # the Project above the Generate and the fold runs once per
+        # EXPLODED row (31x per doc; measured 194s -> 36s at the 100x
+        # probe).  The intermediate Project survives because
+        # CollapseProject does not merge across Generate.
         term = (
-            doc_feats.select(
-                (p - F.col("y")).alias("d"), F.explode("fs").alias("f")
-            )
+            doc_feats.select("fs", (p - F.col("y")).alias("d"))
+            .select("d", F.explode("fs").alias("f"))
             .groupBy(F.col("f.bucket").alias("bucket"))
             .agg(
                 F.sum(
@@ -1012,18 +1020,33 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_rows = [(r.bucket, r.w) for r in updated]
         wp_rows = [(r.bucket, r.wprev) for r in updated]
     p_final = F.expr(_qc_p_expr(_qc_wmap_literal(w_rows)))
-    return doc_feats.select(
-        "doc_id",
-        F.col("y").alias("y_label"),
-        F.round(p_final, 6).alias("score"),
-        (p_final >= 0.5).alias("predicted"),
+    return (
+        doc_feats.select(
+            "doc_id", F.col("y").alias("y_label"), p_final.alias("_p")
+        )
+        # two-step so the scoring fold is evaluated once per row
+        .select(
+            "doc_id",
+            "y_label",
+            F.round(F.col("_p"), 6).alias("score"),
+            (F.col("_p") >= 0.5).alias("predicted"),
+        )
     )
 
 
 def _quality_classifier_sql() -> str:
+    # z mirrors the Spark fold's 1e9-scaled-LONG accumulation exactly:
+    # integral doubles cast to BIGINT identically in both engines
+    # (DuckDB's rounding BIGINT cast == Spark's truncating one on an
+    # already-ROUND(...,0) value), integer sums are order-free, and
+    # the final /1e9 is the same IEEE division.  The gradient sum
+    # stays DECIMAL: it aggregates over DOCS (a corpus-scale count
+    # where a 1e9-scaled long could overflow), and it runs in the
+    # codegen'd columnar aggregate, not the interpreted fold.
     zsum = (
-        "ROUND(CAST(SUM(CAST(ROUND(w.w * f.x, 9) AS DECIMAL(38,18)))"
-        " AS DOUBLE), 9)"
+        "ROUND(CAST(SUM(CAST(ROUND(ROUND(w.w * f.x, 9)"
+        " * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)"
+        " / 1000000000.0, 9)"
     )
     gsum = (
         "CAST(SUM(CAST(ROUND((p.p - p.y) * f.x, 9) AS DECIMAL(38,18)))"
@@ -1114,18 +1137,35 @@ QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
 # centroid literal) and embedded in the plan as a broadcast literal;
 # the query is then a pure projection over the corpus scan — ZERO
 # exchange at any corpus size.  Benchmark membership mirrors the
-# text-level gate: vec_id % BENCH_MOD == 0, 6-dp-rounded vectors so
-# the literal round-trips the SQL parser exactly (oracle mirrors).
+# text-level gate (vec_id % BENCH_MOD == 0) but is additionally
+# pinned to a FIXED id range (vec_id < SEM_DECON_BENCH_MAX): eval
+# sets are enumerable and do not grow with the crawl, so a 100x
+# corpus probe must hold the benchmark side constant — without the
+# pin the % rule would inflate the broadcast literal (and per-row
+# work) linearly with corpus copies.  Vectors are 6-dp-rounded so the
+# literal round-trips the SQL parser exactly (oracle mirrors).
 
 SEM_DECON_TAU = 0.2
+SEM_DECON_BENCH_MAX = 1_000_000
 
 
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-corpus-vector verdict against the benchmark slice:
-    (vec_id, nearest_bench_id, max_cos, dropped)."""
+    (vec_id, nearest_bench_id, max_cos, dropped).
+
+    The benchmark matrix is closed over by a mapInPandas stage — still
+    a pure map (zero exchange), but the per-row scoring is ONE BLAS
+    matmul per Arrow batch instead of an interpreted per-(row, bench)
+    zip_with fold (the fold formulation measured minutes at the 100x
+    probe: ~270M lambda evaluations per run)."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % BENCH_MOD == 0) & (
+        F.col("vec_id") < SEM_DECON_BENCH_MAX
+    )
     bench_rows = (
-        emb.filter(F.col("vec_id") % BENCH_MOD == 0)
+        emb.filter(is_bench)
         .select(
             "vec_id",
             F.expr(
@@ -1134,45 +1174,42 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    parts = []
-    for r in sorted(bench_rows, key=lambda r: r.vec_id):
-        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in r.e)
-        parts.append(
-            f"named_struct('i', CAST({r.vec_id} AS BIGINT),"
-            f" 'v', array({arr}))"
-        )
-    bench_lit = "array(" + ", ".join(parts) + ")"
-    dot = (
-        "aggregate(zip_with(embedding, b.v, (x, y) ->"
-        " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-        " (acc, v2) -> acc + v2)"
+    import numpy as np
+
+    bench_rows = sorted(bench_rows, key=lambda r: r.vec_id)
+    bench_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
+    B = np.stack([np.array(r.e, dtype=np.float64) for r in bench_rows])
+    bn = np.sqrt((B * B).sum(axis=1))
+
+    def _score(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            en = np.sqrt((E * E).sum(axis=1))
+            # dot / (|e| * |b|): same expression shape as the oracle
+            C = (E @ B.T) / np.outer(en, bn)
+            # half away from zero at 6 dp (ROUND semantics in both
+            # engines; np.round is banker's)
+            C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+            # bench columns are id-ascending, argmax takes the FIRST
+            # max -> ties break to the lowest benchmark id, matching
+            # the oracle's (cos DESC, bench_id ASC) row_number
+            idx = np.argmax(C, axis=1)
+            mx = C[np.arange(len(C)), idx]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "nearest_bench_id": bench_ids[idx],
+                    "max_cos": mx,
+                    "dropped": mx >= SEM_DECON_TAU,
+                }
+            )
+
+    schema = (
+        "vec_id long, nearest_bench_id long, max_cos double,"
+        " dropped boolean"
     )
-    nb = (
-        "sqrt(aggregate(b.v, CAST(0.0 AS DOUBLE),"
-        " (acc, x) -> acc + x * x))"
-    )
-    # struct array_min: (-cos, id) → max cosine, ties to the LOWEST
-    # benchmark id (lexicographic struct order), one fold per vector
-    best = F.expr(
-        f"array_min(transform({bench_lit}, b -> named_struct("
-        f"'negc', -round(({dot}) / (n_e * ({nb})), 6),"
-        f" 'i', b.i)))"
-    )
-    corpus = emb.filter(F.col("vec_id") % BENCH_MOD != 0).withColumn(
-        "n_e",
-        F.expr(
-            "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
-            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        ),
-    )
-    return corpus.select(
-        "vec_id",
-        best.alias("_b"),
-    ).select(
-        "vec_id",
-        F.col("_b.i").alias("nearest_bench_id"),
-        (-F.col("_b.negc")).alias("max_cos"),
-        (-F.col("_b.negc") >= SEM_DECON_TAU).alias("dropped"),
+    return emb.filter(~is_bench).select("vec_id", "embedding").mapInPandas(
+        _score, schema
     )
 
 
@@ -1180,11 +1217,13 @@ DECONTAMINATE_SEMANTIC_SQL = f"""
 WITH bench AS (
   SELECT vec_id AS bench_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS b
-  FROM embeddings WHERE vec_id % {BENCH_MOD} = 0
+  FROM embeddings
+  WHERE vec_id % {BENCH_MOD} = 0 AND vec_id < {SEM_DECON_BENCH_MAX}
 ),
 corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-  FROM embeddings WHERE vec_id % {BENCH_MOD} <> 0
+  FROM embeddings
+  WHERE NOT (vec_id % {BENCH_MOD} = 0 AND vec_id < {SEM_DECON_BENCH_MAX})
 ),
 scored AS (
   SELECT c.vec_id, b.bench_id,

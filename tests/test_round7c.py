@@ -13,10 +13,15 @@ from activity_classifier_spark_cassandra_spark.operators.corpus import (
     BENCH_MOD,
     QC_STOP_TAU,
     QC_STOPLIST,
+    SEM_DECON_BENCH_MAX,
     SEM_DECON_TAU,
     q_decontaminate_semantic,
     q_quality_classifier,
 )
+
+
+def _is_bench(vec_id: int) -> bool:
+    return vec_id % BENCH_MOD == 0 and vec_id < SEM_DECON_BENCH_MAX
 from activity_classifier_spark_cassandra_spark.operators.dedup import (
     SEMDEDUP_TAU,
     q_semdedup,
@@ -114,11 +119,10 @@ def test_quality_classifier_label_and_score_contract(spark):
 # ------------------------------------- semantic decontamination
 def test_decontaminate_semantic_excludes_benchmark_rows(spark):
     out = q_decontaminate_semantic(spark, SF_DIR).collect()
-    assert all(r.vec_id % BENCH_MOD != 0 for r in out)
-    n_corpus = (
-        load_table(spark, SF_DIR, "embeddings")
-        .filter(F.col("vec_id") % BENCH_MOD != 0)
-        .count()
+    assert all(not _is_bench(r.vec_id) for r in out)
+    n_corpus = sum(
+        not _is_bench(r.vec_id)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
     )
     assert len(out) == n_corpus
 
@@ -129,7 +133,7 @@ def test_decontaminate_semantic_matches_numpy_brute_force(spark):
         r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb
     }
     bench = {
-        i: np.round(v, 6) for i, v in vecs.items() if i % BENCH_MOD == 0
+        i: np.round(v, 6) for i, v in vecs.items() if _is_bench(i)
     }
     out = q_decontaminate_semantic(spark, SF_DIR).collect()
     for r in out:
