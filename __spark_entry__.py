@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": D.q_semdedup,
         "q_quality_classifier": CP.q_quality_classifier,
         "q_decontaminate_semantic": CP.q_decontaminate_semantic,
+        "q_dsir_sample": CP.q_dsir_sample,
+        "q_domain_mix_budget": CP.q_domain_mix_budget,
         # ==== stalest r4-green entries fill the window to 50 ====
         "q_stream_dedup": SD.q_stream_dedup,
         "q_stream_join_attribution": SJ.q_stream_join_attribution,
@@ -368,6 +370,8 @@ def oracle_sql() -> dict[str, str]:
         "q_semdedup": D.SEMDEDUP_SQL,
         "q_quality_classifier": CP.QUALITY_CLASSIFIER_SQL,
         "q_decontaminate_semantic": CP.DECONTAMINATE_SEMANTIC_SQL,
+        "q_dsir_sample": CP.DSIR_SAMPLE_SQL,
+        "q_domain_mix_budget": CP.DOMAIN_MIX_BUDGET_SQL,
         "q_ppl_buckets": T.PPL_BUCKETS_SQL,
         "q_matryoshka_eval": S.MATRYOSHKA_EVAL_SQL,
         "q_knn_brute": S.KNN_BRUTE_SQL,

@@ -1241,3 +1241,190 @@ SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
        cos >= {SEM_DECON_TAU} AS dropped
 FROM ranked WHERE rn = 1
 """
+
+
+# --------------------------------------- DSIR Gumbel-top-k selection
+#
+# The sampling step q_dsir_weights stops short of: DSIR (Xie et al.
+# 2023 §2) selects the training subset by GUMBEL-TOP-K over the log
+# importance weights — sampling-without-replacement proportional to
+# the importance distribution, as one embarrassingly-parallel pass.
+# The paper's Gumbel noise is RNG; here the uniform is the shared
+# seeded 60-bit hash of doc_id, which makes the draw DETERMINISTIC
+# (replayable by the oracle, stable across retries/stragglers — the
+# property a production selection job wants anyway: re-running a
+# failed partition must not change the selected set).
+#
+#   u  = (hash60(doc_id) % 1e9 + 0.5) / 1e9        in (0, 1)
+#   g  = -ln(-ln(u))                                standard Gumbel
+#   score = log_weight + g;  take the top DSIR_TOP_K
+#
+# Scale shape: the scored frame is (doc_id, log_weight, g) — narrow;
+# top-k is sort+limit, which Spark plans as TakeOrderedAndProject
+# (partition-local heaps, only k rows reach the driver-side merge).
+# No exchange wider than q_dsir_weights' own aggregates.
+
+DSIR_TOP_K = 50
+DSIR_GUMBEL_SEED = 43
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR-selected subset: (doc_id, log_weight, gumbel, score)
+    for the top DSIR_TOP_K docs by perturbed log weight."""
+    from .sketches import _hash60
+
+    weights = q_dsir_weights(spark, sf_dir)
+    u = (
+        (_hash60(F.col("doc_id"), DSIR_GUMBEL_SEED) % 1_000_000_000)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000_000.0)
+    g = F.round(-F.log(-F.log(u)), 6)
+    scored = weights.select(
+        "doc_id",
+        "log_weight",
+        g.alias("gumbel"),
+        F.round(F.col("log_weight") + g, 6).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_TOP_K)
+
+
+DSIR_SAMPLE_SQL = f"""
+WITH w AS ({DSIR_WEIGHTS_SQL.strip()}),
+g AS (
+  SELECT doc_id, log_weight,
+         ROUND(-LN(-LN(
+           (({_hash60_sql('doc_id', DSIR_GUMBEL_SEED)} % 1000000000)
+            + 0.5) / 1000000000.0)), 6) AS gumbel
+  FROM w
+)
+SELECT doc_id, log_weight, gumbel,
+       ROUND(log_weight + gumbel, 6) AS score
+FROM g
+ORDER BY score DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+
+# --------------------------------- token-budget mixture (water-filling)
+#
+# Corpus assembly's final arithmetic (the LLaMA/GPT "data mixture"
+# table): given per-source token availability n_d and a total token
+# budget T, allocate T across sources with DESIRED share proportional
+# to n_d^MIX_ALPHA (temperature-flattened so small sources are
+# upweighted), subject to the availability cap alloc_d <= n_d.
+# Flattening pushes small sources ABOVE their availability, so the
+# classic water-filling redistribution applies: cap the over-asks,
+# re-split the surplus across uncapped sources by the same weights,
+# repeat.  MIX_ROUNDS = 3 fixed rounds (|sources| caps can bind at
+# most |sources| times; 3 suffices for any mix this shape and keeps
+# the oracle a finite CTE chain).
+#
+# Scale shape: ONE aggregate over the corpus produces the
+# |sources|-row availability frame; every redistribution round is
+# window arithmetic over that tiny frame (broadcast-scale, no corpus
+# re-scan).  The output is the recipe the sampling pass executes.
+
+MIX_ALPHA = 0.5
+MIX_BUDGET_FRAC = 0.6
+MIX_ROUNDS = 3
+
+
+def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token allocation under a global budget:
+    (source, n_tokens, weight, alloc_tokens, capped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.expr(_TOKENIZE_SPARK))).alias("n_tokens")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cur = avail.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA), 6
+        ).alias("w"),
+        F.floor(
+            F.sum("n_tokens").over(wall) * F.lit(MIX_BUDGET_FRAC)
+        ).alias("budget"),
+        F.lit(False).alias("capped"),
+        F.lit(0.0).alias("alloc"),
+    )
+    for _ in range(MIX_ROUNDS):
+        # remaining budget splits across UNCAPPED sources by weight;
+        # any source whose ask exceeds availability is capped at it
+        w_open = Window.partitionBy(F.lit(1))
+        open_w = F.when(~F.col("capped"), F.col("w")).otherwise(F.lit(0.0))
+        spent = F.sum(
+            F.when(F.col("capped"), F.col("alloc")).otherwise(F.lit(0.0))
+        ).over(w_open)
+        ask = F.round(
+            (F.col("budget") - spent)
+            * open_w
+            / F.sum(open_w).over(w_open),
+            6,
+        )
+        cur = cur.select(
+            "source",
+            "n_tokens",
+            "w",
+            "budget",
+            (F.col("capped") | (ask >= F.col("n_tokens"))).alias("capped"),
+            F.when(F.col("capped"), F.col("alloc"))
+            .when(ask >= F.col("n_tokens"), F.col("n_tokens").cast("double"))
+            .otherwise(ask)
+            .alias("alloc"),
+        )
+    return cur.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("w"), 6).alias("weight"),
+        F.round(F.col("alloc"), 6).alias("alloc_tokens"),
+        "capped",
+    )
+
+
+def _domain_mix_budget_sql() -> str:
+    ctes = [
+        f"""avail AS (
+  SELECT source, SUM(LEN({_TOKENIZE})) AS n_tokens
+  FROM documents GROUP BY source
+)""",
+        f"""c0 AS (
+  SELECT source, n_tokens,
+         ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}), 6) AS w,
+         FLOOR(SUM(n_tokens) OVER () * {MIX_BUDGET_FRAC}) AS budget,
+         FALSE AS capped, 0.0 AS alloc
+  FROM avail
+)""",
+    ]
+    for t in range(1, MIX_ROUNDS + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""{f'c{t}'} AS (
+  SELECT source, n_tokens, w, budget,
+         (capped OR ask >= n_tokens) AS capped,
+         CASE WHEN capped THEN alloc
+              WHEN ask >= n_tokens THEN CAST(n_tokens AS DOUBLE)
+              ELSE ask END AS alloc
+  FROM (
+    SELECT *,
+      ROUND((budget
+             - SUM(CASE WHEN capped THEN alloc ELSE 0.0 END) OVER ())
+            * (CASE WHEN capped THEN 0.0 ELSE w END)
+            / SUM(CASE WHEN capped THEN 0.0 ELSE w END) OVER (), 6)
+        AS ask
+    FROM {prev}
+  )
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,"
+        f"\n       ROUND(w, 6) AS weight,"
+        f"\n       ROUND(alloc, 6) AS alloc_tokens, capped"
+        f"\nFROM c{MIX_ROUNDS}"
+    )
+
+
+DOMAIN_MIX_BUDGET_SQL = _domain_mix_budget_sql()

@@ -137,6 +137,8 @@ HEADLINE = [
     "q_semdedup",
     "q_quality_classifier",
     "q_decontaminate_semantic",
+    "q_dsir_sample",
+    "q_domain_mix_budget",
 ]
 
 

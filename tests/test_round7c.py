@@ -18,10 +18,6 @@ from activity_classifier_spark_cassandra_spark.operators.corpus import (
     q_decontaminate_semantic,
     q_quality_classifier,
 )
-
-
-def _is_bench(vec_id: int) -> bool:
-    return vec_id % BENCH_MOD == 0 and vec_id < SEM_DECON_BENCH_MAX
 from activity_classifier_spark_cassandra_spark.operators.dedup import (
     SEMDEDUP_TAU,
     q_semdedup,
@@ -29,6 +25,10 @@ from activity_classifier_spark_cassandra_spark.operators.dedup import (
 from activity_classifier_spark_cassandra_spark.sources.io import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def _is_bench(vec_id: int) -> bool:
+    return vec_id % BENCH_MOD == 0 and vec_id < SEM_DECON_BENCH_MAX
 
 
 # --------------------------------------------------------- semdedup
@@ -149,3 +149,126 @@ def test_decontaminate_semantic_matches_numpy_brute_force(spark):
         assert abs(r.max_cos - best[0]) < 2e-6
         assert r.nearest_bench_id == -best[1]
         assert r.dropped == (r.max_cos >= SEM_DECON_TAU)
+
+
+# ------------------------------------------- DSIR Gumbel-top-k sample
+def test_dsir_sample_python_replay(spark):
+    """Replay the deterministic Gumbel perturbation + top-k in Python
+    from the operator's own weight table."""
+    import hashlib
+    import math
+
+    from activity_classifier_spark_cassandra_spark.operators.corpus import (
+        DSIR_GUMBEL_SEED,
+        DSIR_TOP_K,
+        q_dsir_sample,
+        q_dsir_weights,
+    )
+
+    weights = {
+        r.doc_id: r.log_weight
+        for r in q_dsir_weights(spark, SF_DIR).collect()
+    }
+
+    def h60(v, seed):
+        md = hashlib.md5(f"{seed}|{v}".encode()).hexdigest()
+        return int(md[:15], 16)
+
+    scored = []
+    for doc_id, lw in weights.items():
+        u = (h60(doc_id, DSIR_GUMBEL_SEED) % 1_000_000_000 + 0.5) / 1e9
+        g = round(-math.log(-math.log(u)), 6)
+        scored.append((round(lw + g, 6), -doc_id, doc_id, g))
+    scored.sort(reverse=True)
+    expect = {(d, s) for s, _, d, _ in scored[:DSIR_TOP_K]}
+
+    out = q_dsir_sample(spark, SF_DIR).collect()
+    assert len(out) == DSIR_TOP_K
+    got = {(r.doc_id, r.score) for r in out}
+    assert got == expect
+    for r in out:
+        assert abs(r.score - round(r.log_weight + r.gumbel, 6)) < 1e-9
+
+
+def test_dsir_sample_enriches_target_slice(spark):
+    """The selected subset must over-represent the target (non-English)
+    slice relative to the corpus — the point of importance sampling."""
+    from activity_classifier_spark_cassandra_spark.operators.corpus import (
+        q_dsir_sample,
+    )
+
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    base_rate = sum(1 for v in docs.values() if v != "en") / len(docs)
+    out = q_dsir_sample(spark, SF_DIR).collect()
+    sel_rate = sum(1 for r in out if docs[r.doc_id] != "en") / len(out)
+    assert sel_rate > base_rate
+
+
+# ------------------------------------- token-budget mixture allocation
+def test_domain_mix_budget_invariants(spark):
+    from activity_classifier_spark_cassandra_spark.operators.corpus import (
+        MIX_BUDGET_FRAC,
+        q_domain_mix_budget,
+    )
+
+    rows = q_domain_mix_budget(spark, SF_DIR).collect()
+    total_avail = sum(r.n_tokens for r in rows)
+    budget = int(total_avail * MIX_BUDGET_FRAC)
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    # never allocate more than available per source, nor over budget
+    for r in rows:
+        assert r.alloc_tokens <= r.n_tokens + 1e-6, r
+        if r.capped:
+            assert r.alloc_tokens == float(r.n_tokens), r
+    assert total_alloc <= budget + 1e-3
+    # the budget is actually used (allocation is not degenerate)
+    assert total_alloc >= 0.95 * min(budget, total_avail)
+    # uncapped sources split the remainder proportionally to weight
+    uncapped = [r for r in rows if not r.capped]
+    if len(uncapped) >= 2:
+        ratios = {
+            round(r.alloc_tokens / r.weight, 2) for r in uncapped
+        }
+        assert len(ratios) == 1, ratios
+
+
+def test_domain_mix_budget_python_replay(spark):
+    from activity_classifier_spark_cassandra_spark.operators.corpus import (
+        MIX_ALPHA,
+        MIX_BUDGET_FRAC,
+        MIX_ROUNDS,
+        q_domain_mix_budget,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    avail: dict[str, int] = {}
+    for d in docs:
+        toks = [t for t in d.text.split() if t]
+        avail[d.source] = avail.get(d.source, 0) + len(toks)
+    budget = int(sum(avail.values()) * MIX_BUDGET_FRAC)
+    w = {s: round(n**MIX_ALPHA, 6) for s, n in avail.items()}
+    capped: dict[str, bool] = {s: False for s in avail}
+    alloc: dict[str, float] = {s: 0.0 for s in avail}
+    for _ in range(MIX_ROUNDS):
+        spent = sum(a for s, a in alloc.items() if capped[s])
+        open_w = sum(w[s] for s in avail if not capped[s])
+        ask = {
+            s: round((budget - spent) * w[s] / open_w, 6)
+            for s in avail
+            if not capped[s]
+        }
+        for s, a in ask.items():
+            if a >= avail[s]:
+                capped[s] = True
+                alloc[s] = float(avail[s])
+            else:
+                alloc[s] = a
+    out = {r.source: r for r in q_domain_mix_budget(spark, SF_DIR).collect()}
+    assert set(out) == set(avail)
+    for s, r in out.items():
+        assert r.n_tokens == avail[s]
+        assert r.capped == capped[s], s
+        assert abs(r.alloc_tokens - round(alloc[s], 6)) < 1e-6, s
