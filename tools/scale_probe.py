@@ -46,7 +46,11 @@ def get_spark() -> SparkSession:
         SparkSession.builder.master("local[32]")
         .appName("scale-probe")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "100g")
+        # 8g, matching session.get_spark: a 100g local-mode heap lets
+        # the collector balloon instead of collecting young garbage on
+        # allocation-heavy (explode/md5) plans — measured 196s vs 27s
+        # cold on the same 27M-row query, page-zeroing dominated.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "true")
         .getOrCreate()
