@@ -127,15 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features": P.q_session_features,
         "q_sessionize": P.q_sessionize,
         "q_session_features_3axis": P.q_session_features_3axis,
-        "q_stream_session_features": STR.q_stream_session_features,
-        "q_stream_windowed_features": STR.q_stream_windowed_features,
         # ==================== window boundary (50) ====================
-        # r4-green entries displaced by the round-7 additions (eighteen
-        # new operators entered the window; the third batch pushed
-        # q_stream_sliding_features and the two rows-only ML fits past
+        # r4-green entries displaced by the round-7 additions (twenty
+        # new operators entered the window across the three batches,
+        # so the streaming trio and the rows-only ML fits fall past
         # the boundary) — FIRST behind it, they lead the round-8
         # window (sweep-green at sf0.01 AND sf0.1 on round-7 HEAD,
         # VERIFY_LOCAL_r07.txt)
+        "q_stream_session_features": STR.q_stream_session_features,
+        "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,

@@ -873,28 +873,6 @@ def _qc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qc_features(base: DataFrame) -> DataFrame:
-    """(doc_id, bucket, x): hashed-unigram tf features (sparse)."""
-    from .sketches import _hash60
-
-    return (
-        base.select(
-            "doc_id",
-            F.size("toks").alias("n_toks"),
-            F.explode("toks").alias("tok"),
-        )
-        .select(
-            "doc_id",
-            "n_toks",
-            (_hash60(F.col("tok"), QC_SEED) % QC_BUCKETS).alias("bucket"),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(
-            F.round(F.count(F.lit(1)) / F.first("n_toks"), 6).alias("x")
-        )
-    )
-
-
 def _qc_wmap_literal(w_rows: list[tuple[int, float]]) -> str:
     """bucket -> weight literal map.  Only OCCUPIED buckets appear (a
     31-token vocab touches <= 31 of the QC_BUCKETS buckets; every
@@ -1024,12 +1002,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_feats.select(
             "doc_id", F.col("y").alias("y_label"), p_final.alias("_p")
         )
-        # two-step so the scoring fold is evaluated once per row
+        # two-step so the scoring fold is evaluated once per row;
+        # predicted derives from the 6-dp SCORE (not the 9-dp p) so
+        # the output is internally consistent: predicted == (score
+        # >= 0.5) for every row, with no rounding gap between them
         .select(
             "doc_id",
             "y_label",
             F.round(F.col("_p"), 6).alias("score"),
-            (F.col("_p") >= 0.5).alias("predicted"),
+            (F.round(F.col("_p"), 6) >= 0.5).alias("predicted"),
         )
     )
 
@@ -1114,7 +1095,7 @@ def _quality_classifier_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT doc_id, y AS y_label, ROUND(p, 6) AS score,"
-        "\n       p >= 0.5 AS predicted"
+        "\n       ROUND(p, 6) >= 0.5 AS predicted"
         "\nFROM pf"
     )
 
@@ -1185,7 +1166,10 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             en = np.sqrt((E * E).sum(axis=1))
-            # dot / (|e| * |b|): same expression shape as the oracle
+            # dot / (|e| * |b|): same expression shape as the oracle;
+            # BLAS blocked summation vs the oracle's sequential fold
+            # can differ by ~1 ulp — flips the 6-dp round only within
+            # ~1e-16 of a boundary (accepted trade, see q_semdedup)
             C = (E @ B.T) / np.outer(en, bn)
             # half away from zero at 6 dp (ROUND semantics in both
             # engines; np.round is banker's)
@@ -1339,13 +1323,26 @@ def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = docs.groupBy("source").agg(
         F.sum(F.size(F.expr(_TOKENIZE_SPARK))).alias("n_tokens")
     )
+    # Determinism: w = sqrt(n) — IEEE sqrt is CORRECTLY ROUNDED in
+    # both engines (libm pow is not guaranteed to the last ulp), and
+    # every cross-row double sum below routes through ROUND(...,6) ->
+    # DECIMAL(38,18) (exact, order-free) so Spark's window iteration
+    # order vs DuckDB's cannot flip a 6-dp rounding.  n_tokens sums
+    # are integers: exact as-is.
+    assert MIX_ALPHA == 0.5, "w = sqrt(n) relies on alpha = 1/2"
     wall = Window.partitionBy(F.lit(1))
+
+    def _dsum(col: Column) -> Column:
+        return (
+            F.sum(F.round(col, 6).cast("decimal(38,18)"))
+            .over(wall)
+            .cast("double")
+        )
+
     cur = avail.select(
         "source",
         "n_tokens",
-        F.round(
-            F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA), 6
-        ).alias("w"),
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).alias("w"),
         F.floor(
             F.sum("n_tokens").over(wall) * F.lit(MIX_BUDGET_FRAC)
         ).alias("budget"),
@@ -1355,15 +1352,12 @@ def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(MIX_ROUNDS):
         # remaining budget splits across UNCAPPED sources by weight;
         # any source whose ask exceeds availability is capped at it
-        w_open = Window.partitionBy(F.lit(1))
         open_w = F.when(~F.col("capped"), F.col("w")).otherwise(F.lit(0.0))
-        spent = F.sum(
+        spent = _dsum(
             F.when(F.col("capped"), F.col("alloc")).otherwise(F.lit(0.0))
-        ).over(w_open)
+        )
         ask = F.round(
-            (F.col("budget") - spent)
-            * open_w
-            / F.sum(open_w).over(w_open),
+            (F.col("budget") - spent) * open_w / _dsum(open_w),
             6,
         )
         cur = cur.select(
@@ -1394,7 +1388,7 @@ def _domain_mix_budget_sql() -> str:
 )""",
         f"""c0 AS (
   SELECT source, n_tokens,
-         ROUND(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}), 6) AS w,
+         ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS w,
          FLOOR(SUM(n_tokens) OVER () * {MIX_BUDGET_FRAC}) AS budget,
          FALSE AS capped, 0.0 AS alloc
   FROM avail
@@ -1411,9 +1405,13 @@ def _domain_mix_budget_sql() -> str:
   FROM (
     SELECT *,
       ROUND((budget
-             - SUM(CASE WHEN capped THEN alloc ELSE 0.0 END) OVER ())
+             - CAST(SUM(CAST(ROUND(
+                 CASE WHEN capped THEN alloc ELSE 0.0 END, 6)
+                 AS DECIMAL(38,18))) OVER () AS DOUBLE))
             * (CASE WHEN capped THEN 0.0 ELSE w END)
-            / SUM(CASE WHEN capped THEN 0.0 ELSE w END) OVER (), 6)
+            / CAST(SUM(CAST(ROUND(
+                CASE WHEN capped THEN 0.0 ELSE w END, 6)
+                AS DECIMAL(38,18))) OVER () AS DOUBLE), 6)
         AS ask
     FROM {prev}
   )

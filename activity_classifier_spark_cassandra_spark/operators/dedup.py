@@ -1168,6 +1168,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair-join formulation ships every vector ~n_c/2 times
     # through Arrow instead (measured 10x slower at sf0.1).  Group
     # size is bounded by MAX_CLUSTER_SIZE (10k x 64 doubles = 5 MB).
+    # Float trade (same class the repo accepts for the pandas cosine
+    # UDF): BLAS blocked summation can differ from the oracle's
+    # sequential fold by ~1 ulp, which flips the 6-dp round only for
+    # a cosine within ~1e-16 of a 0.5e-6 boundary — vanishing at the
+    # driver-check scale and strictly a tie-region perturbation.
     def _verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 

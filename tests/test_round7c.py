@@ -48,11 +48,20 @@ def test_semdedup_dominance_rule_replayed_in_numpy(spark):
         r.vec_id: np.array(r.embedding, dtype=np.float64)
         for r in load_table(spark, SF_DIR, "embeddings").collect()
     }
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        MAX_CLUSTER_SIZE,
+    )
+
     by_cluster: dict[int, list] = {}
     for r in rows:
         by_cluster.setdefault(r.cluster, []).append(r)
     kept_flags = {}
     for members in by_cluster.values():
+        if len(members) > MAX_CLUSTER_SIZE:
+            # over-cap clusters take the documented passthrough path
+            for r in members:
+                kept_flags[r.vec_id] = True
+            continue
         E = np.stack([emb[r.vec_id] for r in members])
         ids = np.array([r.vec_id for r in members])
         d2c = np.array([r.d2_centroid for r in members])
@@ -248,8 +257,13 @@ def test_domain_mix_budget_python_replay(spark):
     for d in docs:
         toks = [t for t in d.text.split() if t]
         avail[d.source] = avail.get(d.source, 0) + len(toks)
+    import math
+
+    assert MIX_ALPHA == 0.5
     budget = int(sum(avail.values()) * MIX_BUDGET_FRAC)
-    w = {s: round(n**MIX_ALPHA, 6) for s, n in avail.items()}
+    # math.sqrt, not n**0.5: sqrt is IEEE-correctly-rounded like the
+    # engines' SQRT; pow is not guaranteed to the last ulp
+    w = {s: round(math.sqrt(n), 6) for s, n in avail.items()}
     capped: dict[str, bool] = {s: False for s in avail}
     alloc: dict[str, float] = {s: 0.0 for s in avail}
     for _ in range(MIX_ROUNDS):
