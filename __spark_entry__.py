@@ -61,79 +61,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 7 executes the
-    round-6 verdict's rotation item: q_quality_funnel and
-    q_incremental_dedup (last driver row r3 — one testdata generation
-    ago, sweep-green at both SFs on round-6 HEAD) lead, followed by
-    the operators NEW this round (never driver-verified), then the
-    stalest r4-green entries — the core pipeline family, streaming
-    block, ML family, and the TPC-H/relational tail whose last driver
-    verdict was round 4 — filling the window to 50.  The r4-green
-    entries displaced past the boundary sit FIRST behind it and lead
-    the round-8 window; the blocks green in CORRECTNESS_r05 and
-    CORRECTNESS_r06 rotate to the back in that order."""
+    covers a 50-entry window from the front.  Round 8 executes the
+    round-7 verdict's rotation item: the 22 entries that round 7
+    displaced past the boundary (streaming trio, the three rows-only
+    ML fits, TPC-H Q2/Q11/Q15/Q20/Q21, and the r4-green relational
+    tail -- all sweep-green at both SFs on round-7 HEAD,
+    VERIFY_LOCAL_r07.txt) lead, followed by operators NEW this round,
+    then the stalest r5-green entries filling the window to 50.
+    Behind the boundary: the rest of the r5-green block (leads the
+    round-9 window), then the r6-green block, then the r7-green block
+    backmost.  After this round no entry's last driver verdict is
+    older than r5."""
     return {
-        # ==== positions 1-2: last driver verdict ROUND 3 —
-        #      the round-7 window leaders named in round 6 ====
-        "q_quality_funnel": CP.q_quality_funnel,
-        "q_incremental_dedup": CP.q_incremental_dedup,
-        # ==== new in round 7 — never driver-verified, in-window ====
-        "q_knn_ivfpq": S.q_knn_ivfpq,
-        "q_audio_features": MM.q_audio_features,
-        "q_hybrid_search_rrf": RT.q_hybrid_search_rrf,
-        "q_mmr_rerank": RT.q_mmr_rerank,
-        "q_dedup_edit_distance": D.q_dedup_edit_distance,
-        "q_ndcg_eval": RT.q_ndcg_eval,
-        "q_pca_power": S.q_pca_power,
-        "q_dedup_minhash_cc": D.q_dedup_minhash_cc,
-        "q_winnow_overlap": D.q_winnow_overlap,
-        "q_kn_logprob": T.q_kn_logprob,
-        "q_dsir_weights": CP.q_dsir_weights,
-        "q_gopher_rules": T.q_gopher_rules,
-        "q_dedup_apply": D.q_dedup_apply,
-        "q_ppl_buckets": T.q_ppl_buckets,
-        "q_matryoshka_eval": S.q_matryoshka_eval,
-        "q_semdedup": D.q_semdedup,
-        "q_quality_classifier": CP.q_quality_classifier,
-        "q_decontaminate_semantic": CP.q_decontaminate_semantic,
-        "q_dsir_sample": CP.q_dsir_sample,
-        "q_domain_mix_budget": CP.q_domain_mix_budget,
-        # ==== stalest r4-green entries fill the window to 50 ====
-        "q_stream_dedup": SD.q_stream_dedup,
-        "q_stream_join_attribution": SJ.q_stream_join_attribution,
-        "q_stream_stateful": ST.q_stream_stateful,
-        "q_bigram_logprob": T.q_bigram_logprob,
-        "q_bm25_search": T.q_bm25_search,
-        "q_group_topk_sample": SM.q_group_topk_sample,
-        "q_key_skew_profile": K.q_key_skew_profile,
-        "q_asof_join": AJ.q_asof_join,
-        "q_range_join": AJ.q_range_join,
-        "q_funnel": FN.q_funnel,
-        "q_retention": FN.q_retention,
-        "q_daily_active": FN.q_daily_active,
-        "q_resample_gapfill": TS.q_resample_gapfill,
-        "q_time_rollup": TS.q_time_rollup,
-        "q_scd2": C.q_scd2,
-        "q_event_transitions": TR.q_event_transitions,
-        "q_bucketed_join": BK.q_bucketed_join,
-        "q_salted_join": K.q_salted_join,
-        "q_dq_audit": DQ.q_dq_audit,
-        "q_approx_distinct": R.q_approx_distinct,
-        "q_minmax_ts": R.q_minmax_ts,
-        "q_range_filter": R.q_range_filter,
-        "q_moving_avg": R.q_moving_avg,
-        "q_lead_lag": R.q_lead_lag,
-        "q_zscore_anomaly": R.q_zscore_anomaly,
-        "q_session_features": P.q_session_features,
-        "q_sessionize": P.q_sessionize,
-        "q_session_features_3axis": P.q_session_features_3axis,
-        # ==================== window boundary (50) ====================
-        # r4-green entries displaced by the round-7 additions (twenty
-        # new operators entered the window across the three batches,
-        # so the streaming trio and the rows-only ML fits fall past
-        # the boundary) — FIRST behind it, they lead the round-8
-        # window (sweep-green at sf0.01 AND sf0.1 on round-7 HEAD,
-        # VERIFY_LOCAL_r07.txt)
+        # ==== round-8 window: the 22 entries staged behind the
+        #      round-7 boundary (last driver verdict r4; sweep-green
+        #      at both SFs on round-7 HEAD) lead ====
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
@@ -156,7 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resultant": R.q_resultant,
         "q_mean_var": R.q_mean_var,
         "q_distinct_agg": R.q_distinct_agg,
-        # ==== r5-green block (CORRECTNESS_r05: 50/50) ====
+        # ==== NEW in round 8 — never driver-verified, in-window ====
+        # (inserted as they land; each pushes one r5-green entry
+        #  past the boundary)
+        # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q4_priority_count": TH.q4_priority_count,
@@ -185,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_sketch": R.q_approx_sketch,
         "q_pack_greedy": CP.q_pack_greedy,
         "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
+        # ==================== window boundary (50) ====================
+        # remaining r5-green block (CORRECTNESS_r05: 50/50),
+        # sweep-green at HEAD; leads the round-9 window
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
         "q_incremental_agg": INC.q_incremental_agg,
@@ -207,8 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        # ==== r6-green block (CORRECTNESS_r06: 50/50) — freshest,
-        #      rotates to the very back ====
+        # ==== r6-green block (CORRECTNESS_r06: 50/50) ====
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
@@ -259,6 +206,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         "q_session_features_skewres": P.q_session_features_skewres,
+        # ==== r7-green block (CORRECTNESS_r07: 50/50 window +
+        #      full-registry local sweeps 172/0) — freshest, backmost ====
+        "q_quality_funnel": CP.q_quality_funnel,
+        "q_incremental_dedup": CP.q_incremental_dedup,
+        "q_knn_ivfpq": S.q_knn_ivfpq,
+        "q_audio_features": MM.q_audio_features,
+        "q_hybrid_search_rrf": RT.q_hybrid_search_rrf,
+        "q_mmr_rerank": RT.q_mmr_rerank,
+        "q_dedup_edit_distance": D.q_dedup_edit_distance,
+        "q_ndcg_eval": RT.q_ndcg_eval,
+        "q_pca_power": S.q_pca_power,
+        "q_dedup_minhash_cc": D.q_dedup_minhash_cc,
+        "q_winnow_overlap": D.q_winnow_overlap,
+        "q_kn_logprob": T.q_kn_logprob,
+        "q_dsir_weights": CP.q_dsir_weights,
+        "q_gopher_rules": T.q_gopher_rules,
+        "q_dedup_apply": D.q_dedup_apply,
+        "q_ppl_buckets": T.q_ppl_buckets,
+        "q_matryoshka_eval": S.q_matryoshka_eval,
+        "q_semdedup": D.q_semdedup,
+        "q_quality_classifier": CP.q_quality_classifier,
+        "q_decontaminate_semantic": CP.q_decontaminate_semantic,
+        "q_dsir_sample": CP.q_dsir_sample,
+        "q_domain_mix_budget": CP.q_domain_mix_budget,
+        "q_stream_dedup": SD.q_stream_dedup,
+        "q_stream_join_attribution": SJ.q_stream_join_attribution,
+        "q_stream_stateful": ST.q_stream_stateful,
+        "q_bigram_logprob": T.q_bigram_logprob,
+        "q_bm25_search": T.q_bm25_search,
+        "q_group_topk_sample": SM.q_group_topk_sample,
+        "q_key_skew_profile": K.q_key_skew_profile,
+        "q_asof_join": AJ.q_asof_join,
+        "q_range_join": AJ.q_range_join,
+        "q_funnel": FN.q_funnel,
+        "q_retention": FN.q_retention,
+        "q_daily_active": FN.q_daily_active,
+        "q_resample_gapfill": TS.q_resample_gapfill,
+        "q_time_rollup": TS.q_time_rollup,
+        "q_scd2": C.q_scd2,
+        "q_event_transitions": TR.q_event_transitions,
+        "q_bucketed_join": BK.q_bucketed_join,
+        "q_salted_join": K.q_salted_join,
+        "q_dq_audit": DQ.q_dq_audit,
+        "q_approx_distinct": R.q_approx_distinct,
+        "q_minmax_ts": R.q_minmax_ts,
+        "q_range_filter": R.q_range_filter,
+        "q_moving_avg": R.q_moving_avg,
+        "q_lead_lag": R.q_lead_lag,
+        "q_zscore_anomaly": R.q_zscore_anomaly,
+        "q_session_features": P.q_session_features,
+        "q_sessionize": P.q_sessionize,
+        "q_session_features_3axis": P.q_session_features_3axis,
     }
 
 

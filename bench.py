@@ -169,14 +169,40 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver's stdout capture is bounded (~3.5 KB): a single line
+    # carrying all ~100 per-query timings gets truncated mid-JSON and
+    # BENCH_r{N}.json records "parsed": null (happened rounds 6-7).
+    # So: full per-query map goes to a sidecar file; stdout gets ONE
+    # compact line (summary + the 10 slowest) that always fits.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "n": len(timings),
+                "sf": sf_val,
+            },
+            fh,
+        )
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "n": len(timings),
+                "sf": sf_val,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )
