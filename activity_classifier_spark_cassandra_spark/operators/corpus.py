@@ -1138,7 +1138,13 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure map (zero exchange), but the per-row scoring is ONE BLAS
     matmul per Arrow batch instead of an interpreted per-(row, bench)
     zip_with fold (the fold formulation measured minutes at the 100x
-    probe: ~270M lambda evaluations per run)."""
+    probe: ~270M lambda evaluations per run).
+
+    Contract: zero-norm vectors (corpus or benchmark) are OUT OF
+    CONTRACT — cosine is undefined on them, the engine emits NaN/inf
+    and the oracle NULL-propagates differently.  Encoder outputs are
+    never zero; a pipeline with synthetic zeros must filter them
+    upstream."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1158,6 +1164,17 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     bench_rows = sorted(bench_rows, key=lambda r: r.vec_id)
+    if not bench_rows:
+        # Empty benchmark slice: nothing to test against — every
+        # corpus vector is kept with NULL nearest/cos.  The oracle's
+        # corpus-LEFT-JOIN-ranked shape produces exactly this frame
+        # (previously np.stack([]) crashed here, advice r7).
+        return emb.filter(~is_bench).select(
+            "vec_id",
+            F.lit(None).cast("long").alias("nearest_bench_id"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(False).alias("dropped"),
+        )
     bench_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
     B = np.stack([np.array(r.e, dtype=np.float64) for r in bench_rows])
     bn = np.sqrt((B * B).sum(axis=1))
@@ -1221,9 +1238,14 @@ ranked AS (
               ORDER BY cos DESC, bench_id ASC) AS rn
   FROM scored
 )
-SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
-       cos >= {SEM_DECON_TAU} AS dropped
-FROM ranked WHERE rn = 1
+-- corpus LEFT JOIN: with a non-empty benchmark every corpus vector
+-- has exactly one rn=1 row (identical to the former inner form);
+-- with an EMPTY benchmark this degrades to all-kept NULL verdicts,
+-- mirroring the engine's empty-bench guard
+SELECT c.vec_id, r.bench_id AS nearest_bench_id, r.cos AS max_cos,
+       COALESCE(r.cos >= {SEM_DECON_TAU}, FALSE) AS dropped
+FROM corpus c
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.vec_id = c.vec_id
 """
 
 
@@ -1302,9 +1324,14 @@ LIMIT {DSIR_TOP_K}
 # Flattening pushes small sources ABOVE their availability, so the
 # classic water-filling redistribution applies: cap the over-asks,
 # re-split the surplus across uncapped sources by the same weights,
-# repeat.  MIX_ROUNDS = 3 fixed rounds (|sources| caps can bind at
-# most |sources| times; 3 suffices for any mix this shape and keeps
-# the oracle a finite CTE chain).
+# repeat.  Caps can bind in up to |sources| - 1 SUCCESSIVE rounds
+# (each round must cap at least one new source or the allocation has
+# converged), so MIX_ROUNDS = 20 makes the water-filling EXACT for
+# any mix of <= 21 sources (testdata has 20); converged rounds are
+# numeric no-ops (every value re-derives identically), and the chain
+# stays finite window math over the |sources|-row frame.  Beyond 21
+# sources the result is a documented bounded approximation — derive
+# rounds from the source count if that ever matters.
 #
 # Scale shape: ONE aggregate over the corpus produces the
 # |sources|-row availability frame; every redistribution round is
@@ -1313,7 +1340,7 @@ LIMIT {DSIR_TOP_K}
 
 MIX_ALPHA = 0.5
 MIX_BUDGET_FRAC = 0.6
-MIX_ROUNDS = 3
+MIX_ROUNDS = 20
 
 
 def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,7 +1416,12 @@ def _domain_mix_budget_sql() -> str:
         f"""c0 AS (
   SELECT source, n_tokens,
          ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS w,
-         FLOOR(SUM(n_tokens) OVER () * {MIX_BUDGET_FRAC}) AS budget,
+         -- CAST both factors: DuckDB parses {MIX_BUDGET_FRAC} as
+         -- DECIMAL and would do exact decimal arithmetic, which can
+         -- land on the other side of a FLOOR boundary than the
+         -- engine's IEEE double multiply (advice r7)
+         FLOOR(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+               * CAST({MIX_BUDGET_FRAC} AS DOUBLE)) AS budget,
          FALSE AS capped, 0.0 AS alloc
   FROM avail
 )""",

@@ -972,15 +972,22 @@ LEFT JOIN sizes s ON s.comp = l.comp
 # it catches a copied paragraph inside an otherwise unrelated pair,
 # the overlap the Jaccard estimators dilute away.
 #
-# Scale shape: gram hashing + window-min ride the SAME single doc_id
-# exchange as shingling (posexplode + lead/min over one window — flat
-# codegen, no interpreted HOF lambdas); fingerprint density is
-# ~2/(WINNOW_W+1) of grams, so the exploded fingerprint table is ~2.5x
-# SMALLER than the shingle table the Jaccard join shuffles.  The pair
-# join is the standard banded shape: equi-join on the fingerprint with
-# a document-frequency cap bounding per-key collision lists.  Hashes
-# are md5 hex strings compared lexicographically — the same
-# cross-engine collation trick as MinHash (module docstring).
+# Scale shape (round 8, the round-7 verdict's "shuffle diet"): the
+# whole select-the-fingerprints step is ROW-LOCAL — a document's gram
+# hashes and window-mins derive from that document's text alone, so
+# they are computed with array expressions (transform/slice/array_min)
+# inside the scan stage and NEVER shuffled.  The previous shape rode a
+# posexplode + two doc_id window passes, which put the full 32-hex
+# gram table through an exchange and a sort before selection — 2.4 GB
+# shuffle write at the 100x probe.  What reaches the first exchange
+# now is only the distinct (doc_id, fp) pairs, and fp is an 8-BYTE
+# binary key (unhex of the md5's first 16 hex chars, truncated AFTER
+# the min so the selection order is still full-md5 lexicographic and
+# matches the oracle's).  The pair join is the standard banded shape:
+# equi-join on the fingerprint with a document-frequency cap bounding
+# per-key collision lists.  Truncation is applied identically in the
+# DuckDB oracle, so any (astronomically unlikely) 64-bit prefix
+# collision merges the same keys in both engines.
 
 WINNOW_W = 4
 MAX_FP_DF = 50
@@ -988,29 +995,56 @@ WINNOW_MIN_CONTAIN = 0.5
 
 
 def _winnow_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp): the distinct winnowing-selected gram hashes per
-    document.  Documents shorter than WINNOW_W + SHINGLE_K - 1 tokens
-    have no full window and produce no fingerprints (the classic
-    convention — below the guarantee threshold)."""
-    # the gram stream is the SAME construction the shingle pipeline
-    # uses (_gram_rows) — winnowing just hashes it and window-mins
-    grams = _gram_rows(spark, sf_dir).select(
-        "doc_id", "pos", F.md5("sh").alias("gh")
+    """(doc_id, fp): the distinct winnowing-selected gram keys per
+    document, fp an 8-byte binary (see block comment).  Documents
+    shorter than WINNOW_W + SHINGLE_K - 1 tokens have no full window
+    and produce no fingerprints (the classic convention — below the
+    guarantee threshold).  Entirely row-local until the final explode:
+    no exchange, no sort (two-step selects keep the array math below
+    the Generate, per the CollapseProject-across-Generate gotcha)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENIZE_SPARK).alias("t")).filter(
+        F.size("t") >= WINNOW_W + SHINGLE_K - 1
     )
-    wf = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    wl = Window.partitionBy("doc_id").orderBy("pos")
-    mins = grams.select(
+    # Interpreted-HOF economy (measured 2.7x at the 100x probe):
+    # subscripts + concat instead of slice+concat_ws, and least()
+    # instead of array_min(slice(...)) — the per-element ARRAY
+    # ALLOCATIONS, not the md5, dominate lambda cost (13.2s -> 4.8s
+    # warm for the same 10.1M selected rows).
+    gram = "concat(" + ", ' ', ".join(
+        f"t[i+{d}]" if d else "t[i]" for d in range(SHINGLE_K)
+    ) + ")"
+    grams = toks.select(
         "doc_id",
-        F.min("gh").over(wf).alias("fp"),
-        # full windows only: the window anchored here must hold
-        # WINNOW_W grams — mark by the existence of its last member
-        F.lead("gh", WINNOW_W - 1).over(wl).alias("_full"),
-    ).filter(F.col("_full").isNotNull())
-    return mins.select("doc_id", "fp").distinct()
+        F.expr(
+            f"transform(sequence(0, size(t) - {SHINGLE_K}),"
+            f" i -> md5({gram}))"
+        ).alias("g"),
+    )
+    # min over the FULL 32-hex md5 (matching the oracle's selection
+    # order), truncated to the first 16 hex chars only afterwards
+    wmin = "least(" + ", ".join(
+        f"g[j+{d}]" if d else "g[j]" for d in range(WINNOW_W)
+    ) + ")"
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(g) - {WINNOW_W}),"
+            f" j -> unhex(substring({wmin}, 1, 16))))"
+        ).alias("fps"),
+    )
+    # explode_OUTER, not explode: for a plain explode,
+    # InferFiltersFromGenerate synthesizes `size(fps) > 0 AND fps IS
+    # NOT NULL`, and predicate pushdown substitutes the WHOLE nested
+    # array expression into a pre-Project Filter — where the gram
+    # array is re-inlined into the outer lambda and re-evaluated per
+    # element, turning the scan quadratic (measured: a 10-minute
+    # never-finishing stage at the 100x probe).  The pre-filter above
+    # guarantees fps is non-empty, so the post-Generate null filter
+    # drops nothing and explode_outer == explode here.
+    return fps.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
 
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,14 +1056,22 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint counts; the df cap only prunes candidate generation
     (same documented trade as the Jaccard join)."""
     fps = _shared(_winnow_fingerprint_rows(spark, sf_dir))
-    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    # sizes is persisted too: it feeds BOTH denominator joins (s1/s2)
+    # and would otherwise run its 20M-row aggregation twice
+    sizes = _shared(
+        fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_FP_DF)
         .select("fp")
     )
-    ex = fps.join(rare, "fp", "left_semi")
+    # the pruned frame is persisted so the self-join's two sides scan
+    # ONE materialization (already hash-partitioned by fp from the
+    # semi-join at scale — the pair join adds no exchange) instead of
+    # each re-running the semi-join and the rare aggregation
+    ex = _shared(fps.join(rare, "fp", "left_semi"))
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
@@ -1064,10 +1106,14 @@ grams AS MATERIALIZED (
   FROM toks WHERE len(t) >= {SHINGLE_K}
 ),
 fps AS MATERIALIZED (
+  -- min over the full md5, then the same 16-hex-prefix truncation the
+  -- engine applies (engine stores it unhexed; the mapping is injective
+  -- on the prefix, so grouping/counts are identical)
   SELECT doc_id,
          UNNEST(list_distinct(list_transform(
            range(len(g) - {WINNOW_W - 1}),
-           j -> list_aggregate(g[j+1:j+{WINNOW_W}], 'min')))) AS fp
+           j -> substr(list_aggregate(g[j+1:j+{WINNOW_W}], 'min'),
+                       1, 16)))) AS fp
   FROM grams WHERE len(g) >= {WINNOW_W}
 ),
 sizes AS MATERIALIZED (
@@ -1117,8 +1163,22 @@ WHERE ROUND(n_shared / LEAST(s1.n_fp, s2.n_fp), 6) >= {WINNOW_MIN_CONTAIN}
 # pass through un-deduped; at production scale they would be
 # re-quantized finer).  tau=0.2 keeps the gate non-vacuous on the
 # synthetic embeddings (production uses ~0.95 on real encoders).
+#
+# Round 8 (the round-7 verdict's "auto-k" item): trained k SCALES with
+# the corpus — k = max(K_TRAIN, ceil(n / TARGET_SEM_CLUSTER)) — so the
+# mean cluster lands ~TARGET_SEM_CLUSTER vectors and the
+# MAX_CLUSTER_SIZE pass-through is the exception (a genuinely skewed
+# cluster), not the default once density grows.  Round 7's fixed k=4
+# routed EVERY cluster to pass-through at the 100x probe: the guard
+# was honest but the operator silently stopped deduping.  The oracle
+# computes k with the same formula (COUNT(*) over the corpus CTE), so
+# the replay stays exact at every SF.  n comes from one COUNT(*) —
+# bounded metadata, same class as the centroid collects.  At very
+# large k the centroid literal should become a broadcast DataFrame
+# (IVF-style); at probe scale (k~100, 64 dims) the literal is fine.
 
 SEMDEDUP_TAU = 0.2
+TARGET_SEM_CLUSTER = 2_000
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,10 +1191,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_kmeans_centroids,
     )
 
+    import math
+
     import pandas as pd
 
+    from .similarity import K_TRAIN
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_kmeans_centroids(emb)
+    # auto-k (block comment): one bounded COUNT(*) sizes the codebook
+    n = emb.count()
+    k = max(K_TRAIN, math.ceil(n / TARGET_SEM_CLUSTER))
+    cents = train_kmeans_centroids(emb, k=k)
     lit = _cents_literal(cents)
     d2 = _D2_FOLD.format(x="embedding", c="c.c")
     # One transform evaluates every centroid's d2 fold once; array_min
@@ -1229,10 +1296,19 @@ def _semdedup_sql() -> str:
     ctes = [
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings)",
+        # auto-k: same formula as the engine —
+        # max(K_TRAIN, ceil(n / TARGET_SEM_CLUSTER))
+        f"""params AS (
+  SELECT GREATEST({K_TRAIN},
+                  CAST(CEIL(COUNT(*) / {TARGET_SEM_CLUSTER}.0) AS INT)) AS k
+  FROM corpus
+)""",
         f"""c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+  SELECT CAST(rn - 1 AS INT) AS cluster,
          list_transform(e, x -> round(x, 6)) AS centroid
-  FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT {K_TRAIN})
+  FROM (SELECT vec_id, e,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM corpus)
+  WHERE rn <= (SELECT k FROM params)
 )""",
     ]
     for i in range(1, KMEANS_ITERS + 1):
@@ -1278,7 +1354,7 @@ def _semdedup_sql() -> str:
     # MATERIALIZED: the chained training CTEs are multiply referenced;
     # DuckDB re-inlines plain CTEs per reference (see similarity.py).
     return _re.sub(
-        r"\b(corpus|c\d|a\d|afd|small|losers) AS \(",
+        r"\b(corpus|params|c\d|a\d|afd|small|losers) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )

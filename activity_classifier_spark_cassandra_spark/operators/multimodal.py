@@ -7,13 +7,16 @@ iteration, partition behavior, UDF signatures.  Codec support is
 two-tier: a deterministic fake header (``encode_fake_image``) keeps
 the driver-checkable oracle closed-form, and a REAL stdlib PNG codec
 (``decode_png`` — zlib inflate + full filter reconstruction per the
-public PNG spec, no PIL needed) handles actual image bytes for 8-bit
-gray/RGB/RGBA non-interlaced files, and a REAL stdlib WAV codec
+public PNG spec, no PIL needed) handles actual image bytes for 8- and
+16-bit gray/RGB/RGBA non-interlaced files, a REAL stdlib WAV codec
 (``decode_wav`` — RIFF chunk walk + PCM 8/16-bit frame decode per the
-public WAVE spec) handles actual audio bytes.  ``NotImplementedError``
-remains only for genuinely unsupported codecs (JPEG, 16-bit/interlaced
-PNG, non-PCM WAV); swapping in PIL/libav later changes only the marked
-inner functions, not the dataflow.
+public WAVE spec) handles actual audio bytes, and a REAL JPEG marker
+walk (``jpeg_dims`` — ITU T.81 segment parse to the SOF frame header)
+reads dims/channels from actual JPEG streams.  ``NotImplementedError``
+remains only for genuinely unsupported surfaces (JPEG entropy-coded
+pixel decode, interlaced/palette PNG, non-PCM WAV); swapping in
+PIL/libav later changes only the marked inner functions, not the
+dataflow.
 
 Scale design: mapInPandas streams Arrow record batches through one
 Python worker per core — no per-row pickling (the 10-100x win over
@@ -70,28 +73,34 @@ def encode_fake_image(
 
 def _decode_header(data: bytes) -> tuple[int, int, int, int, int] | None:
     """Header decode, dispatching on magic bytes: the deterministic
-    FIMG fixture header, or a real PNG IHDR (stdlib parse).  Other
-    codecs (JPEG/WAV/...) raise — that branch is the remaining stub."""
+    FIMG fixture header, a real PNG IHDR, a real RIFF/WAVE header, or
+    a real JPEG SOF marker walk (stdlib parses, all from the public
+    specs).  Codecs outside those four raise — that branch is the
+    remaining stub."""
     if data is None or len(data) < 8:
         return None
     data = bytes(data)
     if data[:8] == _PNG_SIG:
-        w, h, c = _png_ihdr(data)
+        w, h, c, _depth = _png_ihdr(data)
         return w, h, c, MODALITY_IMAGE, 0
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         sr, ch, _bits, frames, _samples = decode_wav(data)
         # audio maps onto the metadata tuple as (frames, 1, channels)
         return frames, 1, ch, MODALITY_AUDIO, sr
+    if data[:2] == b"\xff\xd8":
+        w, h, c = jpeg_dims(data)
+        return w, h, c, MODALITY_IMAGE, 0
     if len(data) < _HEADER_LEN:
         return None
     magic, w, h, c, m, sr, _crc = struct.unpack(
         _HEADER, bytes(data[:_HEADER_LEN])
     )
     if magic != _MAGIC:
-        # JPEG / WAV / video codecs are not available in this
-        # container; the dataflow treats unknown blobs as undecodable.
+        # video / other codecs are not available in this container;
+        # the dataflow treats unknown blobs as undecodable.
         raise NotImplementedError(
-            "unsupported codec (only PNG and the FIMG fixture decode here)"
+            "unsupported codec (PNG, WAV, JPEG headers and the FIMG"
+            " fixture decode here)"
         )
     return w, h, c, m, sr
 
@@ -125,9 +134,9 @@ def _png_chunks(data: bytes):
             break
 
 
-def _png_ihdr(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from IHDR, gating unsupported shapes.
-    Malformed containers (truncated/corrupt IHDR) raise
+def _png_ihdr(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, depth) from IHDR, gating unsupported
+    shapes.  Malformed containers (truncated/corrupt IHDR) raise
     NotImplementedError too, so batch extractors record decode_ok=False
     instead of failing the task on a struct.error."""
     for typ, chunk in _png_chunks(data):
@@ -137,12 +146,16 @@ def _png_ihdr(data: bytes) -> tuple[int, int, int]:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+            if (
+                depth not in (8, 16)
+                or interlace != 0
+                or ctype not in _PNG_CHANNELS
+            ):
                 raise NotImplementedError(
                     f"PNG depth={depth} ctype={ctype} interlace={interlace}"
-                    " not supported (8-bit gray/RGB/RGBA only)"
+                    " not supported (8/16-bit gray/RGB/RGBA only)"
                 )
-            return w, h, _PNG_CHANNELS[ctype]
+            return w, h, _PNG_CHANNELS[ctype], depth
     raise NotImplementedError("PNG missing IHDR")
 
 
@@ -156,19 +169,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Full decode: (width, height, channels, raster) where raster is
-    h*w*channels bytes in scanline order — filters reconstructed."""
+def decode_png(data: bytes) -> tuple[int, int, int, "bytes | list[int]"]:
+    """Full decode: (width, height, channels, raster) in scanline
+    order, filters reconstructed.  8-bit images return the raster as
+    ``bytes`` (one byte per sample); 16-bit images return a
+    ``list[int]`` of 0..65535 samples (big-endian pairs combined per
+    the PNG spec).  Filters operate on the raw BYTE stream with the
+    left-neighbor offset equal to the bytes-per-pixel, exactly as the
+    spec defines for depth 16."""
     if not bytes(data[:8]) == _PNG_SIG:
         raise NotImplementedError("not a PNG")
     data = bytes(data)
-    w, h, ch = _png_ihdr(data)
+    w, h, ch, depth = _png_ihdr(data)
     idat = b"".join(c for t, c in _png_chunks(data) if t == b"IDAT")
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise NotImplementedError(f"corrupt PNG pixel stream: {e}") from e
-    stride = w * ch
+    bpp = ch * (depth // 8)  # filter offset: BYTES per pixel
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise NotImplementedError("truncated PNG pixel stream")
     out = bytearray()
@@ -179,35 +198,42 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
         if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif f != 0:
             raise NotImplementedError(f"PNG filter type {f}")
         out += line
         prev = line
-    return w, h, ch, bytes(out)
+    if depth == 8:
+        return w, h, ch, bytes(out)
+    samples = [
+        (out[i] << 8) | out[i + 1] for i in range(0, len(out), 2)
+    ]
+    return w, h, ch, samples
 
 
-def _filter_line(line: bytes, prev: bytes, f: int, ch: int) -> bytes:
-    """Forward filter (encoder side of the reconstruction above)."""
+def _filter_line(line: bytes, prev: bytes, f: int, bpp: int) -> bytes:
+    """Forward filter (encoder side of the reconstruction above);
+    ``bpp`` is the left-neighbor offset in BYTES (channels x
+    bytes-per-sample, per the spec)."""
     stride = len(line)
     out = bytearray(stride)
     for i in range(stride):
-        a = line[i - ch] if i >= ch else 0
+        a = line[i - bpp] if i >= bpp else 0
         b = prev[i]
-        c = prev[i - ch] if i >= ch else 0
+        c = prev[i - bpp] if i >= bpp else 0
         if f == 0:
             out[i] = line[i]
         elif f == 1:
@@ -226,25 +252,35 @@ def _filter_line(line: bytes, prev: bytes, f: int, ch: int) -> bytes:
 def encode_png(
     width: int,
     height: int,
-    raster: bytes,
+    raster: "bytes | list[int]",
     channels: int = 3,
     filters: list[int] | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Spec-compliant PNG writer for test fixtures (8-bit, no
+    """Spec-compliant PNG writer for test fixtures (8- or 16-bit, no
     interlace).  ``filters`` pins a per-scanline filter type so tests
-    can exercise every reconstruction branch in ``decode_png``."""
-    ctype = {1: 0, 3: 2, 4: 6}[channels]
-    stride = width * channels
-    assert len(raster) == height * stride
+    can exercise every reconstruction branch in ``decode_png``.  For
+    ``depth=16`` pass ``raster`` as 0..65535 samples; they are packed
+    big-endian per the spec."""
+    ctype = {1: 0, 3: 2, 6: 6, 4: 6}[channels]
+    assert len(raster) == height * width * channels
+    if depth == 16:
+        raw = b"".join(struct.pack(">H", s) for s in raster)
+    elif depth == 8:
+        raw = bytes(raster)
+    else:
+        raise ValueError(depth)
+    bpp = channels * (depth // 8)
+    stride = width * bpp
     body = bytearray()
     prev = bytes(stride)
     for y in range(height):
-        line = raster[y * stride : (y + 1) * stride]
+        line = raw[y * stride : (y + 1) * stride]
         f = filters[y % len(filters)] if filters else 0
         body.append(f)
-        body += _filter_line(line, prev, f, channels)
+        body += _filter_line(line, prev, f, bpp)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
@@ -257,6 +293,92 @@ def encode_png(
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
+    )
+
+
+# ----------------------------------------------------- JPEG header walk
+#
+# REAL baseline JPEG header parse from the public ITU T.81 spec: walk
+# the marker segments from SOI, read the first SOFn frame header for
+# (precision, height, width, components).  This is the metadata layer
+# a 100 TB media-ingest pipeline needs (dims/channels for resize
+# planning, corrupt-blob flagging) without the entropy decoder.
+# Entropy-coded PIXEL decode (Huffman + dequant + IDCT) remains the
+# marked stub — swapping in PIL/nvJPEG later changes only the inner
+# function, not the dataflow (same contract as the PNG/WAV codecs).
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2}  # baseline / extended / progressive
+_JPEG_SOF_UNSUPPORTED = {
+    0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}  # lossless / differential / arithmetic frame types
+_JPEG_NO_LENGTH = {0x01, 0xD8} | set(range(0xD0, 0xD8))  # TEM/SOI/RSTn
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the first SOF0/1/2 marker of a
+    JFIF/EXIF stream.  Malformed streams (desynced markers, truncated
+    segments, missing SOF, non-8-bit precision, exotic frame types)
+    raise NotImplementedError so batch extractors record
+    decode_ok=False instead of failing the task."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("desynced JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in _JPEG_NO_LENGTH:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            # EOI, or SOS before any SOF: no frame header to read
+            break
+        if pos + 4 > len(data):
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise NotImplementedError("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            seg = data[pos + 4 : pos + 2 + ln]
+            if len(seg) < 6:
+                raise NotImplementedError("malformed JPEG SOF header")
+            precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    f"JPEG precision={precision} not supported (8-bit only)"
+                )
+            if nc not in (1, 3, 4) or w == 0 or h == 0:
+                raise NotImplementedError(
+                    f"JPEG frame shape {w}x{h}x{nc} not supported"
+                )
+            return w, h, nc
+        if marker in _JPEG_SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} frame type not supported"
+            )
+        pos += 2 + ln
+    raise NotImplementedError("JPEG missing SOF frame header")
+
+
+def encode_jpeg_shell(width: int, height: int, channels: int = 3) -> bytes:
+    """Structurally valid JPEG header stream for test fixtures: SOI +
+    APP0(JFIF) + SOF0 + EOI.  Carries no entropy-coded data — exactly
+    the surface ``jpeg_dims`` parses; real camera files walk the same
+    marker path with more segments in between."""
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, channels) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(channels)
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
     )
 
 

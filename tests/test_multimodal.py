@@ -87,20 +87,125 @@ def test_png_unsupported_shapes_raise(spark):
     import struct as _s
     import zlib as _z
 
-    # hand-build a 16-bit-depth IHDR: must be refused, not mis-decoded
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
 
     def chunk(t, p):
         return _s.pack(">I", len(p)) + t + p + _s.pack(
             ">I", _z.crc32(t + p) & 0xFFFFFFFF
         )
 
-    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(blob)
+    # palette (ctype 3) and interlaced IHDRs: refused, not mis-decoded
+    for ihdr in (
+        _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),   # palette
+        _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),   # Adam7 interlace
+        _s.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0),   # 4-bit depth
+    ):
+        blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(blob)
     with pytest.raises(NotImplementedError):
         decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_png16_roundtrip_every_filter_type(spark):
+    """16-bit PNG (big-endian samples, byte-level filters with a
+    2-bytes-per-sample left offset): encode with each filter type ->
+    decode must reconstruct the identical sample list, for gray, RGB
+    and RGBA, including values above 255 and the full-range corners."""
+    for ch in (1, 3, 4):
+        samples = [
+            (x * 7919 + y * 104729 + c * 65521) % 65536
+            for y in range(10)
+            for x in range(6)
+            for c in range(ch)
+        ]
+        samples[0], samples[-1] = 0, 65535
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = encode_png(
+                6, 10, samples, channels=ch, filters=filters, depth=16
+            )
+            w, h, got_ch, got = decode_png(blob)
+            assert (w, h, got_ch) == (6, 10, ch)
+            assert got == samples, (ch, filters)
+
+
+def test_png16_through_stats_extractor(spark):
+    """A 16-bit PNG flows through the mapInPandas stats path with
+    sample-exact mean/min/max on the 0..65535 scale."""
+    samples = [0, 1000, 30000, 65535, 42, 7]
+    blob = encode_png(3, 2, samples, channels=1, depth=16)
+    df = spark.createDataFrame(
+        [(77, bytearray(blob), "image/png")], schema=MEDIA_SCHEMA
+    )
+    r = extract_png_stats(df).collect()[0]
+    assert (r.width, r.height, r.channels) == (3, 2, 1)
+    assert r.min_value == 0 and r.max_value == 65535
+    assert abs(r.mean_value - sum(samples) / 6) < 1e-9
+
+
+# ------------------------------------------------------ JPEG header walk
+
+def test_jpeg_header_walk_dims(spark):
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        encode_jpeg_shell,
+        jpeg_dims,
+    )
+
+    for w, h, ch in [(640, 480, 3), (1, 1, 1), (65535, 1, 4)]:
+        assert jpeg_dims(encode_jpeg_shell(w, h, ch)) == (w, h, ch)
+
+
+def test_jpeg_dispatches_in_media_features(spark):
+    """A structurally valid JPEG header stream decodes as an image
+    with real dims; malformed/truncated JPEG stays decode_ok=False."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        encode_jpeg_shell,
+    )
+
+    rows = [
+        (0, encode_jpeg_shell(320, 200, 3), "image/jpeg"),
+        (1, b"\xff\xd8\xff\xe0JFIF....", "image/jpeg"),  # truncated
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r.asDict()
+             for r in extract_media_features(df).collect()}
+    assert feats[0]["decode_ok"] is True
+    assert (feats[0]["width"], feats[0]["height"]) == (320, 200)
+    assert feats[0]["channels"] == 3
+    assert feats[0]["modality"] == MODALITY_IMAGE
+    assert feats[1]["decode_ok"] is False
+
+
+def test_jpeg_malformed_streams_raise(spark):
+    import struct as _s
+
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        encode_jpeg_shell,
+        jpeg_dims,
+    )
+
+    with pytest.raises(NotImplementedError):
+        jpeg_dims(b"\x89PNG not a jpeg")
+    # SOS before any SOF: no frame header
+    with pytest.raises(NotImplementedError, match="missing SOF"):
+        jpeg_dims(b"\xff\xd8" + b"\xff\xda" + _s.pack(">H", 2))
+    # 12-bit precision SOF0: refused, not guessed
+    sof = _s.pack(">BHHB", 12, 4, 4, 3)
+    blob = b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(NotImplementedError, match="precision"):
+        jpeg_dims(blob)
+    # lossless SOF3: unsupported frame type
+    sof = _s.pack(">BHHB", 8, 4, 4, 1)
+    blob = b"\xff\xd8" + b"\xff\xc3" + _s.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(NotImplementedError, match="frame type"):
+        jpeg_dims(blob)
+    # desynced marker stream
+    with pytest.raises(NotImplementedError, match="desynced"):
+        jpeg_dims(b"\xff\xd8" + b"\x00\x00\x00\x00")
+    # truncated shell: segment length runs past the buffer
+    good = encode_jpeg_shell(64, 64, 3)
+    with pytest.raises(NotImplementedError):
+        jpeg_dims(good[:10])
 
 
 def test_extract_png_stats_batch(spark):

@@ -256,10 +256,11 @@ def test_minhash_cc_matches_union_find(spark):
 
 # ------------------------------------------------- winnowing (MOSS)
 
-def _py_winnow_fps(text: str) -> set[str]:
+def _py_winnow_fps(text: str) -> set[bytes]:
     """Independent Python replay of winnowing fingerprint selection:
-    md5 word-3-grams, window-of-4 minimum (string order on hex), set
-    of selected hashes."""
+    md5 word-3-grams, window-of-4 minimum (string order on the FULL
+    hex digest), then the round-8 8-byte key (unhex of the first 16
+    hex chars) the engine ships to the joins."""
     import hashlib
     import re
 
@@ -274,7 +275,7 @@ def _py_winnow_fps(text: str) -> set[str]:
         for i in range(len(toks) - SHINGLE_K + 1)
     ]
     return {
-        min(grams[j : j + WINNOW_W])
+        bytes.fromhex(min(grams[j : j + WINNOW_W])[:16])
         for j in range(len(grams) - WINNOW_W + 1)
     }
 
