@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== NEW in round 8 — never driver-verified, in-window ====
         # (inserted as they land; each pushes one r5-green entry
         #  past the boundary)
+        "q_phash_near_dup": MM.q_phash_near_dup,
+        "q_span_dedup_apply": SP.q_span_dedup_apply,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -355,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "q_media_features": MM.MEDIA_FEATURES_SQL,
         "q_audio_features": MM.AUDIO_FEATURES_SQL,
+        "q_phash_near_dup": MM.PHASH_NEAR_DUP_SQL,
+        "q_span_dedup_apply": SP.SPAN_DEDUP_APPLY_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

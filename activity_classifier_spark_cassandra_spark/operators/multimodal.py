@@ -525,6 +525,66 @@ def sample_frames(
     return df.filter((F.col(ts_col) % every_n) == 0)
 
 
+# ---------------------------------------------------- perceptual hash
+#
+# Average-hash (aHash) — the classic perceptual-hash family baseline
+# (pHash/dHash siblings): downsample to a tiny grayscale raster, set
+# bit j iff sample j exceeds the raster mean, compare hashes by
+# hamming distance.  Robust to re-encoding and small pixel noise —
+# the image-side analogue of SimHash for near-duplicate detection.
+# 60 bits so the packed key fits a signed BIGINT in Spark AND DuckDB
+# (the same budget the SimHash signature uses); the mean is taken
+# over ALL samples, bits over the first PHASH_BITS.
+
+PHASH_BITS = 60
+
+
+def ahash_bits(samples, bits: int = PHASH_BITS) -> int:
+    """Integer-exact aHash: bit j set iff samples[j] * n > sum(samples)
+    (strict mean comparison without division — replayable exactly in
+    SQL)."""
+    s = sum(samples)
+    n = len(samples)
+    h = 0
+    for j in range(min(bits, n)):
+        if samples[j] * n > s:
+            h |= 1 << j
+    return h
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def extract_phash(df: DataFrame) -> DataFrame:
+    """(media_id, phash) over (media_id, content: binary) PNG rows via
+    mapInPandas: REAL decode (8- or 16-bit), then aHash over the
+    decoded samples.  Undecodable/null rows are skipped (same contract
+    as extract_png_stats); payload never leaves the Python stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    _w, _h, _ch, samples = decode_png(blob)
+                except (NotImplementedError, zlib.error):
+                    continue
+                ids.append(mid)
+                hashes.append(ahash_bits(samples))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
 # ------------------------------------------------------ real WAV codec
 #
 # Minimal but REAL RIFF/WAVE decode from the public spec (multimedia
@@ -772,3 +832,134 @@ SELECT doc_id AS media_id, sample_rate,
 FROM s
 GROUP BY doc_id, n, sample_rate
 """
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_phash_png_udf(doc_id: pd.Series) -> pd.Series:
+    """Deterministic in-query image synthesis for the pHash near-dup
+    query: an 8x8 grayscale PNG whose pixels are fixed arithmetic on
+    doc_id — documents in the same doc_id % 25 class share a base
+    pattern and differ by a tiny single-pixel perturbation, so the
+    class forms a genuine near-dup group (hamming-close aHashes)
+    while cross-class pairs are far.  The oracle predicts every pixel,
+    the mean, and therefore every hash bit in closed form."""
+    out = []
+    for d in doc_id:
+        d = int(d)
+        raster = bytes(
+            (
+                (17 * (d % 25) + 11 * i) % 256
+                + ((d // 25) % 7 if i == d % 64 else 0)
+            )
+            % 256
+            for i in range(64)
+        )
+        out.append(encode_png(8, 8, raster, channels=1))
+    return pd.Series(out)
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: synthesize a PNG
+    per document (Arrow pandas UDF), REAL-decode it and aHash the
+    pixels in a mapInPandas stage, then band the 60-bit key through
+    the same 4 x 15-bit LSH machinery as SimHash (pigeonhole: any
+    pair within hamming distance 3 shares a band) and verify exact
+    hamming on candidates.  Returns (doc1, doc2, hamming).
+
+    Scale shape: the binary payload lives only inside the two Python
+    stages; what shuffles is (media_id, phash) — 16 bytes/row; the
+    pair join is the banded equi-join, never all-pairs.  This is the
+    multimodal analogue of q_simhash_near_dup: swap the synthesis UDF
+    for a real image column and the pipeline is production-shaped."""
+    from ..sources.io import load_table
+    from .dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+        _shared,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_phash_png_udf(F.col("doc_id")).alias("content"),
+    )
+    sigs = _shared(extract_phash(docs))
+    bands = sigs.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), i ->"
+                f" (phash >> (i * {SIMHASH_BAND_BITS}))"
+                f" & {(1 << SIMHASH_BAND_BITS) - 1})"
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.expr("bit_count(a.phash ^ b.phash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc1"),
+            F.col("b.media_id").alias("doc2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()  # a pair can share several bands
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _phash_near_dup_sql() -> str:
+    from .dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    pixel = (
+        "((17 * (doc_id % 25) + 11 * i) % 256"
+        " + CASE WHEN i = doc_id % 64 THEN (doc_id // 25) % 7"
+        " ELSE 0 END) % 256"
+    )
+    return f"""
+WITH px AS MATERIALIZED (
+  SELECT doc_id, i, {pixel} AS p
+  FROM documents, UNNEST(range(64)) AS t(i)
+),
+sums AS MATERIALIZED (
+  SELECT doc_id, SUM(p) AS s FROM px GROUP BY doc_id
+),
+sigs AS MATERIALIZED (
+  SELECT px.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN px.i < {PHASH_BITS}
+                                 AND px.p * 64 > sums.s
+                   THEN (CAST(1 AS BIGINT) << CAST(px.i AS INTEGER))
+                   ELSE 0 END), 0) AS BIGINT) AS phash
+  FROM px JOIN sums USING (doc_id)
+  GROUP BY px.doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, phash, i AS band,
+         (phash >> (i * {SIMHASH_BAND_BITS}))
+           & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM sigs, UNNEST(range({SIMHASH_BANDS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, hamming FROM cand
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+PHASH_NEAR_DUP_SQL = _phash_near_dup_sql()

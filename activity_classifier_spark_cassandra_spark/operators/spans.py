@@ -161,3 +161,110 @@ SELECT doc_id, n_tokens,
 FROM cov
 GROUP BY doc_id, n_tokens
 """
+
+def q_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END span dedup (detect -> delete), the apply pass that
+    turns ``q_span_dedup``'s cut list into per-document keep verdicts
+    — the same detect->apply closure ``q_dedup_apply`` gives MinHash.
+
+    Deterministic keep rule (cross-document ExactSubstr, Lee et al.
+    2022): for every duplicated n-gram, the occurrence(s) in the
+    LOWEST doc_id holding that gram are kept; every occurrence in any
+    other document is cut.  A document's ``removed_tokens`` is the
+    size of the union of its cut [pos, pos+n) intervals (the same
+    lead-window interval union as the report); ``kept_tokens`` is the
+    remainder.  Every document appears in the output (unaffected docs
+    keep everything) — this IS the materializable delete manifest; the
+    byte-splicing that consumes it is an embarrassingly parallel map.
+
+    Scale shape: one gh exchange (window min over the 8-byte gram
+    hash), one doc_id window, one aggregate; the corpus text is
+    scanned once for grams and once for the n_tokens projection."""
+    n = SPAN_N
+    docs = load_table(spark, sf_dir, "documents")
+    positions = span_positions(docs, n)
+    wgh = Window.partitionBy("gh")
+    cuts = (
+        positions.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        # cross-document duplicates only, never the first holder
+        .filter(
+            (F.col("_mn") != F.col("_mx"))
+            & (F.col("doc_id") != F.col("_mn"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.least(
+        F.lit(n),
+        F.coalesce(F.lead("pos", 1).over(w) - F.col("pos"), F.lit(n)),
+    )
+    removed = (
+        cuts.select("doc_id", covered.alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("removed_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKENIZE_SPARK)).cast("long").alias("n_tokens"),
+    )
+    out = base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+        (
+            F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))
+        ).alias("kept_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "removed_tokens",
+        "kept_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("n_tokens"), 6
+            )
+        )
+        .alias("kept_ratio"),
+    )
+
+
+SPAN_DEDUP_APPLY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, LEN(toks) AS n_tokens, i AS pos, {_GH_SQL} AS gh
+  FROM toks, UNNEST(range(1, GREATEST(LEN(toks) - {SPAN_N} + 2, 1))) AS t(i)
+),
+firsts AS (
+  SELECT gh, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM grams GROUP BY gh
+),
+cuts AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN firsts f USING (gh)
+  WHERE f.first_doc != f.last_doc AND g.doc_id != f.first_doc
+),
+cov AS (
+  SELECT doc_id,
+         LEAST({SPAN_N},
+               COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, {SPAN_N})) AS covered
+  FROM cuts
+),
+rem AS (
+  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS removed_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       LEN(t.toks) AS n_tokens,
+       COALESCE(r.removed_tokens, 0) AS removed_tokens,
+       LEN(t.toks) - COALESCE(r.removed_tokens, 0) AS kept_tokens,
+       CASE WHEN LEN(t.toks) = 0 THEN 1.0
+            ELSE ROUND(CAST(LEN(t.toks) - COALESCE(r.removed_tokens, 0)
+                            AS DOUBLE) / LEN(t.toks), 6) END AS kept_ratio
+FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
+"""

@@ -139,6 +139,10 @@ HEADLINE = [
     "q_decontaminate_semantic",
     "q_dsir_sample",
     "q_domain_mix_budget",
+    # added in round 8: perceptual-hash image near-dup, end-to-end
+    # span dedup apply
+    "q_phash_near_dup",
+    "q_span_dedup_apply",
 ]
 
 

@@ -463,3 +463,84 @@ def test_q_audio_features_matches_closed_form(spark):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     _pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+# ------------------------------------------------------ perceptual hash
+
+def test_ahash_bits_hand_computed(spark):
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        ahash_bits,
+    )
+
+    # mean = 25/4 = 6.25; strict > sets bits for samples 10 and 30
+    assert ahash_bits([10, 0, 30, -15], bits=4) == 0b101
+    # bit window smaller than the raster: mean still over ALL samples
+    assert ahash_bits([10, 0, 30, -15], bits=2) == 0b01
+    assert ahash_bits([5, 5, 5, 5], bits=4) == 0  # strict: ties unset
+
+
+def test_extract_phash_real_decode_path(spark):
+    """extract_phash must hash the DECODED pixels — 8-bit and 16-bit
+    PNGs with known rasters hash to the locally computed aHash; nulls
+    and non-PNG blobs are skipped."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        ahash_bits,
+        extract_phash,
+    )
+
+    r8 = bytes((i * 37) % 256 for i in range(64))
+    r16 = [(i * 1009) % 65536 for i in range(64)]
+    rows = [
+        (1, bytearray(encode_png(8, 8, r8, channels=1, filters=[2, 4]))),
+        (2, bytearray(encode_png(8, 8, r16, channels=1, depth=16))),
+        (3, bytearray(b"\xff\xd8 not a png")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r.phash for r in extract_phash(df).collect()}
+    assert got == {1: ahash_bits(r8), 2: ahash_bits(r16)}
+
+
+def test_phash_near_dup_banding_recall(spark):
+    """Banding completeness, end to end at sf0.001: the query must
+    return EXACTLY the pairs whose closed-form aHashes are within
+    hamming 3 (pigeonhole over 4 x 15-bit bands guarantees recall=1;
+    the verify step guarantees precision)."""
+    import duckdb as _d
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = _d.connect()
+    doc_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    ]
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        PHASH_BITS,
+        ahash_bits,
+    )
+
+    def raster(d):
+        return [
+            ((17 * (d % 25) + 11 * i) % 256
+             + ((d // 25) % 7 if i == d % 64 else 0)) % 256
+            for i in range(64)
+        ]
+
+    sigs = {d: ahash_bits(raster(d), bits=PHASH_BITS) for d in doc_ids}
+    ids = sorted(doc_ids)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in entrymod.queries()["q_phash_near_dup"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise the path

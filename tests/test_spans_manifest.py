@@ -180,3 +180,67 @@ def test_weighted_sample_ticket_cap(spark):
     }
     assert out[1] == SM.MAX_TICKETS  # capped
     assert out[2] == 1  # floor
+
+
+def test_span_dedup_apply_keep_first_rule(spark, tmp_path):
+    """End-to-end apply: a paragraph originating in doc 1 and copied
+    into docs 2 and 3 must be cut from 2 and 3 (keep-first rule) and
+    kept in 1; an unrelated doc keeps everything; totals reconcile."""
+    import pandas as pd
+
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        SPAN_N,
+        q_span_dedup_apply,
+    )
+
+    para = " ".join(f"copied{i}" for i in range(12))  # 12 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                para + " tail one two three",
+                "intro words here " + para,
+                para,
+                "fully unrelated text with unique tokens only",
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in q_span_dedup_apply(spark, sf).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1 holds the lowest doc_id for every shared gram: keeps all
+    assert got[1].removed_tokens == 0
+    assert got[1].kept_ratio == 1.0
+    # docs 2 and 3: the full 12-token paragraph is covered by the
+    # union of its duplicated SPAN_N-grams
+    assert got[2].removed_tokens == 12
+    assert got[3].removed_tokens == 12
+    assert got[3].kept_tokens == 0 and got[3].kept_ratio == 0.0
+    # untouched doc
+    assert got[4].removed_tokens == 0 and got[4].kept_ratio == 1.0
+    for r in got.values():
+        assert r.kept_tokens + r.removed_tokens == r.n_tokens
+    assert SPAN_N <= 12  # fixture precondition
+
+
+def test_span_dedup_apply_consistent_with_report(spark):
+    """Apply vs report on real testdata: a document's removed_tokens
+    never exceeds the report's dup_tokens (the report counts BOTH
+    sides of a duplication, the apply pass spares the first holder),
+    and every doc with removed_tokens > 0 appears in the report."""
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        q_span_dedup,
+        q_span_dedup_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    report = {r.doc_id: r for r in q_span_dedup(spark, sf).collect()}
+    apply_ = {r.doc_id: r for r in q_span_dedup_apply(spark, sf).collect()}
+    cut = {d: r for d, r in apply_.items() if r.removed_tokens > 0}
+    assert cut, "testdata must exercise the cut path"
+    for d, r in cut.items():
+        assert d in report
+        assert r.removed_tokens <= report[d].dup_tokens
