@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  past the boundary)
         "q_phash_near_dup": MM.q_phash_near_dup,
         "q_span_dedup_apply": SP.q_span_dedup_apply,
+        "q_jpeg_features": MM.q_jpeg_features,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_features": MM.AUDIO_FEATURES_SQL,
         "q_phash_near_dup": MM.PHASH_NEAR_DUP_SQL,
         "q_span_dedup_apply": SP.SPAN_DEDUP_APPLY_SQL,
+        "q_jpeg_features": MM.JPEG_FEATURES_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -479,11 +479,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 out["channels"].append(c)
                 out["modality"].append(m)
                 out["n_pixels"].append(int(w) * int(h))
-                # FIMG: bytes past the 16-byte fixture header; PNG
-                # and WAV: the whole container is payload.
+                # FIMG: bytes past the 16-byte fixture header; PNG,
+                # WAV and JPEG: the whole container is payload.
                 is_container = blob is not None and (
                     bytes(blob[:8]) == _PNG_SIG
                     or bytes(blob[:4]) == b"RIFF"
+                    or bytes(blob[:2]) == b"\xff\xd8"
                 )
                 n = len(blob) if blob is not None else 0
                 out["payload_bytes"].append(
@@ -838,18 +839,25 @@ GROUP BY doc_id, n, sample_rate
 def _encode_phash_png_udf(doc_id: pd.Series) -> pd.Series:
     """Deterministic in-query image synthesis for the pHash near-dup
     query: an 8x8 grayscale PNG whose pixels are fixed arithmetic on
-    doc_id — documents in the same doc_id % 25 class share a base
-    pattern and differ by a tiny single-pixel perturbation, so the
-    class forms a genuine near-dup group (hamming-close aHashes)
-    while cross-class pairs are far.  The oracle predicts every pixel,
-    the mean, and therefore every hash bit in closed form."""
+    doc_id.  Documents share a base pattern within their BOUNDED
+    group g = doc_id // 20 and differ by a tiny single-pixel
+    perturbation, so each group is a genuine near-dup cluster
+    (hamming-close aHashes) of AT MOST 20 members no matter how large
+    the corpus grows — groups scale linearly with documents, so the
+    pair output stays linear (a class rule like doc_id % K would let
+    group size — and the pair count, quadratically — grow with the
+    corpus).  The base pattern varies with (g % 256, g % 251), CRT
+    period 65,536 groups (= 1.3M docs) before any pattern repeats.
+    The oracle predicts every pixel, the mean, and therefore every
+    hash bit in closed form."""
     out = []
     for d in doc_id:
         d = int(d)
+        g = d // 20
         raster = bytes(
             (
-                (17 * (d % 25) + 11 * i) % 256
-                + ((d // 25) % 7 if i == d % 64 else 0)
+                (17 * (g % 256) + 11 * i + 13 * (g % 251) * (i % 7)) % 256
+                + ((d % 5) if i == d % 64 else 0)
             )
             % 256
             for i in range(64)
@@ -923,8 +931,9 @@ def _phash_near_dup_sql() -> str:
     )
 
     pixel = (
-        "((17 * (doc_id % 25) + 11 * i) % 256"
-        " + CASE WHEN i = doc_id % 64 THEN (doc_id // 25) % 7"
+        "((17 * ((doc_id // 20) % 256) + 11 * i"
+        " + 13 * ((doc_id // 20) % 251) * (i % 7)) % 256"
+        " + CASE WHEN i = doc_id % 64 THEN doc_id % 5"
         " ELSE 0 END) % 256"
     )
     return f"""
@@ -963,3 +972,65 @@ WHERE hamming <= {SIMHASH_MAX_HAMMING}
 
 
 PHASH_NEAR_DUP_SQL = _phash_near_dup_sql()
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_jpeg_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    """Deterministic in-query JPEG synthesis: structurally valid
+    SOI/APP0/SOF0/EOI streams whose dims derive from the document row
+    (same closed-form contract as the PNG/WAV fixtures), with every
+    7th document yielding a TRUNCATED stream so the malformed-blob
+    path (decode_ok=false, row preserved) is exercised end to end."""
+    out = []
+    for d, n in zip(doc_id, n_chars):
+        d, n = int(d), int(n)
+        blob = encode_jpeg_shell(
+            width=(n % 1024) + 1,
+            height=(d % 768) + 1,
+            channels=(d % 2) * 2 + 1,  # 1 or 3
+        )
+        out.append(blob[:9] if d % 7 == 0 else blob)
+    return pd.Series(out)
+
+
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JPEG metadata plumbing, driver-checkable: synthesize
+    a JPEG header stream per document (Arrow pandas UDF), run the REAL
+    T.81 marker walk through the mapInPandas extractor, return typed
+    metadata.  The oracle recomputes every field — including which
+    rows are truncated and must surface decode_ok=false with zeroed
+    dims — from the same arithmetic on (doc_id, n_chars)."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_jpeg_udf(F.col("doc_id"), F.col("n_chars")).alias("content"),
+    )
+    return extract_media_features(docs)
+
+
+# payload_bytes: JPEG is a container (whole-blob payload, same rule
+# as PNG/WAV).  Full shell = 2 (SOI) + 18 (APP0 JFIF) + 10 + 3*ch
+# (SOF0) + 2 (EOI) = 32 + 3*channels bytes; truncated rows keep the
+# first 9 bytes.  The oracle reproduces that byte arithmetic exactly,
+# so a wrong segment length or truncation rule hash-mismatches.
+JPEG_FEATURES_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         (n_chars % 1024) + 1 AS w,
+         (doc_id % 768) + 1 AS h,
+         (doc_id % 2) * 2 + 1 AS ch,
+         doc_id % 7 = 0 AS truncated
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN truncated THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN truncated THEN 0 ELSE h END AS INTEGER) AS height,
+       CAST(CASE WHEN truncated THEN 0 ELSE ch END AS INTEGER) AS channels,
+       CAST(CASE WHEN truncated THEN -1 ELSE 0 END AS INTEGER) AS modality,
+       CAST(CASE WHEN truncated THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+       CAST(CASE WHEN truncated THEN 9
+                 ELSE 32 + 3 * ch END AS BIGINT) AS payload_bytes,
+       NOT truncated AS decode_ok
+FROM f
+"""

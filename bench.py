@@ -143,6 +143,7 @@ HEADLINE = [
     # span dedup apply
     "q_phash_near_dup",
     "q_span_dedup_apply",
+    "q_jpeg_features",
 ]
 
 

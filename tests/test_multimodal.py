@@ -524,9 +524,10 @@ def test_phash_near_dup_banding_recall(spark):
     )
 
     def raster(d):
+        g = d // 20
         return [
-            ((17 * (d % 25) + 11 * i) % 256
-             + ((d // 25) % 7 if i == d % 64 else 0)) % 256
+            ((17 * (g % 256) + 11 * i + 13 * (g % 251) * (i % 7)) % 256
+             + ((d % 5) if i == d % 64 else 0)) % 256
             for i in range(64)
         ]
 
