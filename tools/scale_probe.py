@@ -164,15 +164,20 @@ def _shuffle_bytes_since(spark, stage_floor):
 def timed(spark, fn, runs=2):
     """One untimed warm-up (codegen JIT dominates the cold run by up
     to 4x, measured) then min-of-N wall; shuffle bytes of the LAST
-    run."""
-    fn().count()
+    run.  Timing executes the FULL plan into the noop sink (same as
+    bench.py) — a ``count()`` here lets Catalyst eliminate whole
+    subtrees whose row count is derivable (measured: a row-preserving
+    LEFT JOIN apply pass collapsed to a bare parquet count, 0.5s flat
+    at 100x); rows are counted once, untimed, for the report."""
+    fn().write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(runs):
         floor = _max_stage_id(spark)
         t0 = time.time()
-        n = fn().count()
+        fn().write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     rd, wr = _shuffle_bytes_since(spark, floor)
+    n = fn().count()
     return best, n, rd, wr
 
 
