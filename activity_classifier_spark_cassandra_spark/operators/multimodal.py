@@ -846,17 +846,25 @@ def _encode_phash_png_udf(doc_id: pd.Series) -> pd.Series:
     the corpus grows — groups scale linearly with documents, so the
     pair output stays linear (a class rule like doc_id % K would let
     group size — and the pair count, quadratically — grow with the
-    corpus).  The base pattern varies with (g % 256, g % 251), CRT
-    period 65,536 groups (= 1.3M docs) before any pattern repeats.
-    The oracle predicts every pixel, the mean, and therefore every
-    hash bit in closed form."""
+    corpus).  Base pixels come from md5(g) blocks, NOT additive
+    arithmetic on g: aHash is mean-invariant, so any pattern family
+    that varies by a per-group additive constant hashes identically
+    (measured: 65x pair blowup at the 10x probe from groups 251
+    apart) — hashed pixels make cross-group hammings ~binomial(60,
+    1/2), far above the threshold.  The oracle replays the md5 pixel
+    bytes, the mean, and every hash bit exactly."""
+    import hashlib
+
     out = []
     for d in doc_id:
         d = int(d)
         g = d // 20
+        blocks = [
+            hashlib.md5(f"{g}:{b}".encode()).hexdigest() for b in range(4)
+        ]
         raster = bytes(
             (
-                (17 * (g % 256) + 11 * i + 13 * (g % 251) * (i % 7)) % 256
+                int(blocks[i // 16][(i % 16) * 2 : (i % 16) * 2 + 2], 16)
                 + ((d % 5) if i == d % 64 else 0)
             )
             % 256
@@ -931,8 +939,9 @@ def _phash_near_dup_sql() -> str:
     )
 
     pixel = (
-        "((17 * ((doc_id // 20) % 256) + 11 * i"
-        " + 13 * ((doc_id // 20) % 251) * (i % 7)) % 256"
+        "(CAST('0x' || substr(md5(CAST(doc_id // 20 AS VARCHAR)"
+        " || ':' || CAST(i // 16 AS VARCHAR)),"
+        " (i % 16) * 2 + 1, 2) AS INTEGER)"
         " + CASE WHEN i = doc_id % 64 THEN doc_id % 5"
         " ELSE 0 END) % 256"
     )

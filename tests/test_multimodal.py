@@ -524,9 +524,14 @@ def test_phash_near_dup_banding_recall(spark):
     )
 
     def raster(d):
+        import hashlib as _hl
+
         g = d // 20
+        blocks = [
+            _hl.md5(f"{g}:{b}".encode()).hexdigest() for b in range(4)
+        ]
         return [
-            ((17 * (g % 256) + 11 * i + 13 * (g % 251) * (i % 7)) % 256
+            (int(blocks[i // 16][(i % 16) * 2 : (i % 16) * 2 + 2], 16)
              + ((d % 5) if i == d % 64 else 0)) % 256
             for i in range(64)
         ]
