@@ -402,3 +402,50 @@ def test_kn_logprob_trains_on_type_table_only(spark):
     # feeds the scoring side; the 3 model stats read the cache
     assert "InMemoryTableScan" in plan, plan
     assert _nodes(plan, "Scan parquet") <= 2, plan
+
+
+def test_winnow_selection_stays_row_local_single_md5(spark):
+    """Round-8 winnow shape: fingerprint selection is row-local array
+    math.  Pins: (1) the optimized plan evaluates md5 in exactly ONE
+    place — the InferFiltersFromGenerate regression re-inlined the
+    whole selection (nested lambdas included) into the scan Filter,
+    turning the scan quadratic; (2) no Window/Sort anywhere (the old
+    shape shuffled the full gram table through a doc_id window); (3)
+    the persisted fingerprint/pruned frames are reused, so the plan
+    holds InMemoryTableScans rather than repeated document scans."""
+    import __spark_entry__ as entrymod
+    from activity_classifier_spark_cassandra_spark.operators.dedup import (
+        _winnow_fingerprint_rows,
+    )
+
+    fp = _winnow_fingerprint_rows(spark, "/root/testdata/sf0.001")
+    opt = fp._jdf.queryExecution().optimizedPlan().toString()
+    # the cached full query references this subplan several times, so
+    # the single-evaluation pin runs on the fingerprint frame itself
+    assert opt.count("md5") == 1, opt.count("md5")
+    assert "Window" not in opt and "Sort" not in opt, opt
+
+    plan = _plan(spark, "q_winnow_overlap")
+    assert _nodes(plan, "Window") == 0, plan
+    assert _nodes(plan, "InMemoryTableScan") >= 3, plan
+
+
+def test_phash_prunes_payload_and_ships_16_byte_rows(spark):
+    """The PNG bytes must exist only inside the Python stages: no
+    exchange may carry the content column — everything that shuffles
+    is (media_id, phash) plus the band projection."""
+    plan = _plan(spark, "q_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "content" not in line, line
+
+
+def test_span_apply_one_gram_exchange_no_cartesian(spark):
+    """Apply pass rides the report's shape: one gh window exchange,
+    one doc_id window, aggregates; the final verdict join must not
+    re-scan documents more than twice (grams + n_tokens projection)."""
+    plan = _plan(spark, "q_span_dedup_apply")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") <= 2, plan
+    assert _nodes(plan, "Window") == 2, plan
