@@ -27,6 +27,7 @@ from activity_classifier_spark_cassandra_spark.operators import timeseries as TS
 from activity_classifier_spark_cassandra_spark.operators import transitions as TR
 from activity_classifier_spark_cassandra_spark.operators import funnel as FN
 from activity_classifier_spark_cassandra_spark.operators import graph as G
+from activity_classifier_spark_cassandra_spark.operators import graph_ann as GA
 from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
 from activity_classifier_spark_cassandra_spark.operators import sampling as SM
 from activity_classifier_spark_cassandra_spark.operators import skew as K
@@ -104,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_near_dup": MM.q_phash_near_dup,
         "q_span_dedup_apply": SP.q_span_dedup_apply,
         "q_jpeg_features": MM.q_jpeg_features,
+        "q_knn_graph": GA.q_knn_graph,
+        "q_knn_graph_search": GA.q_knn_graph_search,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -131,9 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_dist": R.q_ntile_dist,
         "q_unpivot": R.q_unpivot,
         "q_approx_sketch": R.q_approx_sketch,
+        # ==================== window boundary (50) ====================
         "q_pack_greedy": CP.q_pack_greedy,
         "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
-        # ==================== window boundary (50) ====================
         # remaining r5-green block (CORRECTNESS_r05: 50/50),
         # sweep-green at HEAD; leads the round-9 window
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
@@ -361,6 +364,8 @@ def oracle_sql() -> dict[str, str]:
         "q_phash_near_dup": MM.PHASH_NEAR_DUP_SQL,
         "q_span_dedup_apply": SP.SPAN_DEDUP_APPLY_SQL,
         "q_jpeg_features": MM.JPEG_FEATURES_SQL,
+        "q_knn_graph": GA.KNN_GRAPH_SQL,
+        "q_knn_graph_search": GA.KNN_GRAPH_SEARCH_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

