@@ -44,13 +44,23 @@ from ..sources.io import load_table
 from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
 
 # Tuned on the sf test corpus (dim-64, weak cluster structure):
-# K=12/3 rounds reaches graph recall@12 = 0.92 vs exact kNN; beam
-# 16 x 4 hops reaches search recall@5 = 0.80 (see test_graph_ann.py).
+# K=12/3 rounds reaches graph recall@12 = 0.89 vs exact kNN; beam
+# 16 x 4 hops reaches search recall@5 = 0.82 (see test_graph_ann.py).
 # Candidate volume per round is N*(K^2 + 2K) id pairs — linear in N.
+#
+# Init-graph shape matters more than its recall: NN-descent feeds on
+# FRESH two-hop candidates, so the init must have low clustering
+# coefficient.  A within-bucket ring (each vertex -> next K in one
+# hash order) is an expander globally but its two-hops fold back into
+# the same ring — measured: recall froze at 0.046 after 3 rounds.
+# One successor edge in each of K INDEPENDENT hash orders (union of K
+# pseudo-random permutation successors) gives ~K^2 distinct two-hops
+# and converges (0.02 -> 0.26 -> 0.69 -> 0.89).  It also never
+# assumes vec_ids are contiguous — only hash-order neighbors exist.
 G_K = 12         # graph out-degree
 G_ITERS = 3      # NN-descent refinement rounds
-INIT_A = 2654435761  # Knuth multiplicative hash (2^32 * phi)
-INIT_B = 40503       # odd step so slots spread
+INIT_MULT = 2654435761  # Knuth multiplicative hash base (2^32 * phi)
+INIT_BUCKET = 32        # target hash-bucket size for successor rings
 BEAM = 16        # search beam width
 HOPS = 4         # search hops
 ENTRY = 10       # fixed entry vertex (first non-query id)
@@ -89,24 +99,41 @@ def _top_k(scored: DataFrame, k: int) -> DataFrame:
 
 def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataFrame:
     """NN-descent k-NN graph build; returns (vec_id, neighbor_id,
-    cosine, rank) for the final graph.  Init edges land on
-    ((vec_id·A + slot·B) mod N); targets that miss an existing vec_id
-    (non-contiguous ids) drop in the score join identically to the
-    oracle's inner join — the reverse/two-hop rounds re-densify."""
+    cosine, rank) for the final graph.  Init: for each of k
+    independent multiplicative hash orders, every vertex connects to
+    its successor within its hash bucket (cyclic) — id-distribution-
+    agnostic, one thin (vec_id, slot) exchange, bounded bucket sort."""
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     n = emb.count()  # one scalar aggregate — metadata-scale
+    nb = max(1, n // INIT_BUCKET)
 
     slots = ",".join(str(j) for j in range(1, k + 1))
-    init = (
+    hashed = (
         corpus.select("vec_id")
         .select(
             "vec_id",
             F.explode(F.expr(f"array({slots})")).alias("slot"),
         )
         .withColumn(
-            "neighbor_id",
+            "h",
             F.expr(
-                f"(vec_id * {INIT_A}L + slot * {INIT_B}L) % {n}L"
+                f"(vec_id * (({INIT_MULT}L * 2 * slot + 1) % 4294967296L))"
+                " % 4294967296L"
+            ),
+        )
+        .withColumn("bucket", F.expr(f"h % {nb}L"))
+        .withColumn("ordkey", F.expr(f"h div {nb}L"))
+    )
+    w = Window.partitionBy("slot", "bucket").orderBy("ordkey", "vec_id")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    init = (
+        hashed.withColumn(
+            "neighbor_id",
+            F.coalesce(
+                F.lead("vec_id", 1).over(w),
+                F.first("vec_id").over(wfull),
             ),
         )
         .filter(F.col("neighbor_id") != F.col("vec_id"))
@@ -255,12 +282,29 @@ def _graph_ctes() -> list[str]:
     ctes = [
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings)",
-        "nn AS (SELECT COUNT(*) AS n FROM embeddings)",
-        f"""init AS (
-  SELECT DISTINCT vec_id, neighbor_id FROM (
-    SELECT c.vec_id,
-      (c.vec_id * {INIT_A} + u.slot * {INIT_B}) % nn.n AS neighbor_id
+        "nn AS (SELECT GREATEST(1, COUNT(*) // {b}) AS nb"
+        " FROM embeddings)".format(b=INIT_BUCKET),
+        f"""hashed AS (
+  SELECT vec_id, slot,
+    h % nb AS bucket, h // nb AS ordkey
+  FROM (
+    SELECT c.vec_id, u.slot, nn.nb,
+      (c.vec_id * (({INIT_MULT} * 2 * u.slot + 1) % 4294967296))
+        % 4294967296 AS h
     FROM corpus c CROSS JOIN nn, UNNEST(range(1, {G_K} + 1)) AS u(slot)
+  )
+)""",
+        """init AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id,
+      COALESCE(
+        LEAD(vec_id) OVER w,
+        FIRST_VALUE(vec_id) OVER (PARTITION BY slot, bucket
+          ORDER BY ordkey, vec_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ) AS neighbor_id
+    FROM hashed
+    WINDOW w AS (PARTITION BY slot, bucket ORDER BY ordkey, vec_id)
   ) WHERE neighbor_id <> vec_id
 )""",
     ]
@@ -285,8 +329,8 @@ def _materialize(sql: str) -> str:
     import re as _re
 
     return _re.sub(
-        r"\b(corpus|nn|init|s\d+|g\d+|cand\d+|queries|f\d+|c\d+h|fs\d+)"
-        r" AS \(",
+        r"\b(corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries|f\d+|c\d+h"
+        r"|fs\d+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
