@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_graph": GA.q_knn_graph,
         "q_knn_graph_search": GA.q_knn_graph_search,
         "q_jpeg_decode": MM.q_jpeg_decode,
+        "q_triangle_count": G.q_triangle_count,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -130,8 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": R.q_rollup,
         "q_cube": R.q_cube,
         "q_conditional_pivot": R.q_conditional_pivot,
-        "q_window_rank": R.q_window_rank,
         # ==================== window boundary (50) ====================
+        "q_window_rank": R.q_window_rank,
         "q_grouping_sets": R.q_grouping_sets,
         "q_ntile_dist": R.q_ntile_dist,
         "q_unpivot": R.q_unpivot,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph": GA.KNN_GRAPH_SQL,
         "q_knn_graph_search": GA.KNN_GRAPH_SEARCH_SQL,
         "q_jpeg_decode": MM.JPEG_DECODE_SQL,
+        "q_triangle_count": G.TRIANGLE_COUNT_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -476,3 +476,130 @@ ORDER BY rank DESC, node LIMIT 50
 
 
 PAGERANK_SQL = pagerank_sql()
+
+
+# --------------------------------------------- triangle counting
+#
+# Per-vertex triangle counts over the MinHash-LSH candidate graph —
+# the transitivity diagnostic for near-dup clusters (a clean dedup
+# cluster is near-complete: its vertices close most wedges; a chain
+# of borderline matches closes almost none).
+#
+# Algorithm: degree-ordered node-iterator (Schank & Wagner 2005; the
+# MapReduce-standard shape).  Each undirected edge is oriented from
+# the lower to the higher endpoint in the (degree, id) total order;
+# wedges are generated only at each triangle's LOWEST-order corner
+# and closed with one more join.  The orientation bounds out-degree
+# by O(sqrt(m)), so wedge volume is O(m^1.5) worst case instead of
+# Σ deg² — the difference between a hub exploding the join and not.
+# Three thin joins, no iteration; every shuffle row is two ids.
+#
+# Reference analogue: none — north-star corpus-analysis scope.
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_triangles) for every document in >=1 triangle of
+    the est-Jaccard >= 0.25 MinHash candidate graph."""
+    from .dedup import q_dedup_minhash
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc1", "doc2")
+    pairs = pairs.persist()
+    deg = (
+        pairs.select(F.col("doc1").alias("v"))
+        .unionByName(pairs.select(F.col("doc2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("v").alias("doc1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("doc2"), F.col("deg").alias("deg2"))
+    lt = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("doc1") < F.col("doc2"))
+    )
+    oriented = (
+        pairs.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            F.when(lt, F.col("doc1")).otherwise(F.col("doc2")).alias("src"),
+            F.when(lt, F.col("doc2")).otherwise(F.col("doc1")).alias("dst"),
+            F.when(lt, F.col("deg2")).otherwise(F.col("deg1")).alias("ddeg"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("ddeg").alias("bdeg"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("c"),
+        F.col("ddeg").alias("cdeg"),
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _triangle_count_sql() -> str:
+    from .dedup import _DOC_SHINGLES_CTE, _MINHASH_DUCKDB, N_MINHASH
+
+    return f"""
+WITH {_DOC_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, {_MINHASH_DUCKDB} AS mh FROM doc_shingles
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS band, mh[i] AS h
+  FROM mh, UNNEST(range(1, {N_MINHASH} + 1)) AS t(i)
+),
+edges AS MATERIALIZED (
+  SELECT doc1, doc2 FROM (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_match
+    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) WHERE ROUND(n_match / {N_MINHASH}.0, 6) >= 0.25
+),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT doc1 AS v FROM edges UNION ALL SELECT doc2 AS v FROM edges
+  ) GROUP BY v
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN doc1 ELSE doc2 END AS src,
+         CASE WHEN lt THEN doc2 ELSE doc1 END AS dst,
+         CASE WHEN lt THEN deg2 ELSE deg1 END AS ddeg
+  FROM (
+    SELECT e.doc1, e.doc2, a.deg AS deg1, b.deg AS deg2,
+      (a.deg < b.deg OR (a.deg = b.deg AND e.doc1 < e.doc2)) AS lt
+    FROM edges e JOIN deg a ON a.v = e.doc1 JOIN deg b ON b.v = e.doc2
+  )
+),
+tri AS MATERIALIZED (
+  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+  FROM o o1
+  JOIN o o2 ON o1.src = o2.src
+   AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+),
+corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id
+"""
+
+
+TRIANGLE_COUNT_SQL = _triangle_count_sql()

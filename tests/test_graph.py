@@ -90,3 +90,29 @@ def test_star_matches_minprop_on_mixed_graph(spark):
     prop = _comp(spark, edges)
     assert star == prop
     assert set(star.values()) == {7, 2, 77, 40}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered wedge counting must equal the O(n^3) brute-force
+    triangle enumeration over the same MinHash candidate edge set."""
+    from itertools import combinations
+
+    from activity_classifier_spark_cassandra_spark.operators.dedup import q_dedup_minhash
+    from activity_classifier_spark_cassandra_spark.operators.graph import q_triangle_count
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_dedup_minhash(spark, sf).toPandas()
+    adj = {}
+    for r in pairs.itertuples():
+        adj.setdefault(r.doc1, set()).add(r.doc2)
+        adj.setdefault(r.doc2, set()).add(r.doc1)
+    want = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {
+        int(r.doc_id): int(r.n_triangles)
+        for r in q_triangle_count(spark, sf).toPandas().itertuples()
+    }
+    assert got == want
