@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_graph_search": GA.q_knn_graph_search,
         "q_jpeg_decode": MM.q_jpeg_decode,
         "q_triangle_count": G.q_triangle_count,
+        "q_knn_binary": S.q_knn_binary,
+        "q_orc_roundtrip": IO.q_orc_roundtrip,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -129,9 +131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": TH.q22_idle_customers,
         "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
+        # ==================== window boundary (50) ====================
         "q_cube": R.q_cube,
         "q_conditional_pivot": R.q_conditional_pivot,
-        # ==================== window boundary (50) ====================
         "q_window_rank": R.q_window_rank,
         "q_grouping_sets": R.q_grouping_sets,
         "q_ntile_dist": R.q_ntile_dist,
@@ -370,6 +372,8 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph_search": GA.KNN_GRAPH_SEARCH_SQL,
         "q_jpeg_decode": MM.JPEG_DECODE_SQL,
         "q_triangle_count": G.TRIANGLE_COUNT_SQL,
+        "q_knn_binary": S.KNN_BINARY_SQL,
+        "q_orc_roundtrip": IO.ORC_ROUNDTRIP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

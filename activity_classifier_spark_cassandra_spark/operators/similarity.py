@@ -2123,3 +2123,108 @@ FROM xc, v{PCA_ITERS} vf"""
 
 
 PCA_POWER_SQL = _pca_power_sql()
+
+
+# ---------------------------------------- binary (sign) quantization
+#
+# The cheapest embedding index that works: 1 bit per dimension (the
+# sign), so a dim-64 vector becomes 63 packed bits in ONE int64 (bit
+# 63 is left unused — shifting into the sign bit is UB-adjacent in
+# engines that check overflow; exact rerank makes the last bit
+# irrelevant to quality).  Candidate generation is a hamming scan —
+# bit_count(xor(sig_q, sig_c)) over an 8-byte column, integer-exact
+# in any engine, 32x smaller than the float vectors — followed by
+# exact cosine rerank of the top-R candidates (the standard
+# binary-quantization recipe).  At 100 TB the signature table is the
+# only full scan; vectors are fetched by id for R rows per query.
+
+BINARY_SIGN_BITS = 63
+BINARY_RERANK = 50
+
+_SIGN_PACK = (
+    f"aggregate(sequence(0, {BINARY_SIGN_BITS - 1}), 0L,"
+    " (acc, j) -> acc + IF(element_at({e}, j + 1) > CAST(0.0 AS DOUBLE),"
+    " shiftleft(1L, j), 0L))"
+)
+
+
+def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized top-5: hamming candidate scan over packed
+    sign bits, exact-cosine rerank of the top-50."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e2"),
+        F.expr(_SIGN_PACK.format(e="embedding")).alias("sig"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+            F.expr(_SIGN_PACK.format(e="embedding")).alias("qsig"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(sig ^ qsig)").cast("int"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("hr", F.row_number().over(wh)).filter(
+        F.col("hr") <= BINARY_RERANK
+    )
+    cos = F.expr(f"({_DOT}) / (({_N1}) * ({_N2}))")
+    reranked = cand.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )
+
+
+_SIGN_PACK_SQL = (
+    f"CAST(list_sum(list_transform(range(0, {BINARY_SIGN_BITS}),"
+    " j -> CASE WHEN {e}[j + 1] > 0.0"
+    " THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))"
+    " ELSE 0 END)) AS BIGINT)"
+)
+
+KNN_BINARY_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_SIGN_PACK_SQL.format(e="CAST(embedding AS DOUBLE[])")} AS sig
+  FROM embeddings
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      CAST(bit_count(xor(q.sig, c.sig)) AS INTEGER) AS hamming,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY bit_count(xor(q.sig, c.sig)) ASC, c.vec_id ASC) AS hr
+    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE hr <= {BINARY_RERANK}
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+    ROUND(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e))
+           * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      ORDER BY ROUND(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e))
+           * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+          cand.neighbor_id ASC) AS rank
+  FROM cand
+  JOIN corpus q ON q.vec_id = cand.query_id
+  JOIN corpus c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {TOP_K}
+"""

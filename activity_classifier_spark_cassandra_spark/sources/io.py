@@ -386,6 +386,39 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked ORC roundtrip: events → ORC → re-read → the same
+    per-type rollup as the JSONL roundtrip, value-hashed against the
+    oracle on the ORIGINAL parquet.  Pins the second columnar
+    source/sink end to end — timestamp (NTZ) fidelity, decimal-exact
+    checksum, distinct-count — so an ORC writer/reader regression
+    fails in the driver window."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "acsc_orc_roundtrip",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{uuid.uuid4().hex}",
+    )
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    ms = ts_ms(back, "ts")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(ms).alias("min_ts_ms"),
+        F.max(ms).alias("max_ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
+
+
 def compact_small_files(
     spark: SparkSession,
     in_path: str,

@@ -323,3 +323,18 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert merged.count() == ev.count()  # lossless
     nulls = merged.filter("event_type IS NULL").count()
     assert nulls == ev.filter("event_id % 2 = 0").count()
+
+
+def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()

@@ -175,3 +175,41 @@ def test_label_centroids_null_components_do_not_inflate_divisor(spark):
     # dim 2 has ONE present component -> mean 2.0, not 1.0
     assert got[(0, 1)] == (2, 2.0)
     assert got[(0, 2)] == (1, 2.0)
+
+
+def test_binary_quantized_search_recall_and_hamming(spark):
+    """Packed sign bits must match a numpy re-pack exactly, and the
+    hamming+rerank pipeline must keep most of the brute-force top-5."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        BINARY_SIGN_BITS,
+        N_QUERIES,
+        TOP_K,
+        q_knn_binary,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    sigs = {
+        int(vid): sum(
+            1 << j for j in range(BINARY_SIGN_BITS) if E[i, j] > 0.0
+        )
+        for i, vid in enumerate(t["vec_id"])
+    }
+    res = q_knn_binary(spark, SF).toPandas()
+    assert len(res) == N_QUERIES * TOP_K
+    for r in res.itertuples():
+        want = bin(sigs[int(r.query_id)] ^ sigs[int(r.neighbor_id)]).count("1")
+        assert r.hamming == want
+    # recall vs exact cosine top-5
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S_ = En @ En.T
+    np.fill_diagonal(S_, -np.inf)
+    order = np.argsort(-S_, axis=1)
+    hits = 0
+    for q, grp in res.groupby("query_id"):
+        truth = {int(t["vec_id"][j]) for j in order[int(q), :TOP_K]}
+        hits += len(set(grp["neighbor_id"].astype(int)) & truth)
+    assert hits / (N_QUERIES * TOP_K) >= 0.5, hits
