@@ -141,33 +141,78 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
         .distinct()
     )
 
-    g = _top_k(_score(init, corpus), k).select("vec_id", "neighbor_id")
+    g = _top_k(_score(init, corpus), k).select(
+        "vec_id", "neighbor_id", "cosine"
+    )
     g = g.localCheckpoint(eager=True)
 
+    # NN-descent rounds in Dong's LOCAL-JOIN shape.  The naive form
+    # (generate thin candidate pairs, then join the corpus twice to
+    # score) shuffles the first join's OUTPUT — K²·N rows each
+    # carrying a full vector — which measured 11.5 GB / 333 s at the
+    # 100x probe.  Instead:
+    #   * the graph carries its cosines between rounds, so g's own
+    #     edges and all REVERSE edges need no rescoring at all — the
+    #     element-order fold is bit-symmetric in its arguments;
+    #   * only genuinely NEW pairs (two-hop: v -> u -> w) are scored,
+    #     and both vectors are co-located AT u by shuffling the
+    #     adjacency list with ONE vector attached per row (2·K·N
+    #     rows), never the K²·N pair frame: the pair join, the
+    #     cosine fold, and the thin projection all happen inside u's
+    #     partition.  Every exchange after that carries 24-byte rows.
     for _ in range(iters):
+        in_vec = (
+            g.select(
+                F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
+            )
+            .join(
+                corpus.select(
+                    F.col("vec_id").alias("v"), F.col("e").alias("e1")
+                ),
+                "v",
+            )
+        )
+        out_vec = (
+            g.select(
+                F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w")
+            )
+            .join(
+                corpus.select(
+                    F.col("vec_id").alias("w"), F.col("e").alias("e2")
+                ),
+                "w",
+            )
+        )
+        two_hop = (
+            in_vec.join(out_vec, "u")
+            .filter(F.col("v") != F.col("w"))
+            .withColumn("cosine", F.round(F.expr(_COS), 6))
+            .select(
+                F.col("v").alias("vec_id"),
+                F.col("w").alias("neighbor_id"),
+                "cosine",
+            )
+        )
         rev = g.select(
             F.col("neighbor_id").alias("vec_id"),
             F.col("vec_id").alias("neighbor_id"),
+            "cosine",
         )
-        a = g.select(F.col("vec_id"), F.col("neighbor_id").alias("_mid"))
-        b = g.select(
-            F.col("vec_id").alias("_mid"), F.col("neighbor_id")
+        cand = (
+            g.unionByName(rev)
+            .unionByName(two_hop)
+            .groupBy("vec_id", "neighbor_id")
+            .agg(F.min("cosine").alias("cosine"))  # duplicates carry
+            # the identical rounded value; min is just a deterministic
+            # pick that fuses dedup into the same exchange
         )
-        two_hop = (
-            a.join(b, "_mid")
-            .filter(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id")
-        )
-        cand = g.unionByName(rev).unionByName(two_hop).distinct()
         g = (
-            _top_k(_score(cand, corpus), k)
-            .select("vec_id", "neighbor_id")
+            _top_k(cand, k)
+            .select("vec_id", "neighbor_id", "cosine")
             .localCheckpoint(eager=True)
         )
 
-    return _top_k(_score(g, corpus), k).select(
-        "vec_id", "neighbor_id", "cosine", "rank"
-    )
+    return _top_k(g, k).select("vec_id", "neighbor_id", "cosine", "rank")
 
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

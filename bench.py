@@ -144,6 +144,14 @@ HEADLINE = [
     "q_phash_near_dup",
     "q_span_dedup_apply",
     "q_jpeg_features",
+    # added in round 8 second batch: NN-descent graph ANN, full JPEG
+    # pixel decode, candidate-graph triangles, binary-sign kNN, ORC
+    "q_knn_graph",
+    "q_knn_graph_search",
+    "q_jpeg_decode",
+    "q_triangle_count",
+    "q_knn_binary",
+    "q_orc_roundtrip",
 ]
 
 

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "q_ndcg_eval",  # ground-truth side IS the documented brute scan
     "q_kn_logprob",  # 1-row bigram-type-total broadcast
     "q_ppl_buckets",  # inherits the KN subplan's 1-row type-total broadcast
+    "q_knn_binary",  # |queries| signature rows broadcast into the 8-byte scan
 }
 
 
@@ -449,3 +450,27 @@ def test_span_apply_one_gram_exchange_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "Scan parquet") <= 2, plan
     assert _nodes(plan, "Window") == 2, plan
+
+
+def test_jpeg_decode_is_zero_exchange_python_chain(spark):
+    """Synthesis and decode are both partition-local Python stages —
+    the plan must contain no Exchange and never ship the blob."""
+    plan = _plan(spark, "q_jpeg_decode")
+    assert _nodes(plan, "Exchange") == 0, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_binary_signature_scan_shape(spark):
+    """The hamming scan must broadcast the query side (bounded rows);
+    the rerank never re-plans a second corpus-wide nested loop."""
+    plan = _plan(spark, "q_knn_binary")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_triangle_count_three_thin_joins(spark):
+    """Degree-ordered triangle counting: hash/merge equi-joins only
+    (orientation, wedge, closure + 2 degree joins), no nested loop."""
+    plan = _plan(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
