@@ -64,7 +64,7 @@ def gen_events(spark, sf, n, out, skew=False):
     d = (
         d.withColumn(
             "user_id",
-            (F.col("user_id") + F.col("copy") * 1_000_000).cast("long"),
+            (F.col("user_id") + F.col("copy").cast("long") * 1_000_000).cast("long"),
         )
         # event_id must stay unique across copies BEFORE the hot-key
         # remap: otherwise the hot key holds duplicate (ts, event_id)
@@ -73,7 +73,7 @@ def gen_events(spark, sf, n, out, skew=False):
         # exactly the key the probe targets
         .withColumn(
             "event_id",
-            (F.col("event_id") + F.col("copy") * 1_000_000_000).cast("long"),
+            (F.col("event_id") + F.col("copy").cast("long") * 1_000_000_000).cast("long"),
         )
         .drop("copy")
     )
@@ -98,7 +98,7 @@ def gen_documents(spark, sf, n, out):
     d = docs.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
     d = (
         d.withColumn(
-            "doc_id", (F.col("doc_id") + F.col("copy") * 10_000_000).cast("long")
+            "doc_id", (F.col("doc_id") + F.col("copy").cast("long") * 10_000_000).cast("long")
         )
         .withColumn(
             "text",
@@ -121,7 +121,7 @@ def gen_embeddings(spark, sf, n, out):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     d = emb.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
     d = d.withColumn(
-        "vec_id", (F.col("vec_id") + F.col("copy") * 1_000_000).cast("long")
+        "vec_id", (F.col("vec_id") + F.col("copy").cast("long") * 1_000_000).cast("long")
     ).drop("copy")
     d.repartition(max(8, 2 * n)).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
@@ -133,7 +133,7 @@ def gen_orders(spark, sf, n, out):
     d = orders.withColumn("copy", F.explode(F.expr(f"sequence(0, {n - 1})")))
     d = d.withColumn(
         "o_orderkey",
-        (F.col("o_orderkey") + F.col("copy") * 100_000_000).cast("long"),
+        (F.col("o_orderkey") + F.col("copy").cast("long") * 100_000_000).cast("long"),
     ).drop("copy")
     d.repartition(max(8, 2 * n)).write.mode("overwrite").parquet(
         f"{out}/orders.parquet"
