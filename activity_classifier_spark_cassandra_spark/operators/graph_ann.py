@@ -10,12 +10,14 @@ this module implements the *distributed* graph-ANN recipe instead:
    graph, then iterate "a neighbor of my neighbor is probably my
    neighbor" — each round the candidate set per vertex is its current
    neighbors ∪ reverse neighbors ∪ two-hop neighbors, scored exactly,
-   keeping the top ``G_K``.  Every round is two thin self-joins of the
-   (vec_id, neighbor_id) edge list plus one score join against the
-   corpus — O(N·K²) candidate rows, all shuffles carry 16-byte id
-   pairs, the embedding column only rides the final score join.  That
-   is the 100-TB shape: the corpus is scanned per round but never
-   re-partitioned; candidate generation is metadata-scale.
+   keeping the top ``G_K``.  Rounds run in Dong's LOCAL-JOIN shape:
+   the graph carries its rounded cosines (so its own and all reverse
+   edges rescore free — the fold is bit-symmetric), and only two-hop
+   pairs score, with both vectors co-located at the shared middle
+   vertex by shuffling the adjacency list with one vector attached
+   (2·K·N rows/round).  The K²·N pair frame never carries a vector —
+   the difference between 7.7 GB and 11.5 GB of shuffle at the 100x
+   probe, and between linear scaling and a broadcast cliff.
 
 2. ``q_knn_graph_search`` — **beam search** over the built graph
    (the query half of HNSW, batched): all queries advance one hop per
@@ -407,7 +409,10 @@ def _sql_beam(cand: str, out: str) -> str:
 )"""
 
 
-def _knn_graph_search_sql() -> str:
+def _search_ctes() -> list[str]:
+    """Graph build + beam search CTEs, through the scored final
+    frontier fs{HOPS} (shared by the search query and the recall
+    eval)."""
     ctes = _graph_ctes()
     g = f"g{G_ITERS}"
     ctes.append(
@@ -434,8 +439,12 @@ def _knn_graph_search_sql() -> str:
   JOIN corpus y ON y.vec_id = f.node
   JOIN corpus q ON q.vec_id = f.query_id
 )""")
+    return ctes
+
+
+def _knn_graph_search_sql() -> str:
     sql = (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_search_ctes())
         + f"""
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -448,3 +457,67 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 KNN_GRAPH_SQL = _knn_graph_sql()
 KNN_GRAPH_SEARCH_SQL = _knn_graph_search_sql()
+
+
+def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit as a first-class query: beam-search top-5
+    vs brute-force top-5 per query — (query_id, n_hits, recall_at_5).
+    Same shape as q_ann_recall_eval: the ground-truth side IS the
+    documented brute scan (bounded: |queries| x corpus)."""
+    from .similarity import q_knn_brute
+
+    search = q_knn_graph_search(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    truth = (
+        q_knn_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        search.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn(
+            "recall_at_5",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6),
+        )
+    )
+
+
+def _graph_recall_eval_sql() -> str:
+    ctes = _search_ctes()
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""searchres AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM fs{HOPS}
+  ) WHERE rank <= {TOP_K}
+)""")
+    ctes.append(f"""btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {cos} DESC, y.vec_id ASC) AS r
+    FROM corpus q JOIN corpus y ON y.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {TOP_K}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT s.query_id,
+  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hits,
+  ROUND(CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) / {float(TOP_K)}, 6) AS recall_at_5
+FROM searchres s
+LEFT JOIN btop b
+  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+GROUP BY s.query_id"""
+    )
+    return _materialize(sql)
+
+
+GRAPH_RECALL_EVAL_SQL = _graph_recall_eval_sql()

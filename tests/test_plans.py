@@ -41,6 +41,7 @@ BNLJ_OK = {
     "q_kn_logprob",  # 1-row bigram-type-total broadcast
     "q_ppl_buckets",  # inherits the KN subplan's 1-row type-total broadcast
     "q_knn_binary",  # |queries| signature rows broadcast into the 8-byte scan
+    "q_graph_recall_eval",  # ground-truth side IS the documented brute scan
 }
 
 
