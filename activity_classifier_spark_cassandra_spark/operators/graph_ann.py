@@ -235,13 +235,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam-search top-5 for the first 10 vectors over the NN-descent
-    graph: all queries advance together, one graph join per hop."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def save_knn_graph(graph: DataFrame, path: str) -> None:
+    """Persist a built index: thin (vec_id, neighbor_id, cosine, rank)
+    parquet, bucketable by vec_id at warehouse scale.  A production
+    deployment builds once per ingest batch and serves many searches —
+    the index table is 32 bytes/edge regardless of vector width."""
+    graph.write.mode("overwrite").parquet(path)
+
+
+def load_knn_graph(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def beam_search(emb: DataFrame, graph: DataFrame) -> DataFrame:
+    """Beam-search top-5 for the first 10 vectors over a PRE-BUILT
+    graph (the persisted-index serving path): all queries advance
+    together, one graph join per hop."""
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
-    graph = build_knn_graph(emb).select("vec_id", "neighbor_id")
-    graph = graph.localCheckpoint(eager=True)
+    graph = graph.select("vec_id", "neighbor_id")
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
@@ -304,6 +315,15 @@ def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + search in one plan (the driver-checkable end-to-end);
+    ``beam_search`` over a ``load_knn_graph``-ed table is the serving
+    path a deployment uses after ``save_knn_graph``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph(emb).localCheckpoint(eager=True)
+    return beam_search(emb, graph)
 
 
 # ----------------------------------------------------------- oracles

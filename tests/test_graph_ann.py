@@ -103,3 +103,20 @@ def test_beam_search_beats_entry_and_hits_topk(spark, exact_topk):
         # fold in the last ulp; at a 6-dp rounding boundary that shows
         # up as exactly 1e-6 — allow it, reject anything larger.
         assert abs(r.cosine - want) < 1.5e-6
+
+
+def test_saved_index_serves_identically(spark, tmp_path):
+    """build -> save -> load -> beam_search must return exactly the
+    inline build+search result (the persisted-index serving path)."""
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    graph = GA.build_knn_graph(emb)
+    path = str(tmp_path / "knn_graph")
+    GA.save_knn_graph(graph, path)
+    served = GA.beam_search(emb, GA.load_knn_graph(spark, path)).toPandas()
+    inline = GA.q_knn_graph_search(spark, SF).toPandas()
+    cols = sorted(served.columns)
+    a = served[cols].sort_values(cols).reset_index(drop=True)
+    b = inline[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -180,3 +180,41 @@ def test_huffman_tables_roundtrip():
         assert len(enc) == len(vals)
         for sym, lc in enc.items():
             assert dec[lc] == sym
+
+
+def test_random_images_match_independent_reconstruction():
+    """Property: for deterministic pseudo-random 16x16 grayscale
+    images, decode(encode(x)) equals the independent reconstruction
+    (direct-formula DCT -> quantize -> direct-formula IDCT) on >=95%
+    of pixels with max deviation 1 (float rounding boundaries)."""
+    q = np.array(MM._QT_LUMA, dtype=np.float64).reshape(8, 8)
+    for seed in range(6):
+        img = _textured(seed * 17 + 1)
+        w, h, c, raster = MM.decode_jpeg(MM.encode_jpeg_baseline(img))
+        got = np.frombuffer(raster, dtype=np.uint8).reshape(16, 16).astype(int)
+        want = np.zeros((16, 16), dtype=int)
+        for by in (0, 8):
+            for bx in (0, 8):
+                blk = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+                coef = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        coef[u, v] = (
+                            cu * cv / 4.0
+                            * sum(
+                                blk[x, y]
+                                * math.cos((2 * x + 1) * u * math.pi / 16)
+                                * math.cos((2 * y + 1) * v * math.pi / 16)
+                                for x in range(8)
+                                for y in range(8)
+                            )
+                        )
+                rec = _idct_direct(np.floor(coef / q + 0.5) * q)
+                want[by : by + 8, bx : bx + 8] = np.clip(
+                    np.floor(rec + 128.5), 0, 255
+                ).astype(int)
+        diff = np.abs(got - want)
+        assert (diff <= 1).all(), (seed, diff.max())
+        assert (diff == 0).mean() >= 0.95, (seed, (diff == 0).mean())
