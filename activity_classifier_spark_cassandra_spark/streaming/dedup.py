@@ -100,3 +100,159 @@ FROM (
 )
 GROUP BY event_type
 """
+
+
+# ----------------------------------------- streaming SimHash near-dup
+#
+# The streaming counterpart of operators/dedup.q_simhash_near_dup:
+# detect near-duplicate documents AS THEY ARRIVE.  Per document the
+# 60-bit SimHash is computed ROW-LOCALLY (a higher-order-function
+# fold — state-free, so it runs in any micro-batch without a grouped
+# aggregation; the batch path uses the flat explode+groupBy form for
+# codegen speed, but both produce bit-identical signatures because
+# the bit votes are order-free integer sums).  Each signature fans
+# out to its 4 x 15-bit LSH bands; ``applyInPandasWithState`` keyed
+# by (band, band_val) holds the docs previously seen in that bucket
+# and emits a (doc1, doc2, hamming) pair the moment a new arrival
+# lands within hamming <= 3 of any of them — pigeonhole-complete,
+# exactly like the batch banded join.  State is per-bucket (the same
+# key distribution as the batch join's shuffle); a production
+# deployment adds a state TTL for unbounded feeds — the bounded
+# drain here pins stream == batch pair-set equality instead.
+
+from pyspark.sql import types as T  # noqa: E402
+from pyspark.sql.streaming.state import (  # noqa: E402
+    GroupState,
+    GroupStateTimeout,
+)
+
+_ND_OUTPUT = T.StructType(
+    [
+        T.StructField("doc1", T.LongType()),
+        T.StructField("doc2", T.LongType()),
+        T.StructField("hamming", T.LongType()),
+    ]
+)
+_ND_STATE = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _simhash_rowlocal() -> "F.Column":
+    """60-bit SimHash as a pure row expression, bit-identical to the
+    batch explode+groupBy signature (same md5-derived token hashes,
+    same order-free integer bit votes, empty docs -> 0)."""
+    from ..operators.dedup import SIMHASH_BITS
+    from ..operators.text import _TOKENIZE_SPARK
+
+    return F.expr(
+        f"""aggregate(sequence(0, {SIMHASH_BITS - 1}),
+          CAST(0 AS BIGINT),
+          (acc, j) -> acc + IF(
+            aggregate(
+              transform({_TOKENIZE_SPARK},
+                t -> cast(conv(substring(md5(t), 1, 15), 16, 10)
+                          AS BIGINT)),
+              0,
+              (a, h) -> a + IF(
+                (h & shiftleft(CAST(1 AS BIGINT), j)) != 0, 1, -1)
+            ) > 0,
+            shiftleft(CAST(1 AS BIGINT), j),
+            CAST(0 AS BIGINT)))"""
+    )
+
+
+def _emit_near_dups(
+    key, pdfs, state: GroupState
+):
+    from ..operators.dedup import SIMHASH_MAX_HAMMING
+
+    import pandas as pd  # local: runs on executors
+
+    if state.exists:
+        ids, sigs = state.get
+        ids, sigs = list(ids), list(sigs)
+    else:
+        ids, sigs = [], []
+    out = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("doc_id")
+        for did, sig in zip(pdf["doc_id"], pdf["simhash"]):
+            did, sig = int(did), int(sig)
+            for pid, psig in zip(ids, sigs):
+                h = bin(sig ^ psig).count("1")
+                if h <= SIMHASH_MAX_HAMMING:
+                    d1, d2 = (pid, did) if pid < did else (did, pid)
+                    out.append((d1, d2, h))
+            ids.append(did)
+            sigs.append(sig)
+    state.update((ids, sigs))
+    yield pd.DataFrame(out, columns=["doc1", "doc2", "hamming"])
+
+
+def simhash_near_dup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming near-dup pairs over a (doc_id, text) stream."""
+    from ..operators.dedup import SIMHASH_BAND_BITS, SIMHASH_BANDS
+
+    sigs = docs.select(
+        "doc_id", _simhash_rowlocal().alias("simhash")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), i ->"
+                f" (simhash >> (i * {SIMHASH_BAND_BITS}))"
+                f" & {(1 << SIMHASH_BAND_BITS) - 1})"
+            )
+        ).alias("band", "band_val"),
+    )
+    return sigs.groupBy("band", "band_val").applyInPandasWithState(
+        _emit_near_dups,
+        outputStructType=_ND_OUTPUT,
+        stateStructType=_ND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ND_SINK_SEQ = 0
+
+
+def q_stream_simhash_near_dup(spark, sf_dir: str) -> DataFrame:
+    """The streaming near-dup operator driven end-to-end: stream the
+    documents table file-by-file (4 parquet parts = 4 micro-batches,
+    so bucket state genuinely persists across triggers), drain with
+    availableNow into a memory sink, and DISTINCT the emitted pairs
+    (a pair can fire from several bands).  Oracle: the batch banded
+    SimHash join — the drained pair set must equal it exactly."""
+    import tempfile
+
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="simhash_nd_src_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    global _ND_SINK_SEQ
+    _ND_SINK_SEQ += 1
+    name = f"simhash_nd_sink_{_ND_SINK_SEQ}"
+    q = (
+        simhash_near_dup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc1", "doc2", "hamming").distinct()

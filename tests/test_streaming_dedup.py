@@ -63,3 +63,42 @@ def test_dedup_state_is_watermarked(spark, tmp_path):
     _, stream = _doubled_stream(spark, tmp_path)
     plan = dedup_stream(stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_rowlocal_simhash_matches_batch_signatures(spark):
+    """The streaming path's row-local HOF signature must be
+    bit-identical to the batch explode+groupBy signature for every
+    document (order-free integer bit votes, empty docs -> 0)."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import _simhash_sigs
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+    from activity_classifier_spark_cassandra_spark.streaming.dedup import _simhash_rowlocal
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        int(r.doc_id): int(r.simhash)
+        for r in _simhash_sigs(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", _simhash_rowlocal().alias("simhash")
+    )
+    row_local = {int(r.doc_id): int(r.simhash) for r in docs.collect()}
+    assert row_local == batch
+
+
+def test_stream_near_dup_pairs_equal_batch_join(spark):
+    """Drained streaming pair set == the batch banded SimHash join."""
+    from activity_classifier_spark_cassandra_spark.operators.dedup import q_simhash_near_dup
+    from activity_classifier_spark_cassandra_spark.streaming.dedup import (
+        q_stream_simhash_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (int(r.doc1), int(r.doc2), int(r.hamming))
+        for r in q_stream_simhash_near_dup(spark, sf).collect()
+    }
+    want = {
+        (int(r.doc1), int(r.doc2), int(r.hamming))
+        for r in q_simhash_near_dup(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
