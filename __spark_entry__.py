@@ -67,12 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaced past the boundary (streaming trio, the three rows-only
     ML fits, TPC-H Q2/Q11/Q15/Q20/Q21, and the r4-green relational
     tail -- all sweep-green at both SFs on round-7 HEAD,
-    VERIFY_LOCAL_r07.txt) lead, followed by operators NEW this round,
-    then the stalest r5-green entries filling the window to 50.
-    Behind the boundary: the rest of the r5-green block (leads the
-    round-9 window), then the r6-green block, then the r7-green block
-    backmost.  After this round no entry's last driver verdict is
-    older than r5."""
+    VERIFY_LOCAL_r07.txt) lead, followed by the TEN operators NEW
+    this round (each displaced one r5-green filler past the
+    boundary), then r5-green entries filling the window to 50.
+    Behind the boundary: the displaced r4/r5-green fillers
+    (q_percentiles .. q_jsonl_roundtrip -- they lead the round-9
+    window), then the rest of the r5-green block, the r6-green
+    block, and the r7-green block backmost."""
     return {
         # ==== round-8 window: the 22 entries staged behind the
         #      round-7 boundary (last driver verdict r4; sweep-green

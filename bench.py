@@ -152,6 +152,7 @@ HEADLINE = [
     "q_triangle_count",
     "q_knn_binary",
     "q_orc_roundtrip",
+    "q_stream_simhash_near_dup",
 ]
 
 
