@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orc_roundtrip": IO.q_orc_roundtrip,
         "q_graph_recall_eval": GA.q_graph_recall_eval,
         "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
+        "q_knn_graph_insert": GA.q_knn_graph_insert,
         # ==== stalest r5-green entries fill the window to 50 ====
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -131,8 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": R.q17_small_quantity,
         "q18_large_orders": TH.q18_large_orders,
         "q19_disjunctive": TH.q19_disjunctive,
-        "q22_idle_customers": TH.q22_idle_customers,
         # ==================== window boundary (50) ====================
+        "q22_idle_customers": TH.q22_idle_customers,
         "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
         "q_cube": R.q_cube,
@@ -379,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "q_orc_roundtrip": IO.ORC_ROUNDTRIP_SQL,
         "q_graph_recall_eval": GA.GRAPH_RECALL_EVAL_SQL,
         "q_stream_simhash_near_dup": D.SIMHASH_NEAR_DUP_SQL,
+        "q_knn_graph_insert": GA.KNN_GRAPH_INSERT_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -247,16 +247,25 @@ def load_knn_graph(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def beam_search(emb: DataFrame, graph: DataFrame) -> DataFrame:
-    """Beam-search top-5 for the first 10 vectors over a PRE-BUILT
-    graph (the persisted-index serving path): all queries advance
-    together, one graph join per hop."""
+def beam_search(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Beam-search top-k over a PRE-BUILT graph (the persisted-index
+    serving path): all queries advance together, one graph join per
+    hop.  ``queries`` defaults to the first ``N_QUERIES`` vectors; a
+    custom (query_id, e1) frame serves other callers (e.g. the
+    insert path searches with the new batch)."""
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     graph = graph.select("vec_id", "neighbor_id")
 
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e1")
-    )
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+        )
 
     # frontier: (query_id, node); scored against the query vector
     frontier = queries.select(
@@ -307,7 +316,7 @@ def beam_search(emb: DataFrame, graph: DataFrame) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("node").alias("neighbor_id"),
@@ -427,7 +436,7 @@ def _knn_graph_sql() -> str:
     return _materialize(sql)
 
 
-def _sql_beam(cand: str, out: str) -> str:
+def _sql_beam(cand: str, out: str, qsrc: str = "corpus", qid: str = "vec_id") -> str:
     cos = _SQL_COS.format(q="q.e", c="y.e")
     return f"""{out} AS (
   SELECT query_id, node FROM (
@@ -436,7 +445,7 @@ def _sql_beam(cand: str, out: str) -> str:
         ORDER BY {cos} DESC, c.node ASC) AS r
     FROM (SELECT DISTINCT query_id, node FROM {cand}) c
     JOIN corpus y ON y.vec_id = c.node
-    JOIN corpus q ON q.vec_id = c.query_id
+    JOIN {qsrc} q ON q.{qid} = c.query_id
     WHERE c.node <> c.query_id
   ) WHERE r <= {BEAM}
 )"""
@@ -554,3 +563,169 @@ GROUP BY s.query_id"""
 
 
 GRAPH_RECALL_EVAL_SQL = _graph_recall_eval_sql()
+
+
+# --------------------------------------------- incremental insert
+#
+# The daily-ingest path for a built index: a batch of NEW vectors is
+# inserted into an EXISTING NN-descent graph without rebuilding it —
+# each new vector beam-searches the old graph for its G_K out-edges
+# (exactly the HNSW insert recipe, batched: every new vector advances
+# together), then the symmetric REPAIR pass re-ranks only the old
+# vertices that gained a reverse edge (their candidate set = old
+# edges ∪ the new arrivals that found them — cosines reused, no
+# rescoring).  Work scales with |batch|·BEAM·HOPS + |affected|·K,
+# never with the corpus; untouched vertices keep their rows verbatim.
+# Batch semantics: new vectors search the OLD graph only (no new-new
+# edges in this pass — they arrive on the next rebuild/round), which
+# keeps the result deterministic and order-free within the batch.
+
+INSERT_BATCH = 50  # "today's arrivals": the highest 50 vec_ids
+
+
+def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updated full graph (vec_id, neighbor_id, cosine, rank) after
+    inserting the INSERT_BATCH highest vec_ids into the graph built
+    over everything else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_all = emb.select("vec_id", F.col("embedding").alias("e"))
+    new = (
+        corpus_all.orderBy(F.col("vec_id").desc())
+        .limit(INSERT_BATCH)  # TakeOrderedAndProject: k-row driver merge
+        .localCheckpoint(eager=True)
+    )
+    old = corpus_all.join(
+        F.broadcast(new.select("vec_id")), "vec_id", "left_anti"
+    )
+    g_old = build_knn_graph(
+        old.select("vec_id", F.col("e").alias("embedding"))
+    ).localCheckpoint(eager=True)
+
+    new_edges = beam_search(
+        emb,
+        g_old,
+        queries=new.select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("e1")
+        ),
+        k=G_K,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+
+    affected = new_edges.select(
+        F.col("neighbor_id").alias("vec_id")
+    ).distinct()
+    rev_new = new_edges.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+    )
+    repaired_cand = (
+        g_old.join(affected, "vec_id", "left_semi")
+        .select("vec_id", "neighbor_id", "cosine")
+        .unionByName(rev_new)
+    )
+    repaired = _top_k(repaired_cand, G_K).select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+    untouched = g_old.join(affected, "vec_id", "left_anti").select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+    return untouched.unionByName(repaired).unionByName(new_edges)
+
+
+def _knn_graph_insert_sql() -> str:
+    base = _graph_ctes()
+    # rebase the build CTEs onto the OLD corpus: prepend the batch
+    # split and swap the corpus/nn sources
+    assert base[0].startswith("corpus AS (")
+    assert base[1].startswith("nn AS (")
+    pre = [
+        "allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""newids AS (
+  SELECT vec_id, e FROM (
+    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id DESC) AS rn
+    FROM allv
+  ) WHERE rn <= {INSERT_BATCH}
+)""",
+        "corpus AS (SELECT vec_id, e FROM allv WHERE vec_id NOT IN"
+        " (SELECT vec_id FROM newids))",
+        "nn AS (SELECT GREATEST(1, COUNT(*) // {b}) AS nb"
+        " FROM corpus)".format(b=INIT_BUCKET),
+    ]
+    ctes = pre + base[2:]
+    g = f"g{G_ITERS}"
+    ctes.append(_sql_score(g, "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    # beam search for the new batch over the old graph
+    ctes.append("queries AS (SELECT vec_id AS query_id, e FROM newids)")
+    ctes.append(
+        f"e0 AS (SELECT query_id, CAST({ENTRY} AS BIGINT) AS node"
+        " FROM queries)"
+    )
+    ctes.append(_sql_beam("e0", "f0", qsrc="queries", qid="query_id"))
+    for i in range(1, HOPS + 1):
+        ctes.append(f"""c{i}h AS (
+  SELECT query_id, node FROM f{i - 1}
+  UNION
+  SELECT f.query_id, g.neighbor_id AS node
+  FROM f{i - 1} f JOIN {g} g ON g.vec_id = f.node
+)""")
+        ctes.append(
+            _sql_beam(f"c{i}h", f"f{i}", qsrc="queries", qid="query_id")
+        )
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""fs{HOPS} AS (
+  SELECT f.query_id, f.node AS neighbor_id, {cos} AS cosine
+  FROM f{HOPS} f
+  JOIN corpus y ON y.vec_id = f.node
+  JOIN queries q ON q.query_id = f.query_id
+)""")
+    ctes.append(f"""new_edges AS (
+  SELECT query_id AS vec_id, neighbor_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM fs{HOPS}
+  ) WHERE rank <= {G_K}
+)""")
+    ctes.append(
+        "affected AS (SELECT DISTINCT neighbor_id AS vec_id"
+        " FROM new_edges)"
+    )
+    ctes.append(f"""repaired AS (
+  SELECT vec_id, neighbor_id, cosine, rank FROM (
+    SELECT vec_id, neighbor_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT g.vec_id, g.neighbor_id, g.cosine FROM gfin g
+      WHERE g.vec_id IN (SELECT vec_id FROM affected)
+      UNION ALL
+      SELECT n.neighbor_id AS vec_id, n.vec_id AS neighbor_id, n.cosine
+      FROM new_edges n
+    )
+  ) WHERE rank <= {G_K}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT vec_id, neighbor_id, cosine, rank FROM gfin
+WHERE vec_id NOT IN (SELECT vec_id FROM affected)
+UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM repaired
+UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
+    )
+    import re as _re
+
+    return _re.sub(
+        r"\b(allv|newids|corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries"
+        r"|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges|affected|repaired) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+KNN_GRAPH_INSERT_SQL = _knn_graph_insert_sql()

@@ -120,3 +120,63 @@ def test_saved_index_serves_identically(spark, tmp_path):
     a = served[cols].sort_values(cols).reset_index(drop=True)
     b = inline[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_incremental_insert_semantics(spark):
+    """Insert contract: every new vector gets exactly G_K out-edges
+    into OLD vertices; old vertices untouched by any reverse edge
+    keep their rows verbatim; an affected vertex's updated list is
+    the top-G_K of (its old list ∪ its new reverse arrivals)."""
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    all_ids = sorted(
+        r.vec_id for r in emb.select("vec_id").collect()
+    )
+    new_ids = set(all_ids[-GA.INSERT_BATCH:])
+    old_ids = set(all_ids) - new_ids
+
+    updated = GA.q_knn_graph_insert(spark, SF).toPandas()
+    old_graph = GA.build_knn_graph(
+        emb.filter(~emb.vec_id.isin(list(new_ids)))
+    ).toPandas()
+
+    new_rows = updated[updated.vec_id.isin(new_ids)]
+    assert (new_rows.groupby("vec_id").size() == GA.G_K).all()
+    assert set(new_rows.neighbor_id).issubset(old_ids)
+
+    rev_targets = set(new_rows.neighbor_id)
+    untouched_ids = old_ids - rev_targets
+    u_new = (
+        updated[updated.vec_id.isin(untouched_ids)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    u_old = (
+        old_graph[old_graph.vec_id.isin(untouched_ids)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(u_new, u_old, check_dtype=False)
+
+    # one affected vertex spot-checked: updated list = top-G_K of
+    # old edges ∪ reverse arrivals, ranked by (cosine desc, id asc)
+    v = sorted(rev_targets)[0]
+    old_list = [
+        (r.cosine, r.neighbor_id)
+        for r in old_graph[old_graph.vec_id == v].itertuples()
+    ]
+    rev_list = [
+        (r.cosine, int(r.vec_id))
+        for r in new_rows[new_rows.neighbor_id == v].itertuples()
+    ]
+    want = sorted(old_list + rev_list, key=lambda t: (-t[0], t[1]))[: GA.G_K]
+    got = [
+        (r.cosine, r.neighbor_id)
+        for r in updated[updated.vec_id == v]
+        .sort_values("rank")
+        .itertuples()
+    ]
+    assert [(round(c, 6), int(n)) for c, n in got] == [
+        (round(c, 6), int(n)) for c, n in want
+    ]
