@@ -65,24 +65,25 @@ def test_dedup_state_is_watermarked(spark, tmp_path):
     assert "EventTimeWatermark" in plan
 
 
-def test_rowlocal_simhash_matches_batch_signatures(spark):
-    """The streaming path's row-local HOF signature must be
-    bit-identical to the batch explode+groupBy signature for every
-    document (order-free integer bit votes, empty docs -> 0)."""
+def test_python_simhash_matches_batch_signatures(spark):
+    """The streaming path's Python (hashlib+numpy) signature must be
+    bit-identical to the batch JVM explode+groupBy signature for
+    every document — a true cross-engine pin of the tokenization,
+    the md5 token hash, and the order-free bit votes."""
     from activity_classifier_spark_cassandra_spark.operators.dedup import _simhash_sigs
     from activity_classifier_spark_cassandra_spark.sources.io import load_table
-    from activity_classifier_spark_cassandra_spark.streaming.dedup import _simhash_rowlocal
+    from activity_classifier_spark_cassandra_spark.streaming.dedup import simhash_signatures
 
     sf = "/root/testdata/sf0.001"
     batch = {
         int(r.doc_id): int(r.simhash)
         for r in _simhash_sigs(spark, sf).collect()
     }
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", _simhash_rowlocal().alias("simhash")
+    docs = simhash_signatures(
+        load_table(spark, sf, "documents").select("doc_id", "text")
     )
-    row_local = {int(r.doc_id): int(r.simhash) for r in docs.collect()}
-    assert row_local == batch
+    py_sigs = {int(r.doc_id): int(r.simhash) for r in docs.collect()}
+    assert py_sigs == batch
 
 
 def test_stream_near_dup_pairs_equal_batch_join(spark):
