@@ -39,15 +39,18 @@ operators/similarity.py so results are bit-comparable before rounding.
 Data-regime caveat (measured, not hidden): NN-descent feeds on
 neighborhood transitivity, and the synthetic test embeddings are
 near-random in 64 dims, where cosines concentrate and "a neighbor of
-my neighbor" carries little signal.  The graph converges to
-recall@12 = 0.89 on the 500-vector table but plateaus at ~0.45 on the
-2,000-vector table even with doubled rounds (numpy replication of the
-exact algorithm).  That is the known hard case for graph ANN — on
-real-manifold embeddings the same recipe converges at much larger N
-(Dong 2011 §5) — and it is exactly why ``q_graph_recall_eval`` exists
-as a first-class audit: it reports 0.86 vs 0.26 across those two
-corpora, telling the operator to pick IVF-PQ (also in this repo) for
-low-transitivity collections.
+my neighbor" carries little signal.  The GRAPH plateaus at recall@12
+~= 0.45 on the 2,000-vector table no matter how many rounds or how
+large K (numpy replication, tools/graph_ann_proto.py: K=24 and 12
+rounds both stall under 0.50) — that is the known hard case for graph
+ANN (Dong 2011 §5).  Round 9 measured that the SEARCH, not the graph,
+was the recall bottleneck at larger N: a single fixed entry vertex
+with a 16-wide beam navigates a low-transitivity graph poorly.  With
+24 hash-spread entry points, beam 64 and 8 hops, search recall@5 over
+the SAME plateaued graph is 0.94 at N=2,000 and 0.98 at N=500
+(``q_graph_recall_eval`` is the in-repo audit; the prototype sweep is
+committed).  Search cost stays |queries|·BEAM·HOPS — independent of
+corpus size — so the wider beam is the correct knob to spend on.
 """
 
 from __future__ import annotations
@@ -58,10 +61,13 @@ from pyspark.sql import functions as F
 from ..sources.io import load_table
 from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
 
-# Tuned on the sf test corpus (dim-64, weak cluster structure):
-# K=12/3 rounds reaches graph recall@12 = 0.89 vs exact kNN; beam
-# 16 x 4 hops reaches search recall@5 = 0.82 (see test_graph_ann.py).
-# Candidate volume per round is N*(K^2 + 2K) id pairs — linear in N.
+# Tuned on the sf test corpus (dim-64, weak cluster structure) via
+# tools/graph_ann_proto.py: K=12/4 rounds reaches graph recall@12 =
+# 0.90 at N=500 (plateau ~0.45 at N=2,000 — inherent to near-random
+# data); 24 entries x beam 64 x 8 hops reaches search recall@5 = 0.98
+# at N=500 and 0.94 at N=2,000 (see test_graph_ann.py).
+# Candidate volume per round is N*(K^2 + 2K) id pairs — linear in N;
+# search volume is |queries|*BEAM*HOPS, independent of N.
 #
 # Init-graph shape matters more than its recall: NN-descent feeds on
 # FRESH two-hop candidates, so the init must have low clustering
@@ -73,12 +79,12 @@ from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
 # and converges (0.02 -> 0.26 -> 0.69 -> 0.89).  It also never
 # assumes vec_ids are contiguous — only hash-order neighbors exist.
 G_K = 12         # graph out-degree
-G_ITERS = 3      # NN-descent refinement rounds
+G_ITERS = 4      # NN-descent refinement rounds
 INIT_MULT = 2654435761  # Knuth multiplicative hash base (2^32 * phi)
 INIT_BUCKET = 32        # target hash-bucket size for successor rings
-BEAM = 16        # search beam width
-HOPS = 4         # search hops
-ENTRY = 10       # fixed entry vertex (first non-query id)
+BEAM = 64        # search beam width
+HOPS = 8         # search hops
+N_ENTRIES = 24   # hash-spread entry vertices (derived from the graph)
 
 _COS = f"({_DOT}) / (({_N1}) * ({_N2}))"
 
@@ -131,8 +137,13 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
         )
         .withColumn(
             "h",
+            # vec_id reduced mod 2^32 BEFORE the multiply: the raw
+            # product overflows int64 for ids past ~2^31 (Spark
+            # non-ANSI wraps, DuckDB raises — engine and oracle would
+            # diverge exactly on large-id corpora).
             F.expr(
-                f"(vec_id * (({INIT_MULT}L * 2 * slot + 1) % 4294967296L))"
+                f"((vec_id % 4294967296L)"
+                f" * (({INIT_MULT}L * 2 * slot + 1) % 4294967296L))"
                 " % 4294967296L"
             ),
         )
@@ -257,7 +268,14 @@ def beam_search(
     serving path): all queries advance together, one graph join per
     hop.  ``queries`` defaults to the first ``N_QUERIES`` vectors; a
     custom (query_id, e1) frame serves other callers (e.g. the
-    insert path searches with the new batch)."""
+    insert path searches with the new batch).
+
+    Entry vertices are DERIVED from the graph's own vertex set — the
+    first ``N_ENTRIES`` vertices in multiplicative-hash order — so
+    they always exist, spread pseudo-uniformly over the corpus (the
+    recall fix at larger N: a single entry navigated the plateaued
+    graph at 0.26 recall; 24 spread entries + beam 64 reach 0.94),
+    and never assume contiguous or dense vec_ids."""
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     graph = graph.select("vec_id", "neighbor_id")
 
@@ -267,10 +285,24 @@ def beam_search(
             F.col("embedding").alias("e1"),
         )
 
-    # frontier: (query_id, node); scored against the query vector
-    frontier = queries.select(
-        "query_id", F.lit(ENTRY).cast("long").alias("node")
+    entries = (
+        graph.select("vec_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                f"((vec_id % 4294967296L) * {INIT_MULT}L) % 4294967296L"
+            ),
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(N_ENTRIES)  # TakeOrderedAndProject: per-partition
+        # top-24 + a 24-row driver merge, never a global sort
+        .select(F.col("vec_id").alias("node"))
     )
+    # frontier: (query_id, node); scored against the query vector.
+    # crossJoin is |queries| x N_ENTRIES with the 24-row side
+    # broadcast — bounded, never corpus-scale.
+    frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
 
     def beam(fr: DataFrame) -> DataFrame:
         scored = (
@@ -378,7 +410,8 @@ def _graph_ctes() -> list[str]:
     h % nb AS bucket, h // nb AS ordkey
   FROM (
     SELECT c.vec_id, u.slot, nn.nb,
-      (c.vec_id * (({INIT_MULT} * 2 * u.slot + 1) % 4294967296))
+      ((c.vec_id % 4294967296)
+       * (({INIT_MULT} * 2 * u.slot + 1) % 4294967296))
         % 4294967296 AS h
     FROM corpus c CROSS JOIN nn, UNNEST(range(1, {G_K} + 1)) AS u(slot)
   )
@@ -418,8 +451,8 @@ def _materialize(sql: str) -> str:
     import re as _re
 
     return _re.sub(
-        r"\b(corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries|f\d+|c\d+h"
-        r"|fs\d+) AS \(",
+        r"\b(corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries|entries|e0"
+        r"|f\d+|c\d+h|fs\d+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -434,6 +467,16 @@ def _knn_graph_sql() -> str:
         + "\nSELECT vec_id, neighbor_id, cosine, rank FROM gfin"
     )
     return _materialize(sql)
+
+
+def _sql_entries(graph: str) -> str:
+    """Entry vertices = first N_ENTRIES graph vertices in
+    multiplicative-hash order (mirrors beam_search's derivation)."""
+    return f"""entries AS (
+  SELECT vec_id AS node FROM (SELECT DISTINCT vec_id FROM {graph})
+  ORDER BY ((vec_id % 4294967296) * {INIT_MULT}) % 4294967296, vec_id
+  LIMIT {N_ENTRIES}
+)"""
 
 
 def _sql_beam(cand: str, out: str, qsrc: str = "corpus", qid: str = "vec_id") -> str:
@@ -461,9 +504,10 @@ def _search_ctes() -> list[str]:
         f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
         f" WHERE vec_id < {N_QUERIES})"
     )
+    ctes.append(_sql_entries(g))
     ctes.append(
-        f"e0 AS (SELECT query_id, CAST({ENTRY} AS BIGINT) AS node"
-        " FROM queries)"
+        "e0 AS (SELECT q.query_id, e.node"
+        " FROM queries q CROSS JOIN entries e)"
     )
     ctes.append(_sql_beam("e0", "f0"))
     for i in range(1, HOPS + 1):
@@ -663,9 +707,10 @@ def _knn_graph_insert_sql() -> str:
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
     # beam search for the new batch over the old graph
     ctes.append("queries AS (SELECT vec_id AS query_id, e FROM newids)")
+    ctes.append(_sql_entries(g))
     ctes.append(
-        f"e0 AS (SELECT query_id, CAST({ENTRY} AS BIGINT) AS node"
-        " FROM queries)"
+        "e0 AS (SELECT q.query_id, e.node"
+        " FROM queries q CROSS JOIN entries e)"
     )
     ctes.append(_sql_beam("e0", "f0", qsrc="queries", qid="query_id"))
     for i in range(1, HOPS + 1):
@@ -722,7 +767,8 @@ UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
 
     return _re.sub(
         r"\b(allv|newids|corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries"
-        r"|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges|affected|repaired) AS \(",
+        r"|entries|e0|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges|affected"
+        r"|repaired) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
