@@ -83,7 +83,8 @@ G_ITERS = 4      # NN-descent refinement rounds
 INIT_MULT = 2654435761  # Knuth multiplicative hash base (2^32 * phi)
 INIT_BUCKET = 32        # target hash-bucket size for successor rings
 BEAM = 64        # search beam width
-HOPS = 8         # search hops
+HOPS = 6         # search hops (recall saturates at 5 on both SFs —
+                 # tools/graph_ann_proto.py sweep; one hop of margin)
 N_ENTRIES = 24   # hash-spread entry vertices (derived from the graph)
 
 _COS = f"({_DOT}) / (({_N1}) * ({_N2}))"
@@ -324,16 +325,20 @@ def beam_search(
         )
 
     frontier = beam(frontier)
-    for _ in range(HOPS):
+    for i in range(HOPS):
         hop = (
             frontier.join(
                 graph.withColumnRenamed("vec_id", "node"), "node"
             )
             .select("query_id", F.col("neighbor_id").alias("node"))
         )
-        frontier = beam(
-            frontier.unionByName(hop).distinct()
-        ).localCheckpoint(eager=True)
+        frontier = beam(frontier.unionByName(hop).distinct())
+        # checkpoint every third hop: enough to keep the nested-window
+        # plan shallow, without paying a materialization per hop (the
+        # frontier is |queries|*BEAM rows — the cost is all fixed
+        # per-job overhead, measured 13.3s -> 8.8s warm at N=500)
+        if i % 3 == 2 or i == HOPS - 1:
+            frontier = frontier.localCheckpoint(eager=True)
 
     scored = (
         frontier.join(

@@ -5,6 +5,16 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Timing is end-to-end plan execution into the `noop` sink — full scan /
 shuffle / aggregation work, no driver-side collect skew.  One warmup
 query first so JVM/codegen startup is not billed to the first query.
+
+Protocol (round-9 verdict item 2): MIN-OF-TWO per query, back-to-back.
+Round 8's driver bench showed four consecutive queries reading 7-30x
+their warm local numbers while their own sub-chains ran normally in
+the same JVM — a time-correlated host epoch, not a plan regression.
+A single cold reading cannot distinguish the two; the immediate second
+run can (a stalled run1 with a normal run2 = host; both slow = plan).
+Both passes are recorded in BENCH_DETAIL.json (`runs`), the headline
+number is the per-query min.  Set SPARK_GRAFT_BENCH_RUNS=1 to restore
+the single-pass protocol.
 """
 
 from __future__ import annotations
@@ -148,6 +158,8 @@ HEADLINE = [
     # pixel decode, candidate-graph triangles, binary-sign kNN, ORC
     "q_knn_graph",
     "q_knn_graph_search",
+    "q_knn_graph_insert",
+    "q_graph_recall_eval",
     "q_jpeg_decode",
     "q_triangle_count",
     "q_knn_binary",
@@ -175,13 +187,23 @@ def main() -> None:
 
     run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer)
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs: list[dict[str, float]] = [{} for _ in range(n_runs)]
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        try:
-            timings[name] = round(run(name), 3)
-        except Exception as e:  # keep the bench line parseable on error
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        best = -1.0
+        for i in range(n_runs):
+            try:
+                t = round(run(name), 3)
+            except Exception as e:  # keep the bench line parseable
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                t = -1.0
+            runs[i][name] = t
+            if t >= 0 and (best < 0 or t < best):
+                best = t
+            if t < 0:
+                break  # don't re-run a failing query
+        timings[name] = best
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver's stdout capture is bounded (~3.5 KB): a single line
@@ -198,6 +220,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "n_runs": n_runs,
                 "n": len(timings),
                 "sf": sf_val,
             },
@@ -215,6 +239,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n": len(timings),
+                "n_runs": n_runs,
                 "sf": sf_val,
                 "detail_file": "BENCH_DETAIL.json",
             }
