@@ -62,77 +62,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 8 executes the
-    round-7 verdict's rotation item: the 22 entries that round 7
-    displaced past the boundary (streaming trio, the three rows-only
-    ML fits, TPC-H Q2/Q11/Q15/Q20/Q21, and the r4-green relational
-    tail -- all sweep-green at both SFs on round-7 HEAD,
-    VERIFY_LOCAL_r07.txt) lead, followed by the TEN operators NEW
-    this round (each displaced one r5-green filler past the
-    boundary), then r5-green entries filling the window to 50.
-    Behind the boundary: the displaced r4/r5-green fillers
-    (q_percentiles .. q_jsonl_roundtrip -- they lead the round-9
-    window), then the rest of the r5-green block, the r6-green
-    block, and the r7-green block backmost."""
+    covers a 50-entry window from the front.  Round 9 executes the
+    round-8 verdict's rotation item (oldest-verdict-first): the 12
+    entries staged behind the round-8 boundary (q22 and
+    q_percentiles .. q_jsonl_roundtrip, last driver check r4/r5)
+    lead, then the round-8 operator batch stays in-window (the four
+    graph-ANN queries CHANGED this round -- new search parameters --
+    and need a fresh driver check), then new round-9 operators as
+    they land, then the r5-green block and the head of the r6-green
+    block fill the window to 50.  Everything in-window is
+    sweep-green at both SFs on round-9 HEAD (VERIFY_LOCAL_r09.txt).
+    Behind the boundary: the rest of the r6-green block (stalest
+    first -- they lead the round-10 window), the r7-green block,
+    and the 38 entries the round-8 driver just verified backmost."""
     return {
-        # ==== round-8 window: the 22 entries staged behind the
-        #      round-7 boundary (last driver verdict r4; sweep-green
-        #      at both SFs on round-7 HEAD) lead ====
-        "q_stream_session_features": STR.q_stream_session_features,
-        "q_stream_windowed_features": STR.q_stream_windowed_features,
-        "q_stream_sliding_features": STR.q_stream_sliding_features,
-        "q_ml_train_eval": M.q_ml_train_eval,
-        "q_ml_predict_counts": M.q_ml_predict_counts,
-        "q_ml_serve": M.q_ml_serve,
-        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
-        "q11_important_stock": TH.q11_important_stock,
-        "q15_top_supplier": TH.q15_top_supplier,
-        "q20_excess_suppliers": TH.q20_excess_suppliers,
-        "q21_waiting_orders": TH.q21_waiting_orders,
-        "q_distinct_users": R.q_distinct_users,
-        "q_count_gate": R.q_count_gate,
-        "q_label_encode": R.q_label_encode,
-        "q_truncate_cast": R.q_truncate_cast,
-        "q_string_cast": R.q_string_cast,
-        "q_error_rate": R.q_error_rate,
-        "q_topk": R.q_topk,
-        "q_two_pass_absdev": R.q_two_pass_absdev,
-        "q_resultant": R.q_resultant,
-        "q_mean_var": R.q_mean_var,
-        "q_distinct_agg": R.q_distinct_agg,
-        # ==== NEW in round 8 — never driver-verified, in-window ====
-        # (inserted as they land; each pushes one r5-green entry
-        #  past the boundary)
-        "q_phash_near_dup": MM.q_phash_near_dup,
-        "q_span_dedup_apply": SP.q_span_dedup_apply,
-        "q_jpeg_features": MM.q_jpeg_features,
-        "q_knn_graph": GA.q_knn_graph,
-        "q_knn_graph_search": GA.q_knn_graph_search,
-        "q_jpeg_decode": MM.q_jpeg_decode,
-        "q_triangle_count": G.q_triangle_count,
-        "q_knn_binary": S.q_knn_binary,
-        "q_orc_roundtrip": IO.q_orc_roundtrip,
-        "q_graph_recall_eval": GA.q_graph_recall_eval,
-        "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
-        "q_knn_graph_insert": GA.q_knn_graph_insert,
-        # ==== stalest r5-green entries fill the window to 50 ====
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q4_priority_count": TH.q4_priority_count,
-        "q5_local_supplier": R.q5_local_supplier,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q7_volume_shipping": TH.q7_volume_shipping,
-        "q8_market_share": TH.q8_market_share,
-        "q9_product_profit": TH.q9_product_profit,
-        "q10_returned_items": TH.q10_returned_items,
-        "q12_late_by_priority": TH.q12_late_by_priority,
-        "q13_customer_distribution": TH.q13_customer_distribution,
-        "q14_promo_revenue": TH.q14_promo_revenue,
-        "q16_supplier_cnt": TH.q16_supplier_cnt,
-        "q17_small_quantity": R.q17_small_quantity,
-        "q18_large_orders": TH.q18_large_orders,
-        "q19_disjunctive": TH.q19_disjunctive,
-        # ==================== window boundary (50) ====================
+        # ==== round-9 window: the 12 entries staged behind the
+        #      round-8 boundary (last driver verdict r4/r5;
+        #      sweep-green at both SFs on round-9 HEAD) lead ====
         "q22_idle_customers": TH.q22_idle_customers,
         "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
@@ -145,8 +91,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_sketch": R.q_approx_sketch,
         "q_pack_greedy": CP.q_pack_greedy,
         "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
-        # remaining r5-green block (CORRECTNESS_r05: 50/50),
-        # sweep-green at HEAD; leads the round-9 window
+        # ==== round-8 operator batch, kept in-window: the four
+        #      graph-ANN queries CHANGED in round 9 (multi-entry
+        #      wide-beam search, G_ITERS 4) — results differ from
+        #      their r8-verified values and need a fresh check ====
+        "q_phash_near_dup": MM.q_phash_near_dup,
+        "q_span_dedup_apply": SP.q_span_dedup_apply,
+        "q_jpeg_features": MM.q_jpeg_features,
+        "q_knn_graph": GA.q_knn_graph,
+        "q_knn_graph_search": GA.q_knn_graph_search,
+        "q_jpeg_decode": MM.q_jpeg_decode,
+        "q_triangle_count": G.q_triangle_count,
+        "q_knn_binary": S.q_knn_binary,
+        "q_orc_roundtrip": IO.q_orc_roundtrip,
+        "q_graph_recall_eval": GA.q_graph_recall_eval,
+        "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
+        "q_knn_graph_insert": GA.q_knn_graph_insert,
+        # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
         "q_incremental_agg": INC.q_incremental_agg,
@@ -169,11 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        # ==== r6-green block (CORRECTNESS_r06: 50/50) ====
+        # ==== r6-green head borrowed to fill the window to 50 ====
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
         "q_simhash": D.q_simhash,
+        # ==================== window boundary (50) ====================
+        # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
+        #      stalest behind the boundary — leads round 10) ====
         "q_dedup_embedding": D.q_dedup_embedding,
         "q_dedup_keep_best": D.q_dedup_keep_best,
         "q_corpus_clean": D.q_corpus_clean,
@@ -272,6 +236,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features": P.q_session_features,
         "q_sessionize": P.q_sessionize,
         "q_session_features_3axis": P.q_session_features_3axis,
+        # ==== r8-green block (CORRECTNESS_r08: 47/50 + 3 rows-only
+        #      by design) — freshest driver checks, backmost ====
+        "q_stream_session_features": STR.q_stream_session_features,
+        "q_stream_windowed_features": STR.q_stream_windowed_features,
+        "q_stream_sliding_features": STR.q_stream_sliding_features,
+        "q_ml_train_eval": M.q_ml_train_eval,
+        "q_ml_predict_counts": M.q_ml_predict_counts,
+        "q_ml_serve": M.q_ml_serve,
+        "q2_min_cost_supplier": TH.q2_min_cost_supplier,
+        "q11_important_stock": TH.q11_important_stock,
+        "q15_top_supplier": TH.q15_top_supplier,
+        "q20_excess_suppliers": TH.q20_excess_suppliers,
+        "q21_waiting_orders": TH.q21_waiting_orders,
+        "q_distinct_users": R.q_distinct_users,
+        "q_count_gate": R.q_count_gate,
+        "q_label_encode": R.q_label_encode,
+        "q_truncate_cast": R.q_truncate_cast,
+        "q_string_cast": R.q_string_cast,
+        "q_error_rate": R.q_error_rate,
+        "q_topk": R.q_topk,
+        "q_two_pass_absdev": R.q_two_pass_absdev,
+        "q_resultant": R.q_resultant,
+        "q_mean_var": R.q_mean_var,
+        "q_distinct_agg": R.q_distinct_agg,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_priority_count": TH.q4_priority_count,
+        "q5_local_supplier": R.q5_local_supplier,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q7_volume_shipping": TH.q7_volume_shipping,
+        "q8_market_share": TH.q8_market_share,
+        "q9_product_profit": TH.q9_product_profit,
+        "q10_returned_items": TH.q10_returned_items,
+        "q12_late_by_priority": TH.q12_late_by_priority,
+        "q13_customer_distribution": TH.q13_customer_distribution,
+        "q14_promo_revenue": TH.q14_promo_revenue,
+        "q16_supplier_cnt": TH.q16_supplier_cnt,
+        "q17_small_quantity": R.q17_small_quantity,
+        "q18_large_orders": TH.q18_large_orders,
+        "q19_disjunctive": TH.q19_disjunctive,
     }
 
 
