@@ -1389,8 +1389,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     channel-interleaved uint8 (RGB for 3-component JFIF streams).
     Unsupported surfaces (progressive, subsampled chroma, restart
     intervals, 12-bit, arithmetic coding) raise NotImplementedError —
-    the decode_ok=False contract shared by every codec here."""
-    data = bytes(data)
+    the decode_ok=False contract shared by every codec here.  That
+    contract covers CORRUPT streams too: any parse error a malformed
+    segment can produce (short SOF/SOS, unknown component id in a
+    scan, bit-reader overrun) is re-raised as NotImplementedError so
+    one bad file drops one row instead of failing the Spark task."""
+    try:
+        return _decode_jpeg_checked(bytes(data))
+    except NotImplementedError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError) as e:
+        raise NotImplementedError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg_checked(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream")
     qts: dict[int, list[int]] = {}
@@ -1448,11 +1460,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"JPEG SOF{marker - 0xC0} pixel decode not supported"
                 )
+            if len(seg) < 6:
+                raise NotImplementedError("malformed JPEG SOF header")
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
+            if len(seg) < 6 + 3 * nc:
+                raise NotImplementedError("truncated JPEG SOF components")
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -1461,16 +1477,28 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, tq))
             frame = (w, h, nc)
         elif marker == 0xDD:
+            if len(seg) < 2:
+                raise NotImplementedError("malformed JPEG DRI segment")
             if struct.unpack(">H", seg[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
             if frame is None:
                 raise NotImplementedError("SOS before SOF")
+            if not seg:
+                raise NotImplementedError("empty JPEG SOS header")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise NotImplementedError("truncated JPEG SOS header")
             scan_tabs = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                qt_id = next(tq for cid, tq in comps if cid == cs)
+                qt_id = next(
+                    (tq for cid, tq in comps if cid == cs), None
+                )
+                if qt_id is None:
+                    raise NotImplementedError(
+                        f"scan references unknown component id {cs}"
+                    )
                 scan_tabs.append(
                     (dc_tabs.get(tt >> 4), ac_tabs.get(tt & 0x0F), qts.get(qt_id))
                 )

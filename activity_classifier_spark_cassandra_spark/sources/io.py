@@ -19,6 +19,7 @@ filesystem.  Spark-first equivalents:
 from __future__ import annotations
 
 import os
+import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -355,7 +356,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_jsonl(ev, out)
     back = read_jsonl(spark, out, ev.schema)
     ms = ts_ms(back, "ts")
-    return back.groupBy("event_type").agg(
+    res = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.min(ms).alias("min_ts_ms"),
@@ -364,6 +365,12 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+    # the rollup is <= |event_type| rows: materialize it eagerly so
+    # the staging dir can be deleted NOW instead of accumulating one
+    # uuid dir per call across sweep/bench runs (ADVICE r8)
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res
 
 
 JSONL_ROUNDTRIP_SQL = """
@@ -405,7 +412,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_orc(ev, out)
     back = read_orc(spark, out)
     ms = ts_ms(back, "ts")
-    return back.groupBy("event_type").agg(
+    res = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.min(ms).alias("min_ts_ms"),
@@ -414,6 +421,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+    res = res.localCheckpoint(eager=True)  # see q_jsonl_roundtrip
+    shutil.rmtree(out, ignore_errors=True)
+    return res
 
 
 ORC_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL

@@ -27,6 +27,8 @@ long-nanos data — integer division, exact).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -256,31 +258,38 @@ def simhash_near_dup_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-_ND_SINK_SEQ = 0
-
-
 def q_stream_simhash_near_dup(spark, sf_dir: str) -> DataFrame:
     """The streaming near-dup operator driven end-to-end: stream the
     documents table file-by-file (4 parquet parts = 4 micro-batches,
     so bucket state genuinely persists across triggers), drain with
     availableNow into a memory sink, and DISTINCT the emitted pairs
     (a pair can fire from several bands).  Oracle: the batch banded
-    SimHash join — the drained pair set must equal it exactly."""
+    SimHash join — the drained pair set must equal it exactly.
+
+    Hygiene (ADVICE r8): the staging dir is a FIXED per-sf path under
+    tempdir (reused, not accumulated across sweep/bench runs), the
+    memory sink reuses ONE query name (dropping the previous sink
+    table so driver memory stays flat), and an availableNow drain
+    that exceeds the timeout raises loudly instead of returning a
+    silently partial pair set."""
+    import hashlib
     import tempfile
 
     from ..sources.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="simhash_nd_src_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(
+        tempfile.gettempdir(), f"simhash_nd_src_{tag}"
+    )
     docs.repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    global _ND_SINK_SEQ
-    _ND_SINK_SEQ += 1
-    name = f"simhash_nd_sink_{_ND_SINK_SEQ}"
+    name = "simhash_nd_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     q = (
         simhash_near_dup_stream(stream)
         .writeStream.format("memory")
@@ -289,5 +298,17 @@ def q_stream_simhash_near_dup(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(name).select("doc1", "doc2", "hamming").distinct()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_stream_simhash_near_dup: availableNow drain did not"
+            " finish within 300s — refusing to return a partial sink"
+        )
+    # materialize OUT of the memory sink so the returned plan no
+    # longer depends on the sink table (the next call drops it)
+    return (
+        spark.table(name)
+        .select("doc1", "doc2", "hamming")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )

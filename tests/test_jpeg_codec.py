@@ -218,3 +218,56 @@ def test_random_images_match_independent_reconstruction():
         diff = np.abs(got - want)
         assert (diff <= 1).all(), (seed, diff.max())
         assert (diff == 0).mean() >= 0.95, (seed, (diff == 0).mean())
+
+
+def test_malformed_streams_raise_notimplemented_not_crash():
+    """ADVICE r8: a corrupt real-world JPEG must surface as the
+    documented NotImplementedError (-> decode_ok=False row), never as
+    struct.error / IndexError / StopIteration, which would kill the
+    whole Spark task inside the mapInPandas generator."""
+    img = _textured(7)
+    blob = bytearray(MM.encode_jpeg_baseline(img))
+
+    def corrupt_sof_short():
+        # SOF segment with length 5 (2 < ln < 8): short unpack
+        i = blob.find(b"\xff\xc0")
+        return bytes(blob[:i]) + b"\xff\xc0" + struct.pack(">H", 5) + b"\x08\x00\x08" + bytes(blob[i:])
+
+    def corrupt_sos_short():
+        # SOS claiming 3 scan components but a 3-byte body
+        i = blob.find(b"\xff\xda")
+        return bytes(blob[:i]) + b"\xff\xda" + struct.pack(">H", 4) + b"\x03\x01" + bytes(blob[i:])
+
+    def corrupt_sos_unknown_component():
+        # scan references component id 9 that no SOF declared
+        i = blob.find(b"\xff\xda")
+        out = bytearray(blob)
+        out[i + 5] = 9  # first scan component selector
+        return bytes(out)
+
+    def corrupt_dri_short():
+        i = blob.find(b"\xff\xc0")
+        return bytes(blob[:i]) + b"\xff\xdd" + struct.pack(">H", 3) + b"\x00" + bytes(blob[i:])
+
+    def truncated_mid_segment():
+        return bytes(blob[: blob.find(b"\xff\xc4") + 5])
+
+    for make in (
+        corrupt_sof_short,
+        corrupt_sos_short,
+        corrupt_sos_unknown_component,
+        corrupt_dri_short,
+        truncated_mid_segment,
+    ):
+        with pytest.raises(NotImplementedError):
+            MM.decode_jpeg(make())
+
+    # random byte garbage after a valid SOI: anything goes, but it
+    # must come out as NotImplementedError
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        junk = b"\xff\xd8" + rng.integers(0, 256, 120, dtype=np.uint8).tobytes()
+        try:
+            MM.decode_jpeg(junk)
+        except NotImplementedError:
+            pass
