@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_recall_eval": GA.q_graph_recall_eval,
         "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
         "q_knn_graph_insert": GA.q_knn_graph_insert,
+        # ==== NEW in round 9 — never driver-verified, in-window ====
+        # (inserted as they land; each pushes one borrowed r6-head
+        #  entry back below the boundary)
+        "q_semdedup_blas": D.q_semdedup_blas,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -134,10 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
         # ==================== window boundary (50) ====================
         # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
         #      stalest behind the boundary — leads round 10) ====
+        "q_simhash": D.q_simhash,
         "q_dedup_embedding": D.q_dedup_embedding,
         "q_dedup_keep_best": D.q_dedup_keep_best,
         "q_corpus_clean": D.q_corpus_clean,
@@ -397,6 +401,10 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": T.GOPHER_RULES_SQL,
         "q_dedup_apply": D.DEDUP_APPLY_SQL,
         "q_semdedup": D.SEMDEDUP_SQL,
+        # same exact-fold replay gates the BLAS production variant:
+        # d2 is 6-dp rounded on both paths, assignments are integers,
+        # centroid updates are decimal-exact over them (see docstring)
+        "q_semdedup_blas": D.SEMDEDUP_SQL,
         "q_quality_classifier": CP.QUALITY_CLASSIFIER_SQL,
         "q_decontaminate_semantic": CP.DECONTAMINATE_SEMANTIC_SQL,
         "q_dsir_sample": CP.DSIR_SAMPLE_SQL,

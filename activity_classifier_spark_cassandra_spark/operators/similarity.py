@@ -1060,6 +1060,113 @@ def train_kmeans_centroids(
     return cents
 
 
+def blas_assign(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow mapInPandas stage:
+    per batch, d2 to all k centroids is a single matmul
+    (||x||^2 - 2xC^T + ||c||^2), rounded half-away-from-zero to 6 dp
+    to match ``_D2_FOLD``'s rounding, argmin with ties to the lowest
+    cluster id (np.argmin first-occurrence over k-ordered columns =
+    the fold path's array_min struct rule).  Returns (vec_id
+    [, embedding], cluster, d2_centroid).
+
+    This is the production path for large k: the interpreted
+    HOF fold evaluates k folds of dim terms per ROW (76-160 s at the
+    100x probe with auto-k=100); the matmul is one BLAS call per
+    Arrow batch.  Because d2 is rounded to 6 dp on BOTH paths and
+    assignments are integers, the two paths produce identical
+    assignments (and therefore identical downstream centroids /
+    verdicts) except for a d2 sitting within ~1 ulp of a 0.5e-6
+    rounding boundary — the same accepted tie-region class as the
+    pandas cosine UDF, vanishing at driver-check scale."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([c for _, c in sorted(cents)], dtype=np.float64)
+    ks = np.array([k for k, _ in sorted(cents)], dtype=np.int32)
+    cn = (C * C).sum(axis=1)
+
+    def batches(it):
+        for pdf in it:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (E * E).sum(axis=1)[:, None]
+                - 2.0 * (E @ C.T)
+                + cn[None, :]
+            )
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # half-up == fold's
+            # ROUND (d2 >= 0); banker's np.round would diverge
+            best = d2.argmin(axis=1)  # first occurrence = lowest k
+            out = {"vec_id": pdf["vec_id"]}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            out["cluster"] = ks[best]
+            out["d2_centroid"] = d2[np.arange(len(best)), best]
+            yield pd.DataFrame(out)
+
+    emb_s = "embedding array<double>, " if keep_embedding else ""
+    schema = f"vec_id long, {emb_s}cluster int, d2_centroid double"
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema=schema
+    )
+
+
+def train_kmeans_centroids_blas(
+    emb: DataFrame, k: int = K_TRAIN, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's with the BLAS assignment stage — the large-k production
+    trainer.  The trajectory is identical to ``train_kmeans_centroids``
+    (assignments are integers and the centroid update is the same
+    decimal-exact Spark aggregation over them), so the exact-fold
+    DuckDB replay oracles remain valid; only the per-round assignment
+    compute path differs."""
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.expr(
+                "transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cents = [(i, list(r.centroid)) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = blas_assign(emb, cents, keep_embedding=True).select(
+            "cluster", "embedding"
+        )
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(38,18)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "pm"
+                )
+            )
+            .select(
+                "cluster", F.expr("transform(pm, x -> x.m)").alias("centroid")
+            )
+            .collect()
+        )
+        cents = [(r.cluster, list(r.centroid)) for r in new_rows]
+    return cents
+
+
 def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 over a TRAINED coarse quantizer (2 Lloyd's rounds,
     k=4 seeded from the lowest vec_ids), multi-probe nprobe=2.  The

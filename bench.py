@@ -165,6 +165,8 @@ HEADLINE = [
     "q_knn_binary",
     "q_orc_roundtrip",
     "q_stream_simhash_near_dup",
+    # added in round 9: BLAS-assignment SemDeDup (production variant)
+    "q_semdedup_blas",
 ]
 
 
