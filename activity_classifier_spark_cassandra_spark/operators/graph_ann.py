@@ -46,8 +46,8 @@ rounds both stall under 0.50) — that is the known hard case for graph
 ANN (Dong 2011 §5).  Round 9 measured that the SEARCH, not the graph,
 was the recall bottleneck at larger N: a single fixed entry vertex
 with a 16-wide beam navigates a low-transitivity graph poorly.  With
-24 hash-spread entry points, beam 64 and 8 hops, search recall@5 over
-the SAME plateaued graph is 0.94 at N=2,000 and 0.98 at N=500
+24 hash-spread entry points, beam 64 and 6 hops, search recall@5 over
+the SAME plateaued graph is 0.94 at N=2,000 and 1.00 at N=500
 (``q_graph_recall_eval`` is the in-repo audit; the prototype sweep is
 committed).  Search cost stays |queries|·BEAM·HOPS — independent of
 corpus size — so the wider beam is the correct knob to spend on.
@@ -64,7 +64,7 @@ from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
 # Tuned on the sf test corpus (dim-64, weak cluster structure) via
 # tools/graph_ann_proto.py: K=12/4 rounds reaches graph recall@12 =
 # 0.90 at N=500 (plateau ~0.45 at N=2,000 — inherent to near-random
-# data); 24 entries x beam 64 x 8 hops reaches search recall@5 = 0.98
+# data); 24 entries x beam 64 x 6 hops reaches search recall@5 = 1.00
 # at N=500 and 0.94 at N=2,000 (see test_graph_ann.py).
 # Candidate volume per round is N*(K^2 + 2K) id pairs — linear in N;
 # search volume is |queries|*BEAM*HOPS, independent of N.
@@ -378,13 +378,13 @@ def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exponentially otherwise — same trap as the trained-IVF oracle).
 
 
-def _sql_score(cand: str, out: str) -> str:
+def _sql_score(cand: str, out: str, corpus: str = "corpus") -> str:
     cos = _SQL_COS.format(q="x.e", c="y.e")
     return f"""{out} AS (
   SELECT c.vec_id, c.neighbor_id, {cos} AS cosine
   FROM {cand} c
-  JOIN corpus x ON x.vec_id = c.vec_id
-  JOIN corpus y ON y.vec_id = c.neighbor_id
+  JOIN {corpus} x ON x.vec_id = c.vec_id
+  JOIN {corpus} y ON y.vec_id = c.neighbor_id
 )"""
 
 
@@ -404,24 +404,26 @@ def _sql_top_k(scored: str, out: str, k: int, keep_score: bool) -> str:
 )"""
 
 
-def _graph_ctes() -> list[str]:
+def _build_ctes(p: str, corpus: str) -> list[str]:
+    """NN-descent build CTEs over the ``corpus`` CTE, every emitted
+    name prefixed with ``p`` so two builds (e.g. old-corpus and
+    full-corpus in the insert-policy oracle) coexist in one query.
+    Final graph CTE: ``{p}g{G_ITERS}``."""
     ctes = [
-        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
-        " FROM embeddings)",
-        "nn AS (SELECT GREATEST(1, COUNT(*) // {b}) AS nb"
-        " FROM embeddings)".format(b=INIT_BUCKET),
-        f"""hashed AS (
+        f"{p}nn AS (SELECT GREATEST(1, COUNT(*) // {INIT_BUCKET}) AS nb"
+        f" FROM {corpus})",
+        f"""{p}hashed AS (
   SELECT vec_id, slot,
     h % nb AS bucket, h // nb AS ordkey
   FROM (
-    SELECT c.vec_id, u.slot, nn.nb,
+    SELECT c.vec_id, u.slot, {p}nn.nb,
       ((c.vec_id % 4294967296)
        * (({INIT_MULT} * 2 * u.slot + 1) % 4294967296))
         % 4294967296 AS h
-    FROM corpus c CROSS JOIN nn, UNNEST(range(1, {G_K} + 1)) AS u(slot)
+    FROM {corpus} c CROSS JOIN {p}nn, UNNEST(range(1, {G_K} + 1)) AS u(slot)
   )
 )""",
-        """init AS (
+        f"""{p}init AS (
   SELECT DISTINCT vec_id, neighbor_id FROM (
     SELECT vec_id,
       COALESCE(
@@ -430,26 +432,35 @@ def _graph_ctes() -> list[str]:
           ORDER BY ordkey, vec_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ) AS neighbor_id
-    FROM hashed
+    FROM {p}hashed
     WINDOW w AS (PARTITION BY slot, bucket ORDER BY ordkey, vec_id)
   ) WHERE neighbor_id <> vec_id
 )""",
     ]
-    ctes.append(_sql_score("init", "s0"))
-    ctes.append(_sql_top_k("s0", "g0", G_K, keep_score=False))
+    ctes.append(_sql_score(f"{p}init", f"{p}s0", corpus))
+    ctes.append(_sql_top_k(f"{p}s0", f"{p}g0", G_K, keep_score=False))
     for i in range(1, G_ITERS + 1):
-        ctes.append(f"""cand{i} AS (
-  SELECT vec_id, neighbor_id FROM g{i - 1}
+        ctes.append(f"""{p}cand{i} AS (
+  SELECT vec_id, neighbor_id FROM {p}g{i - 1}
   UNION
-  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g{i - 1}
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM {p}g{i - 1}
   UNION
   SELECT a.vec_id, b.neighbor_id
-  FROM g{i - 1} a JOIN g{i - 1} b ON a.neighbor_id = b.vec_id
+  FROM {p}g{i - 1} a JOIN {p}g{i - 1} b ON a.neighbor_id = b.vec_id
   WHERE b.neighbor_id <> a.vec_id
 )""")
-        ctes.append(_sql_score(f"cand{i}", f"s{i}"))
-        ctes.append(_sql_top_k(f"s{i}", f"g{i}", G_K, keep_score=False))
+        ctes.append(_sql_score(f"{p}cand{i}", f"{p}s{i}", corpus))
+        ctes.append(
+            _sql_top_k(f"{p}s{i}", f"{p}g{i}", G_K, keep_score=False)
+        )
     return ctes
+
+
+def _graph_ctes() -> list[str]:
+    return [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_ctes("", "corpus")
 
 
 def _materialize(sql: str) -> str:
@@ -474,17 +485,23 @@ def _knn_graph_sql() -> str:
     return _materialize(sql)
 
 
-def _sql_entries(graph: str) -> str:
+def _sql_entries(graph: str, out: str = "entries") -> str:
     """Entry vertices = first N_ENTRIES graph vertices in
     multiplicative-hash order (mirrors beam_search's derivation)."""
-    return f"""entries AS (
+    return f"""{out} AS (
   SELECT vec_id AS node FROM (SELECT DISTINCT vec_id FROM {graph})
   ORDER BY ((vec_id % 4294967296) * {INIT_MULT}) % 4294967296, vec_id
   LIMIT {N_ENTRIES}
 )"""
 
 
-def _sql_beam(cand: str, out: str, qsrc: str = "corpus", qid: str = "vec_id") -> str:
+def _sql_beam(
+    cand: str,
+    out: str,
+    qsrc: str = "corpus",
+    qid: str = "vec_id",
+    corpus: str = "corpus",
+) -> str:
     cos = _SQL_COS.format(q="q.e", c="y.e")
     return f"""{out} AS (
   SELECT query_id, node FROM (
@@ -492,11 +509,49 @@ def _sql_beam(cand: str, out: str, qsrc: str = "corpus", qid: str = "vec_id") ->
       ROW_NUMBER() OVER (PARTITION BY c.query_id
         ORDER BY {cos} DESC, c.node ASC) AS r
     FROM (SELECT DISTINCT query_id, node FROM {cand}) c
-    JOIN corpus y ON y.vec_id = c.node
+    JOIN {corpus} y ON y.vec_id = c.node
     JOIN {qsrc} q ON q.{qid} = c.query_id
     WHERE c.node <> c.query_id
   ) WHERE r <= {BEAM}
 )"""
+
+
+def _sql_search_ctes(
+    p: str,
+    graph: str,
+    qsrc: str,
+    corpus: str,
+) -> list[str]:
+    """Beam-search CTEs over ``graph`` for the (query_id, e) frame
+    ``qsrc``, scored against ``corpus``; names prefixed with ``p``.
+    Final scored frontier CTE: ``{p}fs`` (query_id, neighbor_id,
+    cosine)."""
+    ctes = [_sql_entries(graph, f"{p}entries")]
+    ctes.append(
+        f"{p}e0 AS (SELECT q.query_id, e.node"
+        f" FROM {qsrc} q CROSS JOIN {p}entries e)"
+    )
+    ctes.append(
+        _sql_beam(f"{p}e0", f"{p}f0", qsrc, "query_id", corpus)
+    )
+    for i in range(1, HOPS + 1):
+        ctes.append(f"""{p}c{i}h AS (
+  SELECT query_id, node FROM {p}f{i - 1}
+  UNION
+  SELECT f.query_id, g.neighbor_id AS node
+  FROM {p}f{i - 1} f JOIN {graph} g ON g.vec_id = f.node
+)""")
+        ctes.append(
+            _sql_beam(f"{p}c{i}h", f"{p}f{i}", qsrc, "query_id", corpus)
+        )
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""{p}fs AS (
+  SELECT f.query_id, f.node AS neighbor_id, {cos} AS cosine
+  FROM {p}f{HOPS} f
+  JOIN {corpus} y ON y.vec_id = f.node
+  JOIN {qsrc} q ON q.query_id = f.query_id
+)""")
+    return ctes
 
 
 def _search_ctes() -> list[str]:
@@ -632,11 +687,10 @@ GRAPH_RECALL_EVAL_SQL = _graph_recall_eval_sql()
 INSERT_BATCH = 50  # "today's arrivals": the highest 50 vec_ids
 
 
-def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Updated full graph (vec_id, neighbor_id, cosine, rank) after
-    inserting the INSERT_BATCH highest vec_ids into the graph built
-    over everything else."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _split_insert_batch(emb: DataFrame):
+    """(new, old) corpus frames: the INSERT_BATCH highest vec_ids are
+    'today's arrivals'; everything else is the already-indexed
+    corpus."""
     corpus_all = emb.select("vec_id", F.col("embedding").alias("e"))
     new = (
         corpus_all.orderBy(F.col("vec_id").desc())
@@ -646,10 +700,15 @@ def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = corpus_all.join(
         F.broadcast(new.select("vec_id")), "vec_id", "left_anti"
     )
-    g_old = build_knn_graph(
-        old.select("vec_id", F.col("e").alias("embedding"))
-    ).localCheckpoint(eager=True)
+    return new, old
 
+
+def insert_into_graph(
+    emb: DataFrame, g_old: DataFrame, new: DataFrame
+) -> DataFrame:
+    """Insert a (vec_id, e) batch into a built graph: the batch
+    beam-searches the old graph for its G_K out-edges; the symmetric
+    repair re-ranks only old vertices that gained a reverse edge."""
     new_edges = beam_search(
         emb,
         g_old,
@@ -684,6 +743,18 @@ def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "neighbor_id", "cosine", "rank"
     )
     return untouched.unionByName(repaired).unionByName(new_edges)
+
+
+def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updated full graph (vec_id, neighbor_id, cosine, rank) after
+    inserting the INSERT_BATCH highest vec_ids into the graph built
+    over everything else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new, old = _split_insert_batch(emb)
+    g_old = build_knn_graph(
+        old.select("vec_id", F.col("e").alias("embedding"))
+    ).localCheckpoint(eager=True)
+    return insert_into_graph(emb, g_old, new)
 
 
 def _knn_graph_insert_sql() -> str:
@@ -780,3 +851,186 @@ UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
 
 
 KNN_GRAPH_INSERT_SQL = _knn_graph_insert_sql()
+
+
+# --------------------------------------- rebuild-vs-insert policy
+#
+# The question a 100-TB daily ingest actually asks: after a batch of
+# arrivals, is the INCREMENTAL insert good enough to keep serving, or
+# is a fresh rebuild due?  This query runs the day-over-day scenario
+# end to end — build on yesterday's corpus, insert today's batch,
+# audit recall for the standard query set against brute-force truth
+# over the FULL corpus, side by side with a fresh full rebuild — and
+# returns the freshness/recall trade as one driver-checkable row per
+# query.  recall_insert <= recall_rebuild by construction (inserted
+# vectors are reachable only through repaired reverse edges until the
+# next rebuild); the GAP is the number the rebuild cadence is chosen
+# from.  Cost: the insert path is |batch|-bounded (the production
+# amortization); the fresh build is the linear-with-big-constant
+# full pass — paying both here is the point of the comparison.
+
+
+def q_graph_insert_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits_insert, n_hits_rebuild, recall_insert,
+    recall_rebuild): beam-search recall@TOP_K vs full-corpus brute
+    truth, for the insert-updated graph and a fresh rebuild."""
+    from .similarity import q_knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new, old = _split_insert_batch(emb)
+    g_old = build_knn_graph(
+        old.select("vec_id", F.col("e").alias("embedding"))
+    ).localCheckpoint(eager=True)
+    updated = insert_into_graph(emb, g_old, new).localCheckpoint(
+        eager=True
+    )
+    fresh = build_knn_graph(emb).localCheckpoint(eager=True)
+
+    truth = (
+        q_knn_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+
+    def hits(graph: DataFrame, out: str) -> DataFrame:
+        return (
+            beam_search(emb, graph)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(out))
+        )
+
+    return (
+        hits(updated, "n_hits_insert")
+        .join(hits(fresh, "n_hits_rebuild"), "query_id")
+        .withColumn(
+            "recall_insert",
+            F.round(F.col("n_hits_insert") / F.lit(float(TOP_K)), 6),
+        )
+        .withColumn(
+            "recall_rebuild",
+            F.round(F.col("n_hits_rebuild") / F.lit(float(TOP_K)), 6),
+        )
+    )
+
+
+def _graph_insert_policy_sql() -> str:
+    # ---- old-corpus build + insert (reuses the insert oracle's
+    # rebasing: corpus = allv minus the batch) ----
+    base = _graph_ctes()
+    assert base[0].startswith("corpus AS (")
+    pre = [
+        "allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""newids AS (
+  SELECT vec_id, e FROM (
+    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id DESC) AS rn
+    FROM allv
+  ) WHERE rn <= {INSERT_BATCH}
+)""",
+        "corpus AS (SELECT vec_id, e FROM allv WHERE vec_id NOT IN"
+        " (SELECT vec_id FROM newids))",
+    ]
+    ctes = pre + base[1:]
+    g = f"g{G_ITERS}"
+    ctes.append(_sql_score(g, "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    # batch beam-searches the OLD graph (scored against the old
+    # corpus — new ids are not in it yet, mirroring insert_into_graph)
+    ctes.append("bq AS (SELECT vec_id AS query_id, e FROM newids)")
+    ctes += _sql_search_ctes("b_", g, "bq", "corpus")
+    ctes.append(f"""new_edges AS (
+  SELECT query_id AS vec_id, neighbor_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM b_fs
+  ) WHERE rank <= {G_K}
+)""")
+    ctes.append(
+        "affected AS (SELECT DISTINCT neighbor_id AS vec_id"
+        " FROM new_edges)"
+    )
+    ctes.append(f"""repaired AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT g.vec_id, g.neighbor_id, g.cosine FROM gfin g
+      WHERE g.vec_id IN (SELECT vec_id FROM affected)
+      UNION ALL
+      SELECT n.neighbor_id AS vec_id, n.vec_id AS neighbor_id, n.cosine
+      FROM new_edges n
+    )
+  ) WHERE rank <= {G_K}
+)""")
+    ctes.append("""upd AS (
+  SELECT vec_id, neighbor_id FROM gfin
+  WHERE vec_id NOT IN (SELECT vec_id FROM affected)
+  UNION ALL SELECT vec_id, neighbor_id FROM repaired
+  UNION ALL SELECT vec_id, neighbor_id FROM new_edges
+)""")
+    # ---- fresh full rebuild ----
+    ctes += _build_ctes("fb_", "allv")
+    # ---- standard query set, both searches against the FULL corpus
+    ctes.append(
+        f"sq AS (SELECT vec_id AS query_id, e FROM allv"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    ctes += _sql_search_ctes("u_", "upd", "sq", "allv")
+    ctes += _sql_search_ctes("v_", f"fb_g{G_ITERS}", "sq", "allv")
+    for p, out in (("u_", "utop"), ("v_", "vtop")):
+        ctes.append(f"""{out} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM {p}fs
+  ) WHERE rank <= {TOP_K}
+)""")
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {cos} DESC, y.vec_id ASC) AS r
+    FROM allv q JOIN allv y ON y.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {TOP_K}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT u.query_id,
+  u.n_hits AS n_hits_insert,
+  v.n_hits AS n_hits_rebuild,
+  ROUND(u.n_hits / {float(TOP_K)}, 6) AS recall_insert,
+  ROUND(v.n_hits / {float(TOP_K)}, 6) AS recall_rebuild
+FROM (
+  SELECT s.query_id,
+    CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits
+  FROM utop s LEFT JOIN btop b
+    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+  GROUP BY s.query_id
+) u JOIN (
+  SELECT s.query_id,
+    CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits
+  FROM vtop s LEFT JOIN btop b
+    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+  GROUP BY s.query_id
+) v ON v.query_id = u.query_id"""
+    )
+    import re as _re
+
+    return _re.sub(
+        r"\b(allv|newids|corpus|nn|hashed|init|s\d+|g\d+|cand\d+|sfin"
+        r"|gfin|bq|sq|new_edges|affected|repaired|upd|utop|vtop|btop"
+        r"|(?:b_|u_|v_|fb_)\w+) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+GRAPH_INSERT_POLICY_SQL = _graph_insert_policy_sql()

@@ -165,8 +165,10 @@ HEADLINE = [
     "q_knn_binary",
     "q_orc_roundtrip",
     "q_stream_simhash_near_dup",
-    # added in round 9: BLAS-assignment SemDeDup (production variant)
+    # added in round 9: BLAS-assignment SemDeDup (production variant),
+    # rebuild-vs-insert freshness/recall policy audit
     "q_semdedup_blas",
+    "q_graph_insert_policy",
 ]
 
 

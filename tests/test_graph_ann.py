@@ -193,3 +193,21 @@ def test_incremental_insert_semantics(spark):
     assert [(round(c, 6), int(n)) for c, n in got] == [
         (round(c, 6), int(n)) for c, n in want
     ]
+
+
+def test_insert_policy_trade_row(spark):
+    """The rebuild-vs-insert policy audit: one row per standard query,
+    hits bounded by TOP_K, recalls = hits/TOP_K, and the incremental
+    index must still be serviceable (its mean recall not collapsed
+    relative to the fresh rebuild's — the trade the query exists to
+    measure; at sf0.1 it reads 0.88 vs 0.94)."""
+    df = GA.q_graph_insert_policy(spark, SF).toPandas()
+    assert len(df) == GA.N_QUERIES
+    assert df.query_id.is_unique
+    for col in ("n_hits_insert", "n_hits_rebuild"):
+        assert df[col].between(0, GA.TOP_K).all()
+    assert (df.recall_insert == (df.n_hits_insert / GA.TOP_K).round(6)).all()
+    assert (df.recall_rebuild == (df.n_hits_rebuild / GA.TOP_K).round(6)).all()
+    mi, mr = df.recall_insert.mean(), df.recall_rebuild.mean()
+    assert mr >= 0.8, mr
+    assert mi >= mr - 0.3, (mi, mr)
