@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  entry back below the boundary)
         "q_semdedup_blas": D.q_semdedup_blas,
         "q_graph_insert_policy": GA.q_graph_insert_policy,
+        "q_span_dedup_multik": SP.q_span_dedup_multik,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -137,10 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==== r6-green head borrowed to fill the window to 50 ====
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_exact": D.q_dedup_exact,
         # ==================== window boundary (50) ====================
         # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
         #      stalest behind the boundary — leads round 10) ====
+        "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
         "q_simhash": D.q_simhash,
         "q_dedup_embedding": D.q_dedup_embedding,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_simhash_near_dup": D.SIMHASH_NEAR_DUP_SQL,
         "q_knn_graph_insert": GA.KNN_GRAPH_INSERT_SQL,
         "q_graph_insert_policy": GA.GRAPH_INSERT_POLICY_SQL,
+        "q_span_dedup_multik": SP.SPAN_DEDUP_MULTIK_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -268,3 +268,158 @@ SELECT t.doc_id,
                             AS DOUBLE) / LEN(t.toks), 6) END AS kept_ratio
 FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
 """
+
+
+# ------------------------------------------------- multi-k span dedup
+#
+# Round-9 verdict item 7: q_span_dedup's single fixed gram length is
+# the one structural gap vs Lee et al.'s true LONGEST-MATCH semantics
+# (ExactSubstr cuts every maximal repeat >= 50 tokens, which a suffix
+# array finds at any length).  A distributed suffix array is the
+# wrong trade on Spark; this pass closes most of the distance with a
+# bounded-length ladder: grams at k ∈ {5, 20, 50} (50 = the paper's
+# production threshold) are built in ONE row-local expression, dup-
+# detected over ONE (k, gh) exchange, and each document's cut list is
+# the UNION of its duplicated [pos, pos+k) intervals across all k —
+# a long shared passage is counted once at full width (the 50-gram
+# rows subsume their 5-gram fragments in the union), while short
+# shared idioms still register at k=5.
+#
+# Interval union with VARIABLE lengths needs more than the lead-
+# window of the single-k report (where every interval had width n):
+# the classic sweep — sort by (start, end), running max of end over
+# strictly-preceding rows, covered = max(0, end - max(start,
+# prev_max_end)) — is one per-document window, same bounded state.
+#
+# Scale shape: grams per document are Σ_k (L-k+1) < 3L row-local
+# struct rows; the ONE exchange moves (k, 8-byte gh) keys; everything
+# after is per-document windows.  Same linear story as q_span_dedup,
+# 3x the constant.
+
+MULTIK_NS = (5, 20, 50)
+
+
+def span_positions_multik(
+    docs: DataFrame, ns: tuple[int, ...] = MULTIK_NS
+) -> DataFrame:
+    """(doc_id, n_tokens, k, pos, gh): every k-gram position for every
+    k in ``ns``, built in one pass (one concat of per-k transform
+    arrays inside the row, one posexplode)."""
+    per_k = [
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k} + 1), "
+        f"i -> named_struct('k', {k}, 'pos', i, "
+        f"'gram', array_join(slice(toks, i, {k}), ' '))) "
+        f"ELSE array(named_struct('k', 0, 'pos', 0, 'gram', '')) END"
+        for k in ns
+    ]
+    # explode_outer + post-filter, NOT plain explode: the sentinel
+    # element keeps every branch non-empty so InferFiltersFromGenerate
+    # cannot push a `size(concat(...)) > 0` filter that re-evaluates
+    # the whole gram expression below the Generate (the winnow trap).
+    allg = "concat(" + ", ".join(per_k) + ")"
+    return (
+        docs.select("doc_id", F.expr(_TOKENIZE_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.explode_outer(F.expr(allg)).alias("g"),
+        )
+        .filter(F.col("g.k") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("g.k").cast("long").alias("k"),
+            F.col("g.pos").cast("long").alias("pos"),
+            _hash60(F.col("g.gram"), SPAN_SEED).alias("gh"),
+        )
+    )
+
+
+def q_span_dedup_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document multi-k duplicated-span report: (doc_id, n_tokens,
+    dup_spans, dup_tokens, dup_ratio) where dup_spans counts every
+    duplicated (k, pos) occurrence and dup_tokens is the union of the
+    variable-width cut intervals."""
+    docs = load_table(spark, sf_dir, "documents")
+    positions = span_positions_multik(docs)
+    wgh = Window.partitionBy("k", "gh")
+    hits = (
+        positions.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            (F.col("pos") + F.col("k")).alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.greatest(
+        F.lit(0),
+        F.col("e")
+        - F.greatest(
+            F.col("pos"), F.coalesce(F.max("e").over(w), F.col("pos"))
+        ),
+    )
+    return (
+        hits.select("doc_id", "n_tokens", covered.alias("covered"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("covered").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_GH_K_SQL = _hash60_sql(
+    "array_to_string(list_slice(toks, i, i + k - 1), ' ')", SPAN_SEED
+)
+
+SPAN_DEDUP_MULTIK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, LEN(toks) AS n_tokens, kk.k, i AS pos, {_GH_K_SQL} AS gh
+  FROM toks,
+       UNNEST([{", ".join(str(k) for k in MULTIK_NS)}]) AS kk(k),
+       UNNEST(range(1, GREATEST(LEN(toks) - kk.k + 2, 1))) AS t(i)
+),
+dup AS (
+  SELECT k, gh FROM grams GROUP BY k, gh
+  HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS (
+  SELECT g.doc_id, g.n_tokens, g.pos, g.pos + g.k AS e
+  FROM grams g JOIN dup USING (k, gh)
+),
+cov AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(0, e - GREATEST(pos,
+           COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos)))
+           AS covered
+  FROM hits
+)
+SELECT doc_id, n_tokens,
+       COUNT(*) AS dup_spans,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(covered) AS DOUBLE) / n_tokens, 6) AS dup_ratio
+FROM cov
+GROUP BY doc_id, n_tokens
+"""

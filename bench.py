@@ -169,6 +169,7 @@ HEADLINE = [
     # rebuild-vs-insert freshness/recall policy audit
     "q_semdedup_blas",
     "q_graph_insert_policy",
+    "q_span_dedup_multik",
 ]
 
 

@@ -244,3 +244,81 @@ def test_span_dedup_apply_consistent_with_report(spark):
     for d, r in cut.items():
         assert d in report
         assert r.removed_tokens <= report[d].dup_tokens
+
+
+# ------------------------------------------- multi-k span dedup (r9)
+def test_multik_union_matches_python_replay(spark):
+    """Full independent replay at sf0.001: tokenize every document the
+    way the engine does, find cross-document duplicated k-grams for
+    every k in MULTIK_NS, union the variable-width intervals with a
+    plain sweep, and require dup_spans/dup_tokens to match exactly for
+    EVERY document."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        MULTIK_NS,
+        q_span_dedup_multik,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [x for x in re.split(r"\s+", r.text) if x != ""]
+        for r in t.itertuples()
+    }
+    holders = defaultdict(set)  # (k, gram) -> {doc_id}
+    pos_by_doc = defaultdict(list)  # doc -> [(pos, end)]
+    for d, tk in toks.items():
+        for k in MULTIK_NS:
+            for i in range(len(tk) - k + 1):
+                holders[(k, " ".join(tk[i : i + k]))].add(d)
+    for (k, g), ds in holders.items():
+        if len(ds) < 2:
+            continue
+        for d in ds:
+            tk = toks[d]
+            for i in range(len(tk) - k + 1):
+                if " ".join(tk[i : i + k]) == g:
+                    pos_by_doc[d].append((i + 1, i + 1 + k))
+    want = {}
+    for d, iv in pos_by_doc.items():
+        iv.sort()
+        cov, hi = 0, 0
+        for s, e in iv:
+            cov += max(0, e - max(s, hi))
+            hi = max(hi, e)
+        want[d] = (len(iv), cov)
+
+    got = {
+        int(r.doc_id): (int(r.dup_spans), int(r.dup_tokens))
+        for r in q_span_dedup_multik(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_multik_subsumes_single_k_and_stays_bounded(spark):
+    """The multi-k union must cover at least the single-k (k=5) report
+    for every document and never exceed the document's token count; a
+    long shared passage must register MORE covered tokens than its
+    5-gram fragmentation alone (the longest-match gap this operator
+    closes)."""
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        q_span_dedup,
+        q_span_dedup_multik,
+    )
+
+    single = {
+        int(r.doc_id): (int(r.dup_tokens), int(r.n_tokens))
+        for r in q_span_dedup(spark, SF_DIR).collect()
+    }
+    multi = {
+        int(r.doc_id): (int(r.dup_tokens), int(r.n_tokens))
+        for r in q_span_dedup_multik(spark, SF_DIR).collect()
+    }
+    assert set(single) <= set(multi)
+    for d, (dt5, n) in single.items():
+        dtm, nm = multi[d]
+        assert nm == n
+        assert dt5 <= dtm <= n, (d, dt5, dtm, n)
