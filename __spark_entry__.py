@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from activity_classifier_spark_cassandra_spark.ml import models as M
 from activity_classifier_spark_cassandra_spark.operators import asof as AJ
 from activity_classifier_spark_cassandra_spark.operators import cdc as C
+from activity_classifier_spark_cassandra_spark.operators import coreset as CS
 from activity_classifier_spark_cassandra_spark.operators import corpus as CP
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import bucketing as BK
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup_blas": D.q_semdedup_blas,
         "q_graph_insert_policy": GA.q_graph_insert_policy,
         "q_span_dedup_multik": SP.q_span_dedup_multik,
+        "q_coreset_kcenter": CS.q_coreset_kcenter,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -137,10 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==== r6-green head borrowed to fill the window to 50 ====
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         # ==================== window boundary (50) ====================
         # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
         #      stalest behind the boundary — leads round 10) ====
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
         "q_simhash": D.q_simhash,
@@ -393,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph_insert": GA.KNN_GRAPH_INSERT_SQL,
         "q_graph_insert_policy": GA.GRAPH_INSERT_POLICY_SQL,
         "q_span_dedup_multik": SP.SPAN_DEDUP_MULTIK_SQL,
+        "q_coreset_kcenter": CS.CORESET_KCENTER_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

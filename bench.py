@@ -170,6 +170,7 @@ HEADLINE = [
     "q_semdedup_blas",
     "q_graph_insert_policy",
     "q_span_dedup_multik",
+    "q_coreset_kcenter",
 ]
 
 
