@@ -37,6 +37,7 @@ from activity_classifier_spark_cassandra_spark.operators import incremental as I
 from activity_classifier_spark_cassandra_spark.operators import layout as LY
 from activity_classifier_spark_cassandra_spark.operators import manifest as MF
 from activity_classifier_spark_cassandra_spark.operators import paths as PA
+from activity_classifier_spark_cassandra_spark.operators import projection as PJ
 from activity_classifier_spark_cassandra_spark.operators import retrieval as RT
 from activity_classifier_spark_cassandra_spark.operators import shuffle as SF
 from activity_classifier_spark_cassandra_spark.operators import similarity as S
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_insert_policy": GA.q_graph_insert_policy,
         "q_span_dedup_multik": SP.q_span_dedup_multik,
         "q_coreset_kcenter": CS.q_coreset_kcenter,
+        "q_jl_recall_eval": PJ.q_jl_recall_eval,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -142,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==================== window boundary (50) ====================
         # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
         #      stalest behind the boundary — leads round 10) ====
+        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
@@ -396,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_insert_policy": GA.GRAPH_INSERT_POLICY_SQL,
         "q_span_dedup_multik": SP.SPAN_DEDUP_MULTIK_SQL,
         "q_coreset_kcenter": CS.CORESET_KCENTER_SQL,
+        "q_jl_recall_eval": PJ.JL_RECALL_EVAL_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -171,6 +171,7 @@ HEADLINE = [
     "q_graph_insert_policy",
     "q_span_dedup_multik",
     "q_coreset_kcenter",
+    "q_jl_recall_eval",
 ]
 
 
