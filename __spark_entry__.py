@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup_multik": SP.q_span_dedup_multik,
         "q_coreset_kcenter": CS.q_coreset_kcenter,
         "q_jl_recall_eval": PJ.q_jl_recall_eval,
+        "q_csv_roundtrip": IO.q_csv_roundtrip,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -138,13 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_evolution": IO.q_schema_evolution,
         "q_simhash_near_dup": D.q_simhash_near_dup,
         "q_dedup_clusters": G.q_dedup_clusters,
-        "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
         # ==== r6-green head borrowed to fill the window to 50 ====
         # ==================== window boundary (50) ====================
         # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
         #      stalest behind the boundary — leads round 10) ====
-        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_minhash": D.q_dedup_minhash,
@@ -400,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup_multik": SP.SPAN_DEDUP_MULTIK_SQL,
         "q_coreset_kcenter": CS.CORESET_KCENTER_SQL,
         "q_jl_recall_eval": PJ.JL_RECALL_EVAL_SQL,
+        "q_csv_roundtrip": IO.CSV_ROUNDTRIP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

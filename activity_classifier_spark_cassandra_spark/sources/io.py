@@ -429,6 +429,60 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
 
 
+def read_events_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """CSV scan with a mandatory explicit schema and the same pinned
+    microsecond timestamp format as the JSONL path."""
+    return (
+        spark.read.options(header="true", **_JSON_TS_OPTS)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_events_csv(df: DataFrame, path: str) -> None:
+    df.write.options(header="true", **_JSON_TS_OPTS).mode(
+        "overwrite"
+    ).csv(path)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked CSV roundtrip (closes the S2 row's pytest-only
+    gap): events → CSV (pinned timestamp format, header) → re-read
+    under the original schema → the same per-type rollup as the
+    JSONL/ORC roundtrips, value-hashed against the oracle running on
+    the ORIGINAL parquet.  Same temp hygiene: the tiny rollup is
+    materialized eagerly and the staging dir removed immediately."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "acsc_csv_roundtrip",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{uuid.uuid4().hex}",
+    )
+    write_events_csv(ev, out)
+    back = read_events_csv(spark, out, ev.schema)
+    ms = ts_ms(back, "ts")
+    res = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(ms).alias("min_ts_ms"),
+        F.max(ms).alias("max_ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+CSV_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
+
+
 def compact_small_files(
     spark: SparkSession,
     in_path: str,

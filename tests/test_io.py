@@ -338,3 +338,24 @@ def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.schema == ev.schema
     assert back.count() == ev.count()
+
+
+def test_csv_roundtrip_full_frame_exact(spark, tmp_path):
+    """events -> CSV (pinned ts format) -> re-read must reproduce the
+    FULL frame exactly (not just the rollup the driver checks): same
+    rows, same ts instants, same doubles."""
+    from activity_classifier_spark_cassandra_spark.sources.io import (
+        load_table,
+        read_events_csv,
+        write_events_csv,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_csv")
+    write_events_csv(ev, path)
+    back = read_events_csv(spark, path, ev.schema)
+    assert back.schema == ev.schema
+    cols = ev.columns
+    a = sorted(map(tuple, ev.select(cols).collect()))
+    b = sorted(map(tuple, back.select(cols).collect()))
+    assert a == b
