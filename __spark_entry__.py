@@ -36,6 +36,7 @@ from activity_classifier_spark_cassandra_spark.operators import sketches as SK
 from activity_classifier_spark_cassandra_spark.operators import incremental as INC
 from activity_classifier_spark_cassandra_spark.operators import layout as LY
 from activity_classifier_spark_cassandra_spark.operators import manifest as MF
+from activity_classifier_spark_cassandra_spark.operators import paragraphs as PG
 from activity_classifier_spark_cassandra_spark.operators import paths as PA
 from activity_classifier_spark_cassandra_spark.operators import projection as PJ
 from activity_classifier_spark_cassandra_spark.operators import retrieval as RT
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coreset_kcenter": CS.q_coreset_kcenter,
         "q_jl_recall_eval": PJ.q_jl_recall_eval,
         "q_csv_roundtrip": IO.q_csv_roundtrip,
+        "q_paragraph_dedup": PG.q_paragraph_dedup,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -401,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "q_coreset_kcenter": CS.CORESET_KCENTER_SQL,
         "q_jl_recall_eval": PJ.JL_RECALL_EVAL_SQL,
         "q_csv_roundtrip": IO.CSV_ROUNDTRIP_SQL,
+        "q_paragraph_dedup": PG.PARAGRAPH_DEDUP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -172,6 +172,7 @@ HEADLINE = [
     "q_span_dedup_multik",
     "q_coreset_kcenter",
     "q_jl_recall_eval",
+    "q_paragraph_dedup",
 ]
 
 

@@ -1,0 +1,135 @@
+"""Paragraph-unit dedup: hand-computable frames + invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from activity_classifier_spark_cassandra_spark.operators.paragraphs import (
+    PARA_W,
+    paragraph_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+
+
+def words(n, tag=""):
+    return " ".join(f"w{tag}{i}" for i in range(n))
+
+
+def test_exact_duplicate_paragraph_dropped_second_time(spark):
+    # doc 0 and doc 1 share their FIRST paragraph verbatim; doc 1's
+    # copy is dropped, doc 0 keeps it (first occurrence by doc_id).
+    shared = words(PARA_W, "s")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            _docs(
+                spark,
+                [
+                    (0, shared + " " + words(PARA_W, "a")),
+                    (1, shared + " " + words(PARA_W, "b")),
+                ],
+            )
+        ).collect()
+    }
+    assert out[0]["n_paras"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[0]["text_dedup"] == shared + " " + words(PARA_W, "a")
+    assert out[1]["text_dedup"] == words(PARA_W, "b")
+
+
+def test_within_doc_repeat_kept_once(spark):
+    # the same paragraph twice INSIDE one doc: second unit dropped,
+    # first kept at its position.
+    p = words(PARA_W, "x")
+    out = paragraph_dedup(
+        _docs(spark, [(7, p + " " + p)])
+    ).collect()[0]
+    assert out["n_paras"] == 2
+    assert out["n_kept"] == 1
+    assert out["text_dedup"] == p
+
+
+def test_all_units_duplicated_yields_empty_text(spark):
+    p = words(PARA_W, "z")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            _docs(spark, [(1, p), (2, p)])
+        ).collect()
+    }
+    assert out[2]["n_kept"] == 0
+    assert out[2]["text_dedup"] == ""
+    assert out[1]["text_dedup"] == p
+
+
+def test_short_doc_is_one_unit_and_reassembly_lossless(spark):
+    # fewer than PARA_W words -> exactly one unit; a corpus of unique
+    # docs reassembles verbatim.
+    rows = [(i, words(5, f"u{i}")) for i in range(4)]
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(_docs(spark, rows)).collect()
+    }
+    for i, t in rows:
+        assert out[i]["n_paras"] == 1
+        assert out[i]["n_kept"] == 1
+        assert out[i]["text_dedup"] == t
+
+
+def test_tail_unit_shorter_than_w_still_dedups(spark):
+    # 1.5 units: the short TAIL unit is its own dedup key.
+    head = words(PARA_W, "h")
+    tail = "t0 t1 t2"
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            _docs(
+                spark,
+                [(0, head + " " + tail), (1, words(PARA_W, "q") + " " + tail)],
+            )
+        ).collect()
+    }
+    assert out[0]["n_paras"] == 2 and out[0]["n_kept"] == 2
+    # doc 1 keeps its unique head, loses the shared tail
+    assert out[1]["n_kept"] == 1
+    assert out[1]["text_dedup"] == words(PARA_W, "q")
+
+
+def test_sf_corpus_invariants(spark, tmp_path):
+    from activity_classifier_spark_cassandra_spark.operators.paragraphs import (
+        q_paragraph_dedup,
+    )
+
+    out = q_paragraph_dedup(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 500  # every doc survives with a row
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_paras"]
+        if r["n_kept"]:
+            assert len(r["text_dedup"].split(" ")) <= r["n_paras"] * PARA_W
+    # global: total kept units == number of DISTINCT unit strings
+    total_kept = sum(r["n_kept"] for r in rows)
+    import pyspark.sql.functions as F
+
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    distinct_units = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .withColumn("np", F.expr(f"CAST(ceil(size(words) / {PARA_W}.0) AS INT)"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, np - 1),"
+                    f" i -> array_join(slice(words, i * {PARA_W} + 1, {PARA_W}), ' '))"
+                )
+            ).alias("para")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_units
