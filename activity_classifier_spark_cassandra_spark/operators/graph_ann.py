@@ -19,6 +19,14 @@ this module implements the *distributed* graph-ANN recipe instead:
    the difference between 7.7 GB and 11.5 GB of shuffle at the 100x
    probe, and between linear scaling and a broadcast cliff.
 
+1b. ``q_knn_graph_q8`` — the same NN-descent build ranked by **SQ8
+   quantized cosine**: the adjacency exchange ships int8 codes
+   (~90 B/row vs ~280 B at dim 64; ~10-40x lighter at production
+   dims), every round's fold is integer, and ONE exact rescore +
+   re-rank of the final K·N edges (the build's only corpus join)
+   restores exact cosines on the output.  Cuts the build's heavy
+   constant; recall parity is pinned in test_graph_ann.py.
+
 2. ``q_knn_graph_search`` — **beam search** over the built graph
    (the query half of HNSW, batched): all queries advance one hop per
    round; the frontier is (query_id, node) pairs — top ``BEAM`` by
@@ -119,20 +127,15 @@ def _top_k(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataFrame:
-    """NN-descent k-NN graph build; returns (vec_id, neighbor_id,
-    cosine, rank) for the final graph.  Init: for each of k
-    independent multiplicative hash orders, every vertex connects to
-    its successor within its hash bucket (cyclic) — id-distribution-
-    agnostic, one thin (vec_id, slot) exchange, bounded bucket sort."""
-    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
-    n = emb.count()  # one scalar aggregate — metadata-scale
+def _init_pairs(ids: DataFrame, k: int, n: int) -> DataFrame:
+    """Init-graph id pairs: for each of k independent multiplicative
+    hash orders, every vertex connects to its successor within its
+    hash bucket (cyclic) — id-distribution-agnostic, one thin
+    (vec_id, slot) exchange, bounded bucket sort."""
     nb = max(1, n // INIT_BUCKET)
-
     slots = ",".join(str(j) for j in range(1, k + 1))
     hashed = (
-        corpus.select("vec_id")
-        .select(
+        ids.select(
             "vec_id",
             F.explode(F.expr(f"array({slots})")).alias("slot"),
         )
@@ -155,7 +158,7 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
     wfull = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    init = (
+    return (
         hashed.withColumn(
             "neighbor_id",
             F.coalesce(
@@ -167,6 +170,14 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
         .select("vec_id", "neighbor_id")
         .distinct()
     )
+
+
+def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataFrame:
+    """NN-descent k-NN graph build; returns (vec_id, neighbor_id,
+    cosine, rank) for the final graph.  Init: see ``_init_pairs``."""
+    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
+    n = emb.count()  # one scalar aggregate — metadata-scale
+    init = _init_pairs(corpus.select("vec_id"), k, n)
 
     g = _top_k(_score(init, corpus), k).select(
         "vec_id", "neighbor_id", "cosine"
@@ -245,6 +256,182 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-descent k-NN graph over the full embeddings table."""
     return build_knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------- quantized-prescore build (scale path)
+#
+# The exact build's one heavy constant is the per-round adjacency
+# exchange: 2·K·N rows each carrying a full float vector (~280 B/row
+# at dim 64; ~1-4 KB at production dims).  The candidate GEOMETRY
+# does not need full precision — only the final ranking does.  So
+# the scale-path build ships int8-quantized vectors (SQ8, the same
+# per-vector maxabs/127 scheme as q_knn_int8: ~90 B/row regardless
+# of float width) on the adjacency exchange and ranks EVERY round by
+# quantized cosine — same init, same local-join round shape, integer
+# folds — then exact-rescores and exact-re-ranks the final K·N edges
+# with the build's ONLY corpus join.  With SQ8's ~1% cosine error
+# the graph differs from the exact build only at near-tie edges;
+# recall parity and edge overlap are pinned in test_graph_ann.py.
+# The DuckDB oracle replays quantization, quantized ranking, and the
+# final rescore exactly, so the query is hash-checked like every
+# other, not tolerance-gated.
+
+_IDOT8 = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+_Q8T = (
+    "transform(e, x -> CASE WHEN qm = 0.0D THEN CAST(0 AS TINYINT)"
+    " ELSE CAST(floor(CAST(x AS DOUBLE) / qm * 127.0D + 0.5D)"
+    " AS TINYINT) END)"
+)
+_MAXABS_E = (
+    "aggregate(e, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+)
+_QCOS_EXPR = (
+    f"CAST({_IDOT8.format(a='q1', b='q2')} AS DOUBLE) / (qn1 * qn2)"
+)
+
+
+def _qcos():
+    return F.round(F.expr(_QCOS_EXPR), 6)
+
+
+def _q8_corpus(corpus: DataFrame) -> DataFrame:
+    """(vec_id, q TINYINT[], qn DOUBLE) — SQ8 codes + quantized norm.
+    Two small checkpoints keep qm and q as plain attributes: without
+    the barrier CollapseProject re-inlines the maxabs fold into the
+    quantize lambda (64x per vector) and the quantize lambda into the
+    norm fold (the documented HOF re-inline trap)."""
+    cq = corpus.withColumn("qm", F.expr(_MAXABS_E)).localCheckpoint(
+        eager=True
+    )
+    cq8 = cq.select("vec_id", F.expr(_Q8T).alias("q")).localCheckpoint(
+        eager=True
+    )
+    return cq8.withColumn(
+        "qn",
+        F.expr(
+            f"sqrt(CAST({_IDOT8.format(a='q', b='q')} AS DOUBLE))"
+        ),
+    )
+
+
+def _score_q8(cand: DataFrame, q8: DataFrame) -> DataFrame:
+    """Quantized rounded cosine for thin (vec_id, neighbor_id) pairs."""
+    a = q8.select(
+        F.col("vec_id").alias("_a"),
+        F.col("q").alias("q1"),
+        F.col("qn").alias("qn1"),
+    )
+    b = q8.select(
+        F.col("vec_id").alias("_b"),
+        F.col("q").alias("q2"),
+        F.col("qn").alias("qn2"),
+    )
+    return (
+        cand.join(a, cand.vec_id == a._a)
+        .join(b, cand.neighbor_id == b._b)
+        .withColumn("qcos", _qcos())
+        .select("vec_id", "neighbor_id", "qcos")
+    )
+
+
+def _top_k_q(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_knn_graph_q8(
+    emb: DataFrame, k: int = G_K, iters: int = G_ITERS
+) -> DataFrame:
+    """NN-descent build ranked by SQ8 quantized cosine end-to-end,
+    with ONE exact rescore of the final K·N edges.  Same init and
+    local-join round shape as ``build_knn_graph`` — only the scoring
+    domain changes: the adjacency exchange carries int8 codes + one
+    double norm instead of the float vector, and every per-round fold
+    is integer.  No per-round corpus joins (a first cut pre-ranked
+    quantized then exact-rescored survivors INSIDE each round; the
+    rescore's two sort-merge joins against the corpus cost 30 s/round
+    at the 100x probe — more than the shuffle it saved.  Rank
+    quantized throughout, pay the corpus join once at the end)."""
+    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
+    n = emb.count()
+    q8 = _q8_corpus(corpus).localCheckpoint(eager=True)
+
+    init = _init_pairs(corpus.select("vec_id"), k, n)
+    g = (
+        _top_k_q(_score_q8(init, q8), k)
+        .select("vec_id", "neighbor_id", "qcos")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iters):
+        in_q = g.select(
+            F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
+        ).join(
+            q8.select(
+                F.col("vec_id").alias("v"),
+                F.col("q").alias("q1"),
+                F.col("qn").alias("qn1"),
+            ),
+            "v",
+        )
+        out_q = g.select(
+            F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w")
+        ).join(
+            q8.select(
+                F.col("vec_id").alias("w"),
+                F.col("q").alias("q2"),
+                F.col("qn").alias("qn2"),
+            ),
+            "w",
+        )
+        two_hop = (
+            in_q.join(out_q, "u")
+            .filter(F.col("v") != F.col("w"))
+            .withColumn("qcos", _qcos())
+            .select(
+                F.col("v").alias("vec_id"),
+                F.col("w").alias("neighbor_id"),
+                "qcos",
+            )
+        )
+        rev = g.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "qcos",
+        )
+        cand = (
+            g.unionByName(rev)
+            .unionByName(two_hop)
+            .groupBy("vec_id", "neighbor_id")
+            .agg(F.min("qcos").alias("qcos"))
+        )
+        g = (
+            _top_k_q(cand, k)
+            .select("vec_id", "neighbor_id", "qcos")
+            .localCheckpoint(eager=True)
+        )
+
+    # one exact rescore + exact re-rank of the final K·N edges — the
+    # only corpus join in the build
+    final = _score(g.select("vec_id", "neighbor_id"), corpus)
+    return _top_k(final, k).select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def q_knn_graph_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-prescored NN-descent graph over the embeddings table —
+    the documented default for production-width vectors."""
+    return build_knn_graph_q8(load_table(spark, sf_dir, "embeddings"))
 
 
 def save_knn_graph(graph: DataFrame, path: str) -> None:
@@ -456,6 +643,68 @@ def _build_ctes(p: str, corpus: str) -> list[str]:
     return ctes
 
 
+def _sql_score_q(cand: str, out: str, p: str) -> str:
+    """Quantized rounded cosine for thin id pairs via the {p}q8 CTE."""
+    return f"""{out} AS (
+  SELECT c.vec_id, c.neighbor_id,
+    ROUND(CAST(list_dot_product(x.q, y.q) AS DOUBLE)
+          / (x.qn * y.qn), 6) AS qcos
+  FROM {cand} c
+  JOIN {p}q8 x ON x.vec_id = c.vec_id
+  JOIN {p}q8 y ON y.vec_id = c.neighbor_id
+)"""
+
+
+def _sql_top_k_q(scored: str, out: str, k: int) -> str:
+    return f"""{out} AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY qcos DESC, neighbor_id ASC) AS rank
+    FROM {scored}
+  ) WHERE rank <= {k}
+)"""
+
+
+def _build_q8_ctes(p: str, corpus: str) -> list[str]:
+    """SQ8-ranked NN-descent build CTEs (mirrors build_knn_graph_q8):
+    identical init, every round scored and ranked by quantized
+    cosine.  Final QUANTIZED-ranked edge CTE: ``{p}g{G_ITERS}`` (id
+    pairs only — callers exact-rescore it)."""
+    ctes = _build_ctes(p, corpus)[:3]  # nn, hashed, init
+    ctes.append(f"""{p}qv AS (
+  SELECT vec_id,
+    list_transform(e, x -> CASE WHEN m = 0.0 THEN CAST(0 AS BIGINT)
+      ELSE CAST(floor(x / m * 127.0 + 0.5) AS BIGINT) END) AS q
+  FROM (
+    SELECT vec_id, e,
+      list_reduce(list_transform(e, x -> abs(x)),
+                  (acc, x) -> greatest(acc, x)) AS m
+    FROM {corpus}
+  )
+)""")
+    ctes.append(
+        f"{p}q8 AS (SELECT vec_id, q,"
+        f" sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qn"
+        f" FROM {p}qv)"
+    )
+    ctes.append(_sql_score_q(f"{p}init", f"{p}s0", p))
+    ctes.append(_sql_top_k_q(f"{p}s0", f"{p}g0", G_K))
+    for i in range(1, G_ITERS + 1):
+        ctes.append(f"""{p}cand{i} AS (
+  SELECT vec_id, neighbor_id FROM {p}g{i - 1}
+  UNION
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM {p}g{i - 1}
+  UNION
+  SELECT a.vec_id, b.neighbor_id
+  FROM {p}g{i - 1} a JOIN {p}g{i - 1} b ON a.neighbor_id = b.vec_id
+  WHERE b.neighbor_id <> a.vec_id
+)""")
+        ctes.append(_sql_score_q(f"{p}cand{i}", f"{p}s{i}", p))
+        ctes.append(_sql_top_k_q(f"{p}s{i}", f"{p}g{i}", G_K))
+    return ctes
+
+
 def _graph_ctes() -> list[str]:
     return [
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
@@ -468,7 +717,7 @@ def _materialize(sql: str) -> str:
 
     return _re.sub(
         r"\b(corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries|entries|e0"
-        r"|f\d+|c\d+h|fs\d+) AS \(",
+        r"|f\d+|c\d+h|fs\d+|qv|q8) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -601,8 +850,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     return _materialize(sql)
 
 
+def _knn_graph_q8_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(_sql_score(f"g{G_ITERS}", "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, neighbor_id, cosine, rank FROM gfin"
+    )
+    return _materialize(sql)
+
+
 KNN_GRAPH_SQL = _knn_graph_sql()
 KNN_GRAPH_SEARCH_SQL = _knn_graph_search_sql()
+KNN_GRAPH_Q8_SQL = _knn_graph_q8_sql()
 
 
 def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

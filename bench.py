@@ -173,6 +173,7 @@ HEADLINE = [
     "q_coreset_kcenter",
     "q_jl_recall_eval",
     "q_paragraph_dedup",
+    "q_knn_graph_q8",
 ]
 
 

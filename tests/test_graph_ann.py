@@ -211,3 +211,52 @@ def test_insert_policy_trade_row(spark):
     mi, mr = df.recall_insert.mean(), df.recall_rebuild.mean()
     assert mr >= 0.8, mr
     assert mi >= mr - 0.3, (mi, mr)
+
+
+def test_q8_prescore_build_recall_parity(spark, exact_topk):
+    """The SQ8-prescored build must match the exact build's graph
+    recall (the pre-filter only drops candidates outside its quantized
+    top-PRE_K, which with PRE_K = 2K and ~1% SQ8 cosine error should
+    cost nothing measurable), and both searches over it must stay a
+    usable index."""
+    ids, order, _ = exact_topk
+    emb = load_table(spark, SF, "embeddings")
+    g_exact = GA.build_knn_graph(emb).toPandas()
+    g_q8 = GA.build_knn_graph_q8(emb).toPandas()
+    r_exact = _graph_recall(g_exact, ids, order, GA.G_K)
+    r_q8 = _graph_recall(g_q8, ids, order, GA.G_K)
+    assert r_q8 >= r_exact - 0.02, (r_q8, r_exact)
+    # contract parity with the exact build
+    per = g_q8.groupby("vec_id").size()
+    assert (per <= GA.G_K).all()
+    assert (g_q8["vec_id"] != g_q8["neighbor_id"]).all()
+    # the overwhelming majority of edges should agree outright
+    key = lambda df: set(zip(df["vec_id"], df["neighbor_id"]))
+    overlap = len(key(g_exact) & key(g_q8)) / len(key(g_exact))
+    assert overlap > 0.95, overlap
+
+
+def test_q8_graph_serves_beam_search(spark, exact_topk):
+    """Beam search over the q8-built graph reaches the same recall@5
+    as over the exact build (the serving contract for the scale
+    path)."""
+    ids, order, _ = exact_topk
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        int(ids[i]): {int(ids[j]) for j in order[i, :5]}
+        for i in range(len(ids))
+        if ids[i] < GA.N_QUERIES
+    }
+
+    def recall(graph):
+        res = GA.beam_search(emb, graph, k=5).toPandas()
+        hits = sum(
+            int(n) in truth[int(q)]
+            for q, n in zip(res["query_id"], res["neighbor_id"])
+        )
+        return hits / (len(truth) * 5)
+
+    r_exact = recall(GA.build_knn_graph(emb))
+    r_q8 = recall(GA.build_knn_graph_q8(emb))
+    assert r_q8 >= r_exact - 0.02, (r_q8, r_exact)
+    assert r_q8 > 0.9, r_q8
