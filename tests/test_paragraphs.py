@@ -133,3 +133,67 @@ def test_sf_corpus_invariants(spark, tmp_path):
         .count()
     )
     assert total_kept == distinct_units
+
+
+# ------------------------------------------------- property testing
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+def _replay(texts):
+    """Pure-python first-occurrence paragraph dedup (the contract)."""
+    seen, expect = set(), {}
+    for di, t in enumerate(texts):
+        ws = t.split(" ")
+        paras = [
+            " ".join(ws[i : i + PARA_W])
+            for i in range(0, len(ws), PARA_W)
+        ]
+        kept = [p for p in paras if p not in seen and not seen.add(p)]
+        expect[di] = (len(paras), len(kept), " ".join(kept))
+    return expect
+
+
+if HAVE_HYP:
+    # tiny alphabet + short docs => heavy accidental duplication,
+    # single-word units, shared heads/tails — the adversarial regime
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=1, max_size=60).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def test_paragraph_dedup_matches_replay_random(spark, texts):
+        """Spark output == pure-python replay on random corpora."""
+        expect = _replay(texts)
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+            for r in paragraph_dedup(
+                _docs(spark, list(enumerate(texts)))
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_spark_matches_python_replay_on_adversarial_corpus(spark):
+    """One fixed adversarial corpus (dup-heavy, shared tails, within-
+    doc repeats) checked against the pure-python replay above."""
+    w = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    texts = [
+        w("x", PARA_W) + " " + w("x", PARA_W),          # within-doc repeat
+        w("x", PARA_W) + " " + w("y", PARA_W),          # cross-doc repeat
+        w("y", PARA_W),                                  # fully duplicated
+        w("z", 7),                                       # short unique
+        w("x", PARA_W) + " " + w("z", 7),               # repeat + short tail
+    ]
+    expect = _replay(texts)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup(
+            _docs(spark, list(enumerate(texts)))
+        ).collect()
+    }
+    assert got == expect
