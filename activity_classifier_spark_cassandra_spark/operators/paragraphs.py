@@ -17,16 +17,24 @@ non-overlapping and exhaustive (every word belongs to exactly one
 unit, so reassembly is lossless for non-duplicated content).
 
 First-occurrence policy: corpus-wide ordering by (doc_id, para_idx) —
-deterministic, join-free (one window over the content hash).
+deterministic, computed as ``groupBy(hash).agg(min(struct(doc_id,
+para_idx)))`` + a join back, NOT a window.  The hash VALUES are
+uniform, but their key FREQUENCIES follow the duplication skew — a
+boilerplate paragraph repeated across 20% of a web corpus is one
+md5 key carrying billions of rows.  A first-occurrence window over
+that key is a single-partition sort no planner can split; the
+aggregate form collapses every hot key map-side (partial min) to one
+row per distinct paragraph, and the join back is AQE-skew-splittable.
+Same result, same exchange count, no skew cliff.
 
 Scale shape (100 TB): paragraph rows are corpus-scale, so the plan is
 two content-carrying exchanges and no more — (1) hash-partition by
-md5(paragraph) for the first-occurrence window (the hash key is
-uniform by construction; no skew), (2) re-partition by doc_id for
-ordered reassembly.  Nothing is collected, no self-join, no
-all-pairs; both exchanges are linear in corpus bytes.  That is the
-same I/O floor as the published line-dedup pipelines (a global
-group-by-content pass is unavoidable for exact unit dedup).
+md5(paragraph) for the first-occurrence join (plus the metadata-thin
+decisions frame), (2) re-partition by doc_id for ordered reassembly.
+Nothing is collected, no self-join, no all-pairs; both exchanges are
+linear in corpus bytes.  That is the same I/O floor as the published
+line-dedup pipelines (a global group-by-content pass is unavoidable
+for exact unit dedup).
 
 Reference analogue: none (`activity-classifier` has no text surface)
 — north-star LLM-pipeline extension alongside q_dedup_exact /
@@ -35,7 +43,7 @@ q_span_dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -64,9 +72,13 @@ def paragraph_dedup(docs: DataFrame, w: int = PARA_W) -> DataFrame:
         )
         .withColumn("h", F.md5("para"))
     )
-    first = Window.partitionBy("h").orderBy("doc_id", "para_idx")
-    kept = paras.withColumn(
-        "keep", F.row_number().over(first) == 1
+    first = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    kept = paras.join(first, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("para_idx") == F.col("first.para_idx")),
     )
     return (
         kept.groupBy("doc_id")

@@ -197,3 +197,19 @@ def test_spark_matches_python_replay_on_adversarial_corpus(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_first_occurrence_is_aggregate_not_window(spark):
+    """The first-occurrence decision must plan as groupBy(h).min(...)
+    (map-side partial combine collapses a hot boilerplate hash to one
+    row per map task; the join back is AQE-skew-splittable) — never a
+    window over the content hash, which would single-partition-sort
+    the hot key.  Pin the plan shape."""
+    from activity_classifier_spark_cassandra_spark.operators.paragraphs import (
+        q_paragraph_dedup,
+    )
+
+    plan = q_paragraph_dedup(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window allowed: none (reassembly is an aggregate too)
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan or "HashAggregate" in plan
