@@ -258,7 +258,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
-# ----------------------------- quantized-prescore build (scale path)
+# ------------------------------- SQ8-ranked build (the scale path)
 #
 # The exact build's one heavy constant is the per-round adjacency
 # exchange: 2·K·N rows each carrying a full float vector (~280 B/row
@@ -437,8 +437,10 @@ def q_knn_graph_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def save_knn_graph(graph: DataFrame, path: str) -> None:
     """Persist a built index: thin (vec_id, neighbor_id, cosine, rank)
     parquet, bucketable by vec_id at warehouse scale.  A production
-    deployment builds once per ingest batch and serves many searches —
-    the index table is 32 bytes/edge regardless of vector width."""
+    deployment builds once per ingest batch (``build_knn_graph_q8``
+    for wide vectors — same output contract, a fraction of the
+    shuffle) and serves many searches — the index table is 32
+    bytes/edge regardless of vector width."""
     graph.write.mode("overwrite").parquet(path)
 
 
