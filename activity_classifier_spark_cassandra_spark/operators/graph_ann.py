@@ -21,8 +21,9 @@ this module implements the *distributed* graph-ANN recipe instead:
 
 1b. ``q_knn_graph_q8`` — the same NN-descent build ranked by **SQ8
    quantized cosine**: the adjacency exchange ships int8 codes
-   (~90 B/row vs ~280 B at dim 64; ~10-40x lighter at production
-   dims), every round's fold is integer, and ONE exact rescore +
+   (1 byte/dim vs 4 — ~4x fewer vector bytes at any width, 8x vs
+   float64 stores), every round's fold is integer, and ONE exact
+   rescore +
    re-rank of the final K·N edges (the build's only corpus join)
    restores exact cosines on the output.  Cuts the build's heavy
    constant; recall parity is pinned in test_graph_ann.py.
@@ -265,8 +266,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at dim 64; ~1-4 KB at production dims).  The candidate GEOMETRY
 # does not need full precision — only the final ranking does.  So
 # the scale-path build ships int8-quantized vectors (SQ8, the same
-# per-vector maxabs/127 scheme as q_knn_int8: ~90 B/row regardless
-# of float width) on the adjacency exchange and ranks EVERY round by
+# per-vector maxabs/127 scheme as q_knn_int8: 1 byte/dim vs 4 — ~4x
+# fewer vector bytes at any width) on the adjacency exchange and
+# ranks EVERY round by
 # quantized cosine — same init, same local-join round shape, integer
 # folds — then exact-rescores and exact-re-ranks the final K·N edges
 # with the build's ONLY corpus join.  With SQ8's ~1% cosine error
