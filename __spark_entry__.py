@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_roundtrip": IO.q_csv_roundtrip,
         "q_paragraph_dedup": PG.q_paragraph_dedup,
         "q_knn_graph_q8": GA.q_knn_graph_q8,
+        "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "q_csv_roundtrip": IO.CSV_ROUNDTRIP_SQL,
         "q_paragraph_dedup": PG.PARAGRAPH_DEDUP_SQL,
         "q_knn_graph_q8": GA.KNN_GRAPH_Q8_SQL,
+        "q_graph_q8_recall_eval": GA.GRAPH_Q8_RECALL_EVAL_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -937,6 +937,79 @@ GROUP BY s.query_id"""
 GRAPH_RECALL_EVAL_SQL = _graph_recall_eval_sql()
 
 
+def q_graph_q8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit for the SCALE-PATH build: beam-search
+    top-5 over the SQ8-built graph vs brute-force truth —
+    (query_id, n_hits, recall_at_5), the driver-checkable counterpart
+    of q_graph_recall_eval for build_knn_graph_q8 (the pytest recall
+    parity, as an oracle row)."""
+    from .similarity import q_knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    search = beam_search(emb, graph).select("query_id", "neighbor_id")
+    truth = (
+        q_knn_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        search.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn(
+            "recall_at_5",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6),
+        )
+    )
+
+
+def _graph_q8_recall_eval_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(
+        f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    ctes += _sql_search_ctes("", f"g{G_ITERS}", "queries", "corpus")
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""searchres AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM fs
+  ) WHERE rank <= {TOP_K}
+)""")
+    ctes.append(f"""btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {cos} DESC, y.vec_id ASC) AS r
+    FROM corpus q JOIN corpus y ON y.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {TOP_K}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT s.query_id,
+  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hits,
+  ROUND(CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) / {float(TOP_K)}, 6) AS recall_at_5
+FROM searchres s
+LEFT JOIN btop b
+  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+GROUP BY s.query_id"""
+    )
+    return _materialize(sql)
+
+
+GRAPH_Q8_RECALL_EVAL_SQL = _graph_q8_recall_eval_sql()
+
+
 # --------------------------------------------- incremental insert
 #
 # The daily-ingest path for a built index: a batch of NEW vectors is
