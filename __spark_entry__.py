@@ -74,8 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and need a fresh driver check), then new round-9 operators as
     they land, then the r5-green block and the head of the r6-green
     block fill the window to 50.  Everything in-window is
-    sweep-green at both SFs on round-9 final HEAD (192/0:
-    VERIFY_LOCAL_r09_final.txt, VERIFY_LOCAL_SF01_r09_final.txt).
+    sweep-green at both SFs on round-9 final HEAD (193/0 at sf0.01:
+    VERIFY_LOCAL_r09_final.txt; 192/0 + the newest row individually
+    at sf0.1: VERIFY_LOCAL_SF01_r09_final.txt).
     Behind the boundary: the rest of the r6-green block (stalest
     first -- they lead the round-10 window), the r7-green block,
     and the 38 entries the round-8 driver just verified backmost."""
