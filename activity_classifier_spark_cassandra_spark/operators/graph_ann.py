@@ -557,9 +557,13 @@ def beam_search(
 def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build + search in one plan (the driver-checkable end-to-end);
     ``beam_search`` over a ``load_knn_graph``-ed table is the serving
-    path a deployment uses after ``save_knn_graph``."""
+    path a deployment uses after ``save_knn_graph``.  Composes the
+    SQ8 build — the measured production default (wins wall AND
+    shuffle from 10x up, oracle-proven recall parity; round-9
+    head-to-head in BASELINE.md).  ``build_knn_graph`` remains as
+    ``q_knn_graph``, the exact replay."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = build_knn_graph(emb).localCheckpoint(eager=True)
+    graph = build_knn_graph_q8(emb).localCheckpoint(eager=True)
     return beam_search(emb, graph)
 
 
@@ -842,13 +846,26 @@ def _search_ctes() -> list[str]:
 
 
 def _knn_graph_search_sql() -> str:
+    """Replays the SQ8 build (the composition default) + beam search.
+    Only the edge SET feeds the search, and the final exact rescore
+    re-ranks the same <=K edges per vertex, so the search reads the
+    quantized-ranked g{G_ITERS} directly."""
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(
+        f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    ctes += _sql_search_ctes("", f"g{G_ITERS}", "queries", "corpus")
     sql = (
-        "WITH " + ",\n".join(_search_ctes())
+        "WITH " + ",\n".join(ctes)
         + f"""
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM fs{HOPS}
+  FROM fs
 ) WHERE rank <= {TOP_K}"""
     )
     return _materialize(sql)
@@ -874,15 +891,18 @@ KNN_GRAPH_Q8_SQL = _knn_graph_q8_sql()
 
 
 def q_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality audit as a first-class query: beam-search top-5
-    vs brute-force top-5 per query — (query_id, n_hits, recall_at_5).
-    Same shape as q_ann_recall_eval: the ground-truth side IS the
-    documented brute scan (bounded: |queries| x corpus)."""
+    """Index-quality audit for the EXACT replay build: beam-search
+    top-5 vs brute-force top-5 per query — (query_id, n_hits,
+    recall_at_5).  Same shape as q_ann_recall_eval: the ground-truth
+    side IS the documented brute scan (bounded: |queries| x corpus).
+    Builds ``build_knn_graph`` inline (q_knn_graph_search composes
+    the SQ8 default since round 10; this audit keeps the exact build
+    measured — its q8 counterpart is q_graph_q8_recall_eval)."""
     from .similarity import q_knn_brute
 
-    search = q_knn_graph_search(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph(emb).localCheckpoint(eager=True)
+    search = beam_search(emb, graph).select("query_id", "neighbor_id")
     truth = (
         q_knn_brute(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -1089,21 +1109,24 @@ def insert_into_graph(
 def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Updated full graph (vec_id, neighbor_id, cosine, rank) after
     inserting the INSERT_BATCH highest vec_ids into the graph built
-    over everything else."""
+    over everything else.  The standing index is the SQ8 build (the
+    production default since round 10 — same output contract as the
+    exact build, a fraction of the shuffle); insert/repair arithmetic
+    stays exact because the q8 build's final rescore emits exact
+    cosines."""
     emb = load_table(spark, sf_dir, "embeddings")
     new, old = _split_insert_batch(emb)
-    g_old = build_knn_graph(
+    g_old = build_knn_graph_q8(
         old.select("vec_id", F.col("e").alias("embedding"))
     ).localCheckpoint(eager=True)
     return insert_into_graph(emb, g_old, new)
 
 
 def _knn_graph_insert_sql() -> str:
-    base = _graph_ctes()
-    # rebase the build CTEs onto the OLD corpus: prepend the batch
-    # split and swap the corpus/nn sources
-    assert base[0].startswith("corpus AS (")
-    assert base[1].startswith("nn AS (")
+    # rebase the SQ8 build CTEs onto the OLD corpus: prepend the
+    # batch split and swap the corpus/nn sources
+    base = _build_q8_ctes("", "corpus")
+    assert base[0].startswith("nn AS (")
     pre = [
         "allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings)",
@@ -1118,7 +1141,7 @@ def _knn_graph_insert_sql() -> str:
         "nn AS (SELECT GREATEST(1, COUNT(*) // {b}) AS nb"
         " FROM corpus)".format(b=INIT_BUCKET),
     ]
-    ctes = pre + base[2:]
+    ctes = pre + base[1:]
     g = f"g{G_ITERS}"
     ctes.append(_sql_score(g, "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
@@ -1183,9 +1206,9 @@ UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
     import re as _re
 
     return _re.sub(
-        r"\b(allv|newids|corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries"
-        r"|entries|e0|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges|affected"
-        r"|repaired) AS \(",
+        r"\b(allv|newids|corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+"
+        r"|queries|entries|e0|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges"
+        r"|affected|repaired) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -1219,13 +1242,16 @@ def q_graph_insert_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     new, old = _split_insert_batch(emb)
-    g_old = build_knn_graph(
+    # both standing indexes are the SQ8 build — the production
+    # default since round 10; the policy compares INSERT-vs-REBUILD,
+    # not quantized-vs-exact (that is q_graph_q8_recall_eval's job)
+    g_old = build_knn_graph_q8(
         old.select("vec_id", F.col("e").alias("embedding"))
     ).localCheckpoint(eager=True)
     updated = insert_into_graph(emb, g_old, new).localCheckpoint(
         eager=True
     )
-    fresh = build_knn_graph(emb).localCheckpoint(eager=True)
+    fresh = build_knn_graph_q8(emb).localCheckpoint(eager=True)
 
     truth = (
         q_knn_brute(spark, sf_dir)
@@ -1257,10 +1283,10 @@ def q_graph_insert_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_insert_policy_sql() -> str:
-    # ---- old-corpus build + insert (reuses the insert oracle's
+    # ---- old-corpus SQ8 build + insert (reuses the insert oracle's
     # rebasing: corpus = allv minus the batch) ----
-    base = _graph_ctes()
-    assert base[0].startswith("corpus AS (")
+    base = _build_q8_ctes("", "corpus")
+    assert base[0].startswith("nn AS (")
     pre = [
         "allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings)",
@@ -1273,7 +1299,7 @@ def _graph_insert_policy_sql() -> str:
         "corpus AS (SELECT vec_id, e FROM allv WHERE vec_id NOT IN"
         " (SELECT vec_id FROM newids))",
     ]
-    ctes = pre + base[1:]
+    ctes = pre + base
     g = f"g{G_ITERS}"
     ctes.append(_sql_score(g, "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
@@ -1312,8 +1338,8 @@ def _graph_insert_policy_sql() -> str:
   UNION ALL SELECT vec_id, neighbor_id FROM repaired
   UNION ALL SELECT vec_id, neighbor_id FROM new_edges
 )""")
-    # ---- fresh full rebuild ----
-    ctes += _build_ctes("fb_", "allv")
+    # ---- fresh full rebuild (SQ8 as well) ----
+    ctes += _build_q8_ctes("fb_", "allv")
     # ---- standard query set, both searches against the FULL corpus
     ctes.append(
         f"sq AS (SELECT vec_id AS query_id, e FROM allv"
@@ -1366,9 +1392,9 @@ FROM (
     import re as _re
 
     return _re.sub(
-        r"\b(allv|newids|corpus|nn|hashed|init|s\d+|g\d+|cand\d+|sfin"
-        r"|gfin|bq|sq|new_edges|affected|repaired|upd|utop|vtop|btop"
-        r"|(?:b_|u_|v_|fb_)\w+) AS \(",
+        r"\b(allv|newids|corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+"
+        r"|sfin|gfin|bq|sq|new_edges|affected|repaired|upd|utop|vtop"
+        r"|btop|(?:b_|u_|v_|fb_)\w+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )

@@ -150,7 +150,10 @@ def test_incremental_insert_semantics(spark):
     old_ids = set(all_ids) - new_ids
 
     updated = GA.q_knn_graph_insert(spark, SF).toPandas()
-    old_graph = GA.build_knn_graph(
+    # same builder the query composes (SQ8, the round-10 default) —
+    # the contract under test is the INSERT semantics, so the
+    # standing index must be byte-identical to the query's
+    old_graph = GA.build_knn_graph_q8(
         emb.filter(~emb.vec_id.isin(list(new_ids)))
     ).toPandas()
 
@@ -214,11 +217,11 @@ def test_insert_policy_trade_row(spark):
 
 
 def test_q8_prescore_build_recall_parity(spark, exact_topk):
-    """The SQ8-prescored build must match the exact build's graph
-    recall (the pre-filter only drops candidates outside its quantized
-    top-PRE_K, which with PRE_K = 2K and ~1% SQ8 cosine error should
-    cost nothing measurable), and both searches over it must stay a
-    usable index."""
+    """The SQ8 build must match the exact build's graph recall: every
+    NN-descent round ranks candidates by SQ8 quantized cosine (~1%
+    relative error) end-to-end, with one exact rescore at the very end,
+    so only near-tie edges can differ from the exact build — and a
+    near-tie swap cannot move graph recall measurably."""
     ids, order, _ = exact_topk
     emb = load_table(spark, SF, "embeddings")
     g_exact = GA.build_knn_graph(emb).toPandas()

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "q_ppl_buckets",  # inherits the KN subplan's 1-row type-total broadcast
     "q_knn_binary",  # |queries| signature rows broadcast into the 8-byte scan
     "q_graph_recall_eval",  # ground-truth side IS the documented brute scan
+    "q_graph_q8_recall_eval",  # ground-truth side IS the documented brute scan
     "q_graph_insert_policy",  # same brute-truth side as q_graph_recall_eval
     "q_jl_recall_eval",  # bounded |queries| x corpus audit scan, both brute sides
 }

@@ -78,9 +78,9 @@ def main() -> None:
             t0 = time.time()
             fn(emb).write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
+            run_bytes = _shuffle_bytes_since(spark, floor)
             if wall < best:
-                best = wall
-            bytes_rw = _shuffle_bytes_since(spark, floor)
+                best, bytes_rw = wall, run_bytes
         rows.append((name, best, *bytes_rw))
         print(f"{name}: {best:.2f}s shuffle_read="
               f"{bytes_rw[0] / 1e6:.1f}MB", flush=True)
