@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": PG.q_paragraph_dedup,
         "q_knn_graph_q8": GA.q_knn_graph_q8,
         "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
+        # ==== NEW in round 10 — never driver-verified, in-window ====
+        "q_knn_graph_routed": GA.q_knn_graph_routed,
+        "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
         # ==== r5-green block fills the window (last check r5) ====
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
@@ -410,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "q_paragraph_dedup": PG.PARAGRAPH_DEDUP_SQL,
         "q_knn_graph_q8": GA.KNN_GRAPH_Q8_SQL,
         "q_graph_q8_recall_eval": GA.GRAPH_Q8_RECALL_EVAL_SQL,
+        "q_knn_graph_routed": GA.KNN_GRAPH_ROUTED_SQL,
+        "q_graph_routed_recall_eval": GA.GRAPH_ROUTED_RECALL_EVAL_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -455,6 +455,7 @@ def beam_search(
     graph: DataFrame,
     queries: DataFrame | None = None,
     k: int = TOP_K,
+    entry_frontier: DataFrame | None = None,
 ) -> DataFrame:
     """Beam-search top-k over a PRE-BUILT graph (the persisted-index
     serving path): all queries advance together, one graph join per
@@ -467,7 +468,10 @@ def beam_search(
     they always exist, spread pseudo-uniformly over the corpus (the
     recall fix at larger N: a single entry navigated the plateaued
     graph at 0.26 recall; 24 spread entries + beam 64 reach 0.94),
-    and never assume contiguous or dense vec_ids."""
+    and never assume contiguous or dense vec_ids.  Pass
+    ``entry_frontier`` — a (query_id, node) frame — to start each
+    query from ITS OWN entries instead (the IVF-routed path:
+    ``beam_search_routed``)."""
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     graph = graph.select("vec_id", "neighbor_id")
 
@@ -477,24 +481,30 @@ def beam_search(
             F.col("embedding").alias("e1"),
         )
 
-    entries = (
-        graph.select("vec_id")
-        .distinct()
-        .withColumn(
-            "h",
-            F.expr(
-                f"((vec_id % 4294967296L) * {INIT_MULT}L) % 4294967296L"
-            ),
+    if entry_frontier is not None:
+        frontier = entry_frontier.select("query_id", "node")
+    else:
+        entries = (
+            graph.select("vec_id")
+            .distinct()
+            .withColumn(
+                "h",
+                F.expr(
+                    f"((vec_id % 4294967296L) * {INIT_MULT}L)"
+                    " % 4294967296L"
+                ),
+            )
+            .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+            .limit(N_ENTRIES)  # TakeOrderedAndProject: per-partition
+            # top-24 + a 24-row driver merge, never a global sort
+            .select(F.col("vec_id").alias("node"))
         )
-        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
-        .limit(N_ENTRIES)  # TakeOrderedAndProject: per-partition
-        # top-24 + a 24-row driver merge, never a global sort
-        .select(F.col("vec_id").alias("node"))
-    )
-    # frontier: (query_id, node); scored against the query vector.
-    # crossJoin is |queries| x N_ENTRIES with the 24-row side
-    # broadcast — bounded, never corpus-scale.
-    frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
+        # frontier: (query_id, node); scored against the query vector.
+        # crossJoin is |queries| x N_ENTRIES with the 24-row side
+        # broadcast — bounded, never corpus-scale.
+        frontier = queries.select("query_id").crossJoin(
+            F.broadcast(entries)
+        )
 
     def beam(fr: DataFrame) -> DataFrame:
         scored = (
@@ -1401,3 +1411,299 @@ FROM (
 
 
 GRAPH_INSERT_POLICY_SQL = _graph_insert_policy_sql()
+
+
+# ------------------------------------------ IVF-routed entry vertices
+#
+# Round-9 residual: entry vertices were the first N_ENTRIES graph
+# vertices in a fixed hash order — corpus-location-BLIND, so recall
+# at growing N was bought with beam width and hop count (the search
+# walks from wherever the hash landed to wherever the query lives).
+# The scale fix is classic two-level ANN: train a coarse quantizer
+# once per index build (train_kmeans_centroids_blas — one BLAS
+# mapInPandas assignment per Lloyd round), route each query to its
+# ROUTE_NPROBE nearest cells, and seed the beam with the
+# ROUTE_ENTRIES members of those cells nearest THE QUERY (exact
+# cosine — an IVF multiprobe candidate pass whose top-24 becomes the
+# entry frontier).  Every query then STARTS among approximate
+# neighbors, so hop count buys refinement instead of transit, and
+# the entry budget per query stays the same 24 vertices as the
+# hash-spread default.  Measured at N=20,000 (tools/routed_probe.py,
+# fresh dim-64 corpus, BEAM/HOPS unchanged): hash-spread 0.72,
+# centroid-ranked cell representatives 0.82, query-ranked cell
+# members 0.92 (np=3) / 0.96 (np=6) — the query-ranked form is the
+# shipped semantics.
+#
+# Scale shape: the routing table (queries x nprobe) broadcasts; the
+# corpus-side work is ONE BLAS assignment pass plus scoring only the
+# probed cells' members — nprobe·N/ROUTE_K rows per query (the
+# standard IVF probe cost; ROUTE_K grows ~sqrt(N) at warehouse
+# scale, keeping cells bounded).  The corpus is never re-keyed.
+#
+# The DuckDB oracle replays Lloyd training (the fold path —
+# blas_assign is assignment-identical by the 6-dp rounding argument
+# in similarity.py), the query routing, the member scoring, and the
+# beam search, all as MATERIALIZED CTEs — hash-checked like every
+# other query, not tolerance-gated.
+
+ROUTE_K = 16         # trained coarse centroids (index-build knob;
+                     # probes pass larger k at larger N)
+ROUTE_NPROBE = 3     # nearest centroids consulted per query
+ROUTE_ENTRIES = N_ENTRIES  # entry vertices per query (= the
+                     # hash-spread default's budget)
+
+
+def routed_entry_frontier(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int = ROUTE_NPROBE,
+    n_entries: int = ROUTE_ENTRIES,
+) -> DataFrame:
+    """(query_id, node) per-query entry vertices: the ``n_entries``
+    members of the query's ``nprobe`` nearest cells ranked by exact
+    cosine to the query (restricted to graph vertices)."""
+    from .similarity import _D2_FOLD, _cents_literal, blas_assign
+
+    assigned = blas_assign(emb, cents, keep_embedding=True)
+    member = assigned.join(
+        graph.select("vec_id").distinct(), "vec_id", "left_semi"
+    ).select(
+        "cluster",
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("e2"),
+    )
+    routes = (
+        queries.select(
+            "query_id",
+            F.col("e1"),
+            F.explode(F.expr(_cents_literal(cents))).alias("c"),
+        )
+        .withColumn("d2", F.expr(_D2_FOLD.format(x="e1", c="c.c")))
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d2").asc(), F.col("c.k").asc()
+                )
+            ),
+        )
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", F.col("c.k").alias("cluster"), "e1")
+    )
+    scored = (
+        member.join(F.broadcast(routes), "cluster")
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(_COS), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("er", F.row_number().over(w))
+        .filter(F.col("er") <= n_entries)
+        .select("query_id", "node")
+    )
+
+
+def beam_search_routed(
+    emb: DataFrame,
+    graph: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    queries: DataFrame | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Beam search starting from IVF-routed per-query entries."""
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("e1"),
+        )
+    ef = routed_entry_frontier(emb, graph, queries, cents)
+    return beam_search(emb, graph, queries=queries, k=k, entry_frontier=ef)
+
+
+def q_knn_graph_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 build + IVF-routed beam search end-to-end: (query_id,
+    neighbor_id, cosine, rank) — the growing-N serving shape (entries
+    start inside the query's coarse cell instead of hash-spread)."""
+    from .similarity import train_kmeans_centroids_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    cents = train_kmeans_centroids_blas(emb, k=ROUTE_K)
+    return beam_search_routed(emb, graph, cents)
+
+
+def q_graph_routed_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall audit for the routed search: routed beam top-5 vs
+    brute-force truth — (query_id, n_hits, recall_at_5).  The
+    ground-truth side IS the documented brute scan (bounded:
+    |queries| x corpus), same as q_graph_recall_eval."""
+    from .similarity import q_knn_brute
+
+    search = q_knn_graph_routed(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    truth = (
+        q_knn_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        search.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .withColumn(
+            "recall_at_5",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6),
+        )
+    )
+
+
+def _routed_ctes() -> list[str]:
+    """Lloyd training + member ranking + query routing + q8 build +
+    beam search, through the scored frontier CTE ``fs``."""
+    from .similarity import (
+        KMEANS_ITERS,
+        _sql_assign,
+        _sql_d2,
+        _sql_update,
+    )
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT {ROUTE_K})
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(_sql_assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(_sql_update(f"a{i}", f"c{i}"))
+    fin = f"c{KMEANS_ITERS}"
+    d2 = _sql_d2("v.e", "c.centroid")
+    ctes.append(f"""afd AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM corpus v CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)""")
+    ctes += _build_q8_ctes("", "corpus")
+    g = f"g{G_ITERS}"
+    ctes.append(
+        f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    d2q = _sql_d2("q.e", "c.centroid")
+    ctes.append(f"""routes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {d2q} ASC, c.cluster ASC) AS cr
+    FROM queries q CROSS JOIN {fin} c
+  ) WHERE cr <= {ROUTE_NPROBE}
+)""")
+    cos_e = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""e0 AS (
+  SELECT query_id, node FROM (
+    SELECT r.query_id, a.vec_id AS node,
+      ROW_NUMBER() OVER (PARTITION BY r.query_id
+        ORDER BY {cos_e} DESC, a.vec_id ASC) AS er
+    FROM routes r
+    JOIN afd a ON a.cluster = r.cluster
+    JOIN corpus y ON y.vec_id = a.vec_id
+    JOIN queries q ON q.query_id = r.query_id
+    WHERE a.vec_id <> r.query_id
+      AND a.vec_id IN (SELECT DISTINCT vec_id FROM {g})
+  ) WHERE er <= {ROUTE_ENTRIES}
+)""")
+    ctes.append(_sql_beam("e0", "f0", "queries", "query_id", "corpus"))
+    for i in range(1, HOPS + 1):
+        ctes.append(f"""c{i}h AS (
+  SELECT query_id, node FROM f{i - 1}
+  UNION
+  SELECT f.query_id, g.neighbor_id AS node
+  FROM f{i - 1} f JOIN {g} g ON g.vec_id = f.node
+)""")
+        ctes.append(
+            _sql_beam(f"c{i}h", f"f{i}", "queries", "query_id", "corpus")
+        )
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""fs AS (
+  SELECT f.query_id, f.node AS neighbor_id, {cos} AS cosine
+  FROM f{HOPS} f
+  JOIN corpus y ON y.vec_id = f.node
+  JOIN queries q ON q.query_id = f.query_id
+)""")
+    return ctes
+
+
+def _materialize_routed(sql: str) -> str:
+    import re as _re
+
+    return _re.sub(
+        r"\b(corpus|nn|hashed|init|qv|q8|afd|routes|queries|e0"
+        r"|c\d+h|c\d|a\d|s\d+|g\d+|cand\d+|f\d+) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+def _knn_graph_routed_sql() -> str:
+    sql = (
+        "WITH " + ",\n".join(_routed_ctes())
+        + f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM fs
+) WHERE rank <= {TOP_K}"""
+    )
+    return _materialize_routed(sql)
+
+
+def _graph_routed_recall_eval_sql() -> str:
+    ctes = _routed_ctes()
+    ctes.append(f"""searchres AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM fs
+  ) WHERE rank <= {TOP_K}
+)""")
+    cos = _SQL_COS.format(q="q.e", c="y.e")
+    ctes.append(f"""btop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, y.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {cos} DESC, y.vec_id ASC) AS r
+    FROM corpus q JOIN corpus y ON y.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {TOP_K}
+)""")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT s.query_id,
+  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hits,
+  ROUND(CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) / {float(TOP_K)}, 6) AS recall_at_5
+FROM searchres s
+LEFT JOIN btop b
+  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+GROUP BY s.query_id"""
+    )
+    return _materialize_routed(sql)
+
+
+KNN_GRAPH_ROUTED_SQL = _knn_graph_routed_sql()
+GRAPH_ROUTED_RECALL_EVAL_SQL = _graph_routed_recall_eval_sql()

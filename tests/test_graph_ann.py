@@ -111,7 +111,10 @@ def test_saved_index_serves_identically(spark, tmp_path):
     from activity_classifier_spark_cassandra_spark.sources.io import load_table
 
     emb = load_table(spark, SF, "embeddings")
-    graph = GA.build_knn_graph(emb)
+    # the builder q_knn_graph_search composes (SQ8, the round-10
+    # default) — exact-vs-q8 edge near-ties would otherwise leak
+    # into this equality check
+    graph = GA.build_knn_graph_q8(emb)
     path = str(tmp_path / "knn_graph")
     GA.save_knn_graph(graph, path)
     served = GA.beam_search(emb, GA.load_knn_graph(spark, path)).toPandas()
@@ -263,3 +266,68 @@ def test_q8_graph_serves_beam_search(spark, exact_topk):
     r_q8 = recall(GA.build_knn_graph_q8(emb))
     assert r_q8 >= r_exact - 0.02, (r_q8, r_exact)
     assert r_q8 > 0.9, r_q8
+
+
+def test_routed_entry_frontier_contract(spark):
+    """Routed entries: <= ROUTE_ENTRIES per query, every node is a
+    graph vertex from one of the query's ROUTE_NPROBE probed cells,
+    never the query itself."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        blas_assign,
+        train_kmeans_centroids_blas,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    graph = GA.build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    cents = train_kmeans_centroids_blas(emb, k=GA.ROUTE_K)
+    qs = emb.filter(emb.vec_id < GA.N_QUERIES).select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("e1")
+    )
+    ef = GA.routed_entry_frontier(emb, graph, qs, cents).toPandas()
+    per = ef.groupby("query_id").size()
+    assert (per <= GA.ROUTE_ENTRIES).all()
+    assert set(per.index) == set(range(GA.N_QUERIES))
+    assert (ef.query_id != ef.node).all()
+    verts = {
+        r.vec_id for r in graph.select("vec_id").distinct().collect()
+    }
+    assert set(ef.node).issubset(verts)
+    # cell membership: every entry's cluster is one the query probes
+    assign = blas_assign(emb, cents).toPandas().set_index("vec_id")
+    # query routes replicated from the frontier builder's rule: the
+    # query's own cluster must be among its probed cells, and its
+    # entries' clusters must come from <= ROUTE_NPROBE distinct cells
+    cells_per_q = ef.assign(c=assign.loc[ef.node, "cluster"].values)
+    assert (
+        cells_per_q.groupby("query_id").c.nunique() <= GA.ROUTE_NPROBE
+    ).all()
+
+
+def test_routed_recall_floor_and_vs_hash(spark, exact_topk):
+    """The routed search must clear the 0.8 floor the hash-spread
+    default is pinned to, and (the point of routing) must not lose
+    to it — measured 0.98 vs 0.94 at sf0.1, 0.92 vs 0.72 at the
+    20k-vector probe (tools/routed_probe.py)."""
+    ids, order, _ = exact_topk
+    truth = {
+        int(ids[i]): {int(ids[j]) for j in order[i, : GA.TOP_K]}
+        for i in range(len(ids))
+        if ids[i] < GA.N_QUERIES
+    }
+    routed = GA.q_knn_graph_routed(spark, SF).toPandas()
+    hits = sum(
+        len(set(g.neighbor_id) & truth[int(q)])
+        for q, g in routed.groupby("query_id")
+    )
+    r_routed = hits / (len(truth) * GA.TOP_K)
+    assert r_routed >= 0.8, r_routed
+
+    emb = load_table(spark, SF, "embeddings")
+    graph = GA.build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    hashed = GA.beam_search(emb, graph).toPandas()
+    hits_h = sum(
+        len(set(g.neighbor_id) & truth[int(q)])
+        for q, g in hashed.groupby("query_id")
+    )
+    r_hash = hits_h / (len(truth) * GA.TOP_K)
+    assert r_routed >= r_hash - 0.05, (r_routed, r_hash)

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "q_knn_binary",  # |queries| signature rows broadcast into the 8-byte scan
     "q_graph_recall_eval",  # ground-truth side IS the documented brute scan
     "q_graph_q8_recall_eval",  # ground-truth side IS the documented brute scan
+    "q_graph_routed_recall_eval",  # same brute-truth side
     "q_graph_insert_policy",  # same brute-truth side as q_graph_recall_eval
     "q_jl_recall_eval",  # bounded |queries| x corpus audit scan, both brute sides
 }
