@@ -65,94 +65,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 9 executes the
-    round-8 verdict's rotation item (oldest-verdict-first): the 12
-    entries staged behind the round-8 boundary (q22 and
-    q_percentiles .. q_jsonl_roundtrip, last driver check r4/r5)
-    lead, then the round-8 operator batch stays in-window (the four
-    graph-ANN queries CHANGED this round -- new search parameters --
-    and need a fresh driver check), then new round-9 operators as
-    they land, then the r5-green block and the head of the r6-green
-    block fill the window to 50.  Everything in-window is
-    sweep-green at both SFs on round-9 final HEAD (193/0 at sf0.01:
-    VERIFY_LOCAL_r09_final.txt; 192/0 + the newest row individually
-    at sf0.1: VERIFY_LOCAL_SF01_r09_final.txt).
-    Behind the boundary: the rest of the r6-green block (stalest
-    first -- they lead the round-10 window), the r7-green block,
-    and the 38 entries the round-8 driver just verified backmost."""
+    covers a 50-entry window from the front.  Round 10 executes the
+    round-9 verdict's rotation (oldest-verdict-first): first the five
+    graph-ANN entries that are new or whose results changed this
+    round (the SQ8 build became the composition default; IVF-routed
+    search landed), then the four r5-stale stragglers the round-9
+    window squeezed out, then the head of the r6-green block fills
+    the window to 50.  Everything in-window is sweep-green at both
+    SFs on round-9 final HEAD plus focused round-10 verification of
+    the changed graph family (sf0.001/sf0.01/sf0.1).
+    Behind the boundary: the r6-green remainder (stalest first —
+    leads round 11), the r7-green block, the r8-green block, and the
+    47 entries the round-9 driver just verified backmost."""
     return {
-        # ==== round-9 window: the 12 entries staged behind the
-        #      round-8 boundary (last driver verdict r4/r5;
-        #      sweep-green at both SFs on round-9 HEAD) lead ====
-        "q22_idle_customers": TH.q22_idle_customers,
-        "q_percentiles": R.q_percentiles,
-        "q_rollup": R.q_rollup,
-        "q_cube": R.q_cube,
-        "q_conditional_pivot": R.q_conditional_pivot,
-        "q_window_rank": R.q_window_rank,
-        "q_grouping_sets": R.q_grouping_sets,
-        "q_ntile_dist": R.q_ntile_dist,
-        "q_unpivot": R.q_unpivot,
-        "q_approx_sketch": R.q_approx_sketch,
-        "q_pack_greedy": CP.q_pack_greedy,
-        "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
-        # ==== round-8 operator batch, kept in-window: the four
-        #      graph-ANN queries CHANGED in round 9 (multi-entry
-        #      wide-beam search, G_ITERS 4) — results differ from
-        #      their r8-verified values and need a fresh check ====
-        "q_phash_near_dup": MM.q_phash_near_dup,
-        "q_span_dedup_apply": SP.q_span_dedup_apply,
-        "q_jpeg_features": MM.q_jpeg_features,
-        "q_knn_graph": GA.q_knn_graph,
+        # ==== round-10 window: queries whose RESULTS CHANGED this
+        #      round (SQ8 is now the graph-family composition default,
+        #      commit 6718abd) or that are NEW (IVF-routed search) —
+        #      never driver-verified in this form ====
         "q_knn_graph_search": GA.q_knn_graph_search,
-        "q_jpeg_decode": MM.q_jpeg_decode,
-        "q_triangle_count": G.q_triangle_count,
-        "q_knn_binary": S.q_knn_binary,
-        "q_orc_roundtrip": IO.q_orc_roundtrip,
-        "q_graph_recall_eval": GA.q_graph_recall_eval,
-        "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
         "q_knn_graph_insert": GA.q_knn_graph_insert,
-        # ==== NEW in round 9 — never driver-verified, in-window ====
-        # (inserted as they land; each pushes one borrowed r6-head
-        #  entry back below the boundary)
-        "q_semdedup_blas": D.q_semdedup_blas,
         "q_graph_insert_policy": GA.q_graph_insert_policy,
-        "q_span_dedup_multik": SP.q_span_dedup_multik,
-        "q_coreset_kcenter": CS.q_coreset_kcenter,
-        "q_jl_recall_eval": PJ.q_jl_recall_eval,
-        "q_csv_roundtrip": IO.q_csv_roundtrip,
-        "q_paragraph_dedup": PG.q_paragraph_dedup,
-        "q_knn_graph_q8": GA.q_knn_graph_q8,
-        "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
-        # ==== NEW in round 10 — never driver-verified, in-window ====
         "q_knn_graph_routed": GA.q_knn_graph_routed,
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
-        # ==== r5-green block fills the window (last check r5) ====
-        "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
-        "q_bloom_join_prune": SK.q_bloom_join_prune,
-        "q_incremental_agg": INC.q_incremental_agg,
-        "q_zorder_layout": LY.q_zorder_layout,
-        "q_bpe_pair_stats": T.q_bpe_pair_stats,
-        "q_temperature_sample": CP.q_temperature_sample,
-        "q_span_dedup": SP.q_span_dedup,
-        "q_file_prune_manifest": MF.q_file_prune_manifest,
-        "q_weighted_sample": SM.q_weighted_sample,
-        "q_pagerank": G.q_pagerank,
-        "q_skipgram_pairs": T.q_skipgram_pairs,
-        "q_session_paths": PA.q_session_paths,
-        "q_pmi_collocations": T.q_pmi_collocations,
-        "q_shuffle_sample": SF.q_shuffle_sample,
-        "q_snapshot_diff": C.q_snapshot_diff,
-        "q_user_trend": TS.q_user_trend,
-        "q_label_centroids": S.q_label_centroids,
+        # ==== stalest entries lead (last driver check r5; sweep-green
+        #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
         "q_simhash_near_dup": D.q_simhash_near_dup,
         "q_dedup_clusters": G.q_dedup_clusters,
         "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        # ==== r6-green head borrowed to fill the window to 50 ====
-        # ==================== window boundary (50) ====================
-        # ==== rest of the r6-green block (CORRECTNESS_r06: 50/50;
-        #      stalest behind the boundary — leads round 10) ====
+        # ==== r6-green block head (last driver check r6) ====
         "q_corpus_pipeline": G.q_corpus_pipeline,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_exact": D.q_dedup_exact,
@@ -194,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_bpe_compression": T.q_bpe_compression,
+        # ==================== window boundary (50) ====================
+        # ==== r6-green remainder (leads round 11) ====
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
         "q_knn_int8": S.q_knn_int8,
@@ -204,8 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         "q_session_features_skewres": P.q_session_features_skewres,
-        # ==== r7-green block (CORRECTNESS_r07: 50/50 window +
-        #      full-registry local sweeps 172/0) — freshest, backmost ====
+        # ==== r7-green block (CORRECTNESS_r07: 50/50) ====
         "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_knn_ivfpq": S.q_knn_ivfpq,
@@ -257,7 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": P.q_sessionize,
         "q_session_features_3axis": P.q_session_features_3axis,
         # ==== r8-green block (CORRECTNESS_r08: 47/50 + 3 rows-only
-        #      by design) — freshest driver checks, backmost ====
+        #      by design) ====
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
@@ -296,6 +238,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": R.q17_small_quantity,
         "q18_large_orders": TH.q18_large_orders,
         "q19_disjunctive": TH.q19_disjunctive,
+        # ==== r9-green block (CORRECTNESS_r09: 50/50, judge re-verified
+        #      nine) — freshest, backmost ====
+        "q22_idle_customers": TH.q22_idle_customers,
+        "q_percentiles": R.q_percentiles,
+        "q_rollup": R.q_rollup,
+        "q_cube": R.q_cube,
+        "q_conditional_pivot": R.q_conditional_pivot,
+        "q_window_rank": R.q_window_rank,
+        "q_grouping_sets": R.q_grouping_sets,
+        "q_ntile_dist": R.q_ntile_dist,
+        "q_unpivot": R.q_unpivot,
+        "q_approx_sketch": R.q_approx_sketch,
+        "q_pack_greedy": CP.q_pack_greedy,
+        "q_jsonl_roundtrip": IO.q_jsonl_roundtrip,
+        "q_phash_near_dup": MM.q_phash_near_dup,
+        "q_span_dedup_apply": SP.q_span_dedup_apply,
+        "q_jpeg_features": MM.q_jpeg_features,
+        "q_knn_graph": GA.q_knn_graph,
+        "q_jpeg_decode": MM.q_jpeg_decode,
+        "q_triangle_count": G.q_triangle_count,
+        "q_knn_binary": S.q_knn_binary,
+        "q_orc_roundtrip": IO.q_orc_roundtrip,
+        "q_graph_recall_eval": GA.q_graph_recall_eval,
+        "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
+        "q_semdedup_blas": D.q_semdedup_blas,
+        "q_span_dedup_multik": SP.q_span_dedup_multik,
+        "q_coreset_kcenter": CS.q_coreset_kcenter,
+        "q_jl_recall_eval": PJ.q_jl_recall_eval,
+        "q_csv_roundtrip": IO.q_csv_roundtrip,
+        "q_paragraph_dedup": PG.q_paragraph_dedup,
+        "q_knn_graph_q8": GA.q_knn_graph_q8,
+        "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
+        "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
+        "q_bloom_join_prune": SK.q_bloom_join_prune,
+        "q_incremental_agg": INC.q_incremental_agg,
+        "q_zorder_layout": LY.q_zorder_layout,
+        "q_bpe_pair_stats": T.q_bpe_pair_stats,
+        "q_temperature_sample": CP.q_temperature_sample,
+        "q_span_dedup": SP.q_span_dedup,
+        "q_file_prune_manifest": MF.q_file_prune_manifest,
+        "q_weighted_sample": SM.q_weighted_sample,
+        "q_pagerank": G.q_pagerank,
+        "q_skipgram_pairs": T.q_skipgram_pairs,
+        "q_session_paths": PA.q_session_paths,
+        "q_pmi_collocations": T.q_pmi_collocations,
+        "q_shuffle_sample": SF.q_shuffle_sample,
+        "q_snapshot_diff": C.q_snapshot_diff,
+        "q_user_trend": TS.q_user_trend,
+        "q_label_centroids": S.q_label_centroids,
     }
 
 
