@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_insert_policy": GA.q_graph_insert_policy,
         "q_knn_graph_routed": GA.q_knn_graph_routed,
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
+        "q_span_dedup_longest": SP.q_span_dedup_longest,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -134,9 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
-        "q_bpe_compression": T.q_bpe_compression,
         # ==================== window boundary (50) ====================
         # ==== r6-green remainder (leads round 11) ====
+        "q_bpe_compression": T.q_bpe_compression,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
         "q_knn_int8": S.q_knn_int8,
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_q8_recall_eval": GA.GRAPH_Q8_RECALL_EVAL_SQL,
         "q_knn_graph_routed": GA.KNN_GRAPH_ROUTED_SQL,
         "q_graph_routed_recall_eval": GA.GRAPH_ROUTED_RECALL_EVAL_SQL,
+        "q_span_dedup_longest": SP.SPAN_DEDUP_LONGEST_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

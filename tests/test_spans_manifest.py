@@ -322,3 +322,175 @@ def test_multik_subsumes_single_k_and_stays_bounded(spark):
         dtm, nm = multi[d]
         assert nm == n
         assert dt5 <= dtm <= n, (d, dt5, dtm, n)
+
+
+# ------------------------------------------- longest-match resolution
+def test_longest_match_differs_from_ladder_union(spark):
+    """THE fixture the operator exists for: a 22-token passage shared
+    A<->B with a 7-token fringe match A<->C hanging off its edge.
+    Ladder union cuts 27 tokens of A (length-blind); longest-match
+    resolves the cluster at k=20 and cuts exactly the 22-token maximal
+    passage, reporting longest_k = 20."""
+    a = " ".join(f"t{i:02d}" for i in range(1, 31))            # t01..t30
+    b = "bx1 bx2 " + " ".join(f"t{i:02d}" for i in range(1, 23)) + " bx3"
+    c = "cx1 " + " ".join(f"t{i:02d}" for i in range(21, 28)) + " cx2 cx3"
+    docs = _docs(spark, [a, b, c])
+
+    union = {
+        r["doc_id"]: int(r["dup_tokens"])
+        for r in _multik_report(docs).collect()
+    }
+    longest = {
+        r["doc_id"]: r.asDict()
+        for r in SP.span_longest_report(docs).collect()
+    }
+    assert union[0] == 27                       # [1,23) u [21,28)
+    assert longest[0]["cut_tokens"] == 22       # the maximal passage only
+    assert longest[0]["longest_k"] == 20
+    assert longest[0]["n_spans"] == 1
+    # B: same 22-token passage, resolved at k=20
+    assert longest[1]["cut_tokens"] == 22
+    assert longest[1]["longest_k"] == 20
+    # C: only the 7-token match -> its own cluster at k=5
+    assert longest[2]["cut_tokens"] == 7
+    assert longest[2]["longest_k"] == 5
+
+
+def _multik_report(docs):
+    """span_dedup_multik over an in-memory docs frame (the query loads
+    from sf_dir; tests need the same plan over fixtures)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    positions = SP.span_positions_multik(docs)
+    wgh = Window.partitionBy("k", "gh")
+    hits = (
+        positions.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(
+            "doc_id", "n_tokens", "pos",
+            (F.col("pos") + F.col("k")).alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(
+            F.col("pos"), F.coalesce(F.max("e").over(w), F.col("pos"))
+        ),
+    )
+    return (
+        hits.select("doc_id", "n_tokens", covered.alias("covered"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("covered").alias("dup_tokens"))
+    )
+
+
+def test_longest_match_bridged_runs_keep_both(spark):
+    """Two 20-token passages bridged by a 5-token match across their
+    gap form ONE cluster; resolution keeps BOTH maximal 20-runs with
+    exact boundaries and drops the bridge (n_spans = 2, cut = 40 of
+    the 43 tokens the union would cut)."""
+    p = " ".join(f"p{i:02d}" for i in range(1, 21))
+    q = " ".join(f"q{i:02d}" for i in range(1, 21))
+    x = f"{p} m1 m2 m3 {q}"
+    y = f"yy1 {p} yy2 yy3 {q} yy4"
+    z = "z1 p20 m1 m2 m3 q01 z2"
+    docs = _docs(spark, [x, y, z])
+    longest = {
+        r["doc_id"]: r.asDict()
+        for r in SP.span_longest_report(docs).collect()
+    }
+    union = {
+        r["doc_id"]: int(r["dup_tokens"])
+        for r in _multik_report(docs).collect()
+    }
+    assert union[0] == 43
+    assert longest[0]["n_spans"] == 2
+    assert longest[0]["cut_tokens"] == 40
+    assert longest[0]["longest_k"] == 20
+    # Z keeps its 5-token bridge match (its own cluster, no longer rung)
+    assert longest[2]["cut_tokens"] == 5
+    assert longest[2]["longest_k"] == 5
+
+
+def test_longest_match_python_replay_sf0001(spark):
+    """Independent replay at sf0.001: per-(doc,k) interval merge, then
+    touch/overlap clustering across rungs, then longest-rung
+    resolution — n_spans/longest_k/cut_tokens must match exactly for
+    every document."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        MULTIK_NS,
+        q_span_dedup_longest,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [x for x in re.split(r"\s+", r.text) if x != ""]
+        for r in t.itertuples()
+    }
+    holders = defaultdict(set)
+    for d, tk in toks.items():
+        for k in MULTIK_NS:
+            for i in range(len(tk) - k + 1):
+                holders[(k, " ".join(tk[i : i + k]))].add(d)
+    iv_by_doc_k = defaultdict(list)  # (doc, k) -> [(s, e)]
+    for (k, g), ds in holders.items():
+        if len(ds) < 2:
+            continue
+        for d in ds:
+            tk = toks[d]
+            for i in range(len(tk) - k + 1):
+                if " ".join(tk[i : i + k]) == g:
+                    iv_by_doc_k[(d, k)].append((i + 1, i + 1 + k))
+
+    def merge(iv):
+        iv.sort()
+        out = []
+        for s, e in iv:
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return out
+
+    runs_by_doc = defaultdict(list)  # doc -> [(s, e, k)]
+    for (d, k), iv in iv_by_doc_k.items():
+        for s, e in merge(iv):
+            runs_by_doc[d].append((s, e, k))
+    want = {}
+    for d, runs in runs_by_doc.items():
+        runs.sort()
+        clusters, hi = [], None
+        for s, e, k in runs:
+            if hi is None or s > hi:
+                clusters.append([])
+                hi = e
+            else:
+                hi = max(hi, e)
+            clusters[-1].append((s, e, k))
+        resolved = []
+        for cl in clusters:
+            kmax = max(k for _, _, k in cl)
+            resolved += [(s, e, kmax) for s, e, k in cl if k == kmax]
+        want[d] = (
+            len(resolved),
+            max(k for _, _, k in resolved),
+            sum(e - s for s, e, _ in resolved),
+        )
+
+    got = {
+        int(r.doc_id): (int(r.n_spans), int(r.longest_k), int(r.cut_tokens))
+        for r in q_span_dedup_longest(spark, SF_DIR).collect()
+    }
+    assert got == want
