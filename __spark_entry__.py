@@ -45,6 +45,7 @@ from activity_classifier_spark_cassandra_spark.operators import similarity as S
 from activity_classifier_spark_cassandra_spark.operators import spans as SP
 from activity_classifier_spark_cassandra_spark.operators import text as T
 from activity_classifier_spark_cassandra_spark.operators import udaf as U
+from activity_classifier_spark_cassandra_spark.operators import urls as UR
 from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.sources import io as IO
 from activity_classifier_spark_cassandra_spark.plans import relational as R
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_graph_routed": GA.q_knn_graph_routed,
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
         "q_span_dedup_longest": SP.q_span_dedup_longest,
+        "q_url_dedup": UR.q_url_dedup,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -134,9 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_mix": CP.q_domain_mix,
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
-        "q_bpe_tokenize": T.q_bpe_tokenize,
         # ==================== window boundary (50) ====================
         # ==== r6-green remainder (leads round 11) ====
+        "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_bpe_compression": T.q_bpe_compression,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
         "q_int8_quantize": S.q_int8_quantize,
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph_routed": GA.KNN_GRAPH_ROUTED_SQL,
         "q_graph_routed_recall_eval": GA.GRAPH_ROUTED_RECALL_EVAL_SQL,
         "q_span_dedup_longest": SP.SPAN_DEDUP_LONGEST_SQL,
+        "q_url_dedup": UR.URL_DEDUP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -1,0 +1,244 @@
+"""URL canonicalization and URL-level first-occurrence dedup.
+
+The first stage of every real crawl pipeline (CCNet, RefinedWeb)
+dedups by NORMALIZED URL before any content pass — the same page
+re-crawled with a different scheme case, a default port, tracking
+query parameters, a fragment, or shuffled parameter order must
+collapse to one canonical key.  The reference engine has no crawl
+stage; this is part of the LLM-data-pipeline extension surface
+(SURVEY.md §2.12), upstream of the content dedups in ``dedup.py``.
+
+Canonicalization rules (the standard RFC 3986 §6 safe set plus the
+tracking-parameter strip every production pipeline adds):
+
+* scheme and host lowercased;
+* default ports stripped (``:443`` for https, ``:80`` for http);
+* ``/./`` segments collapsed and ``name/../`` pairs resolved;
+* trailing slashes stripped (root ``/`` kept);
+* the fragment dropped;
+* tracking parameters dropped (``utm_*``, ``ref``, ``fbclid``,
+  ``gclid``); the surviving query parameters sorted.
+
+Everything is built-in string expressions — ``substring_index``,
+``regexp_replace``, ``filter``/``array_sort`` over the split query —
+inside whole-stage codegen; no UDF, no shuffle until the dedup.
+
+The dedup itself is the skew-safe first-occurrence shape used
+everywhere in this repo: ``groupBy(canon).agg(min(struct(doc_id)))``
++ broadcast-joinable join-back — NEVER a window over the canonical
+URL (one boilerplate URL = one hot key with millions of rows; the
+partial-min collapses it map-side and the join back is AQE-skew-
+splittable).
+
+The ``documents`` testdata carries no url column, so the registry
+query derives one deterministically from (doc_id, source): every
+three consecutive doc_ids name the SAME logical page, and doc_id % 6
+picks one of six raw encodings of it (case/port/params/fragment/
+dot-segment variants).  The derivation is replayed verbatim in the
+DuckDB oracle, so the canonicalizer — not the synthesis — is what
+the hash comparison checks.
+
+Scale shape (100 TB): derivation + canonicalization are row-local
+projections; the one exchange is the groupBy on the canonical-URL
+key; the join back broadcasts nothing corpus-sized and splits hot
+keys under AQE.  Linear, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+# tracking parameters every production canonicalizer strips
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = ("ref", "fbclid", "gclid")
+
+
+def _strip_tracking_pred_spark(var: str) -> str:
+    """Boolean SQL over one ``k=v`` pair: TRUE when the pair survives."""
+    drops = [f"{var} LIKE '{p}%'" for p in _TRACKING_PREFIXES]
+    drops += [f"{var} LIKE '{k}=%'" for k in _TRACKING_KEYS]
+    return "NOT (" + " OR ".join(drops) + ")"
+
+
+def canonical_url_expr(url_col: str = "url") -> Column:
+    """Canonical form of ``url_col`` as one built-in expression tree."""
+    u = url_col
+    # 1. drop the fragment, split path-part from query-part
+    nofrag = f"substring_index({u}, '#', 1)"
+    base = f"substring_index({nofrag}, '?', 1)"
+    query = (
+        f"CASE WHEN instr({nofrag}, '?') > 0 "
+        f"THEN substring_index({nofrag}, '?', -1) ELSE '' END"
+    )
+    # 2. scheme/host lowercase, default ports stripped
+    scheme = f"lower(substring_index({base}, '://', 1))"
+    rest = f"substring_index({base}, '://', -1)"
+    hostraw = f"lower(substring_index({rest}, '/', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN"
+        f" regexp_replace({hostraw}, ':443$', '')"
+        f" WHEN {scheme} = 'http' THEN"
+        f" regexp_replace({hostraw}, ':80$', '')"
+        f" ELSE {hostraw} END"
+    )
+    # 3. path: dot-segments resolved, trailing slashes stripped
+    path0 = (
+        f"CASE WHEN instr({rest}, '/') > 0 "
+        f"THEN substr({rest}, instr({rest}, '/')) ELSE '' END"
+    )
+    path1 = f"regexp_replace({path0}, '/(\\\\./)+', '/')"
+    path2 = f"regexp_replace({path1}, '/[^/.]+/\\\\.\\\\./', '/')"
+    path = f"regexp_replace({path2}, '/+$', '')"
+    # 4. query: tracking params dropped, the rest sorted
+    keep = _strip_tracking_pred_spark("p")
+    qsorted = (
+        f"array_join(array_sort(filter(split({query}, '&'), "
+        f"p -> p != '' AND {keep})), '&')"
+    )
+    return F.expr(
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qsorted} = '' THEN '' ELSE concat('?', {qsorted}) END)"
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canon_url`` to ``df``."""
+    return df.withColumn("canon_url", canonical_url_expr(url_col))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """First-occurrence URL dedup: (all input columns, canon_url,
+    keep) — ``keep`` is true for the LOWEST doc_id per canonical URL.
+
+    Skew-safe: first-occurrence via min(struct) aggregate + join-back,
+    never a window over the canonical-URL key."""
+    canon = canonicalize_urls(df, url_col)
+    firsts = (
+        canon.groupBy("canon_url")
+        .agg(F.min(F.struct("doc_id")).alias("_f"))
+        .select("canon_url", F.col("_f.doc_id").alias("_first_doc"))
+    )
+    return canon.join(firsts, "canon_url").withColumn(
+        "keep", F.col("doc_id") == F.col("_first_doc")
+    ).drop("_first_doc")
+
+
+# ------------------------------------------------- registry query
+#
+# Synthetic raw URL, derived deterministically from doc_id: page =
+# doc_id DIV 3 (three consecutive docs -> the same logical page, and
+# the host derives from the page so page-mates share it), variant =
+# doc_id % 6 picks the raw encoding.  Variants 0/1/2/3/5 canonicalize
+# identically per page; variant 4 keeps sorted real query params (a
+# genuinely different page — dedup must NOT merge it).
+
+_PAGE = "CAST(doc_id DIV 3 AS STRING)"
+_SITE = "CAST((doc_id DIV 3) % 25 AS STRING)"
+_HOST = f"concat('www.s', {_SITE}, '.example.com')"
+_HOSTU = f"concat('WWW.S', {_SITE}, '.Example.COM')"
+
+_RAW_URL = f"""CASE CAST(doc_id % 6 AS INT)
+ WHEN 0 THEN concat('https://', {_HOST}, '/articles/', {_PAGE})
+ WHEN 1 THEN concat('HTTPS://', {_HOSTU}, ':443/articles/', {_PAGE}, '/')
+ WHEN 2 THEN concat('https://', {_HOST}, '/articles/', {_PAGE},
+                    '?utm_source=feed&utm_campaign=x')
+ WHEN 3 THEN concat('https://', {_HOST}, '/articles/', {_PAGE},
+                    '?ref=tw#section-2')
+ WHEN 4 THEN concat('https://', {_HOST}, ':443/articles/', {_PAGE},
+                    '?b=2&a=1')
+ ELSE concat('https://', {_HOST}, '/./articles/x/../', {_PAGE})
+END"""
+
+
+def with_synthetic_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): the deterministic synthetic raw URLs."""
+    return docs.select("doc_id", F.expr(_RAW_URL).alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + first-occurrence dedup over the derived
+    crawl URLs: (doc_id, url, canon_url, keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = url_dedup(with_synthetic_urls(docs))
+    return out.select("doc_id", "url", "canon_url", "keep")
+
+
+# ------------------------------------------------- DuckDB oracle
+
+_PAGE_SQL = "CAST(doc_id // 3 AS VARCHAR)"
+_SITE_SQL = "CAST((doc_id // 3) % 25 AS VARCHAR)"
+_HOST_SQL = f"concat('www.s', {_SITE_SQL}, '.example.com')"
+_HOSTU_SQL = f"concat('WWW.S', {_SITE_SQL}, '.Example.COM')"
+
+_RAW_URL_SQL = f"""CASE CAST(doc_id % 6 AS INT)
+ WHEN 0 THEN concat('https://', {_HOST_SQL}, '/articles/', {_PAGE_SQL})
+ WHEN 1 THEN concat('HTTPS://', {_HOSTU_SQL}, ':443/articles/',
+                    {_PAGE_SQL}, '/')
+ WHEN 2 THEN concat('https://', {_HOST_SQL}, '/articles/', {_PAGE_SQL},
+                    '?utm_source=feed&utm_campaign=x')
+ WHEN 3 THEN concat('https://', {_HOST_SQL}, '/articles/', {_PAGE_SQL},
+                    '?ref=tw#section-2')
+ WHEN 4 THEN concat('https://', {_HOST_SQL}, ':443/articles/',
+                    {_PAGE_SQL}, '?b=2&a=1')
+ ELSE concat('https://', {_HOST_SQL}, '/./articles/x/../', {_PAGE_SQL})
+END"""
+
+
+def _canon_sql(u: str) -> str:
+    """The canonicalizer, replayed in DuckDB SQL."""
+    drops = [f"p LIKE '{p}%'" for p in _TRACKING_PREFIXES]
+    drops += [f"p LIKE '{k}=%'" for k in _TRACKING_KEYS]
+    keep = "NOT (" + " OR ".join(drops) + ")"
+    nofrag = f"split_part({u}, '#', 1)"
+    base = f"split_part({nofrag}, '?', 1)"
+    query = (
+        f"CASE WHEN instr({nofrag}, '?') > 0 "
+        f"THEN split_part({nofrag}, '?', 2) ELSE '' END"
+    )
+    scheme = f"lower(split_part({base}, '://', 1))"
+    rest = f"split_part({base}, '://', 2)"
+    hostraw = f"lower(split_part({rest}, '/', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN"
+        f" regexp_replace({hostraw}, ':443$', '')"
+        f" WHEN {scheme} = 'http' THEN"
+        f" regexp_replace({hostraw}, ':80$', '')"
+        f" ELSE {hostraw} END"
+    )
+    path0 = (
+        f"CASE WHEN instr({rest}, '/') > 0 "
+        f"THEN substr({rest}, instr({rest}, '/')) ELSE '' END"
+    )
+    path1 = f"regexp_replace({path0}, '/(\\./)+', '/', 'g')"
+    path2 = f"regexp_replace({path1}, '/[^/.]+/\\.\\./', '/', 'g')"
+    path = f"regexp_replace({path2}, '/+$', '', 'g')"
+    # COALESCE: DuckDB's array_to_string over an empty filtered list
+    # yields NULL, not '' — without it the ELSE branch appends a bare
+    # '?' to every query-less canonical URL
+    qsorted = (
+        f"COALESCE(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), p -> p <> '' AND {keep})), '&'), '')"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qsorted} = '' THEN '' "
+        f"ELSE concat('?', {qsorted}) END)"
+    )
+
+
+URL_DEDUP_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+),
+canon AS MATERIALIZED (
+  SELECT doc_id, url, {_canon_sql("url")} AS canon_url FROM raw
+),
+firsts AS (
+  SELECT canon_url, MIN(doc_id) AS first_doc FROM canon GROUP BY canon_url
+)
+SELECT c.doc_id, c.url, c.canon_url, c.doc_id = f.first_doc AS keep
+FROM canon c JOIN firsts f USING (canon_url)
+"""

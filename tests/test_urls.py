@@ -1,0 +1,98 @@
+"""URL canonicalization + URL-level first-occurrence dedup.
+
+Hand-written canonicalization fixtures (the rules are the spec), the
+dedup keep-first contract, and the plan shape (one exchange, no
+window over the canonical-URL key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from activity_classifier_spark_cassandra_spark.operators import urls as U
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, u in enumerate(raw)]
+    )
+    out = U.canonicalize_urls(df).orderBy("doc_id").collect()
+    return [r["canon_url"] for r in out]
+
+
+def test_canonicalize_case_and_default_ports(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Site.COM:443/A/b",
+            "http://www.site.com:80/A/b",
+            "https://www.site.com:8443/A/b",  # non-default port kept
+        ],
+    )
+    assert got[0] == "https://www.site.com/A/b"  # path case PRESERVED
+    assert got[1] == "http://www.site.com/A/b"
+    assert got[2] == "https://www.site.com:8443/A/b"
+
+
+def test_canonicalize_fragment_and_tracking_params(spark):
+    got = _canon(
+        spark,
+        [
+            "https://s.com/p?utm_source=a&utm_medium=b#frag",
+            "https://s.com/p?ref=tw&id=7",
+            "https://s.com/p?fbclid=x&gclid=y&q=1",
+            "https://s.com/p?refresh=1",  # 'refresh' is NOT 'ref'
+        ],
+    )
+    assert got[0] == "https://s.com/p"
+    assert got[1] == "https://s.com/p?id=7"
+    assert got[2] == "https://s.com/p?q=1"
+    assert got[3] == "https://s.com/p?refresh=1"
+
+
+def test_canonicalize_param_order_and_dot_segments(spark):
+    got = _canon(
+        spark,
+        [
+            "https://s.com/a/b?z=9&a=1&m=5",
+            "https://s.com/a/b?a=1&m=5&z=9",
+            "https://s.com/./x/../a/b",
+            "https://s.com/a/b/",
+            "https://s.com/a/b///",
+        ],
+    )
+    assert got[0] == got[1] == "https://s.com/a/b?a=1&m=5&z=9"
+    assert got[2] == got[3] == got[4] == "https://s.com/a/b"
+
+
+def test_url_dedup_keeps_lowest_doc_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=10, url="https://s.com/p?utm_source=x"),
+            Row(doc_id=3, url="HTTPS://S.COM:443/p"),
+            Row(doc_id=7, url="https://s.com/p#top"),
+            Row(doc_id=5, url="https://s.com/other"),
+        ]
+    )
+    out = {r["doc_id"]: r["keep"] for r in U.url_dedup(df).collect()}
+    assert out == {3: True, 7: False, 10: False, 5: True}
+
+
+def test_q_url_dedup_contract(spark):
+    """Every doc appears exactly once; exactly one keep per canonical
+    URL, and it is the minimum doc_id of its group."""
+    df = U.q_url_dedup(spark, SF_DIR).toPandas()
+    assert df.doc_id.is_unique
+    g = df.groupby("canon_url")
+    assert (g.keep.sum() == 1).all()
+    kept = df[df.keep].set_index("canon_url").doc_id
+    assert (g.doc_id.min() == kept.loc[g.doc_id.min().index]).all()
+
+
+def test_url_dedup_plan_one_exchange_no_window(spark):
+    """The first-occurrence rule must be the skew-safe aggregate +
+    join-back, never a window over the canonical-URL hot key."""
+    plan = U.q_url_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
