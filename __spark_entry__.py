@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
         "q_span_dedup_longest": SP.q_span_dedup_longest,
         "q_url_dedup": UR.q_url_dedup,
+        "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -135,9 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_sequences": CP.q_chunk_sequences,
         "q_domain_mix": CP.q_domain_mix,
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
-        "q_bpe_merges": T.q_bpe_merges,
         # ==================== window boundary (50) ====================
         # ==== r6-green remainder (leads round 11) ====
+        "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_bpe_compression": T.q_bpe_compression,
         "q_upsert_with_deletes": C.q_upsert_with_deletes,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_routed_recall_eval": GA.GRAPH_ROUTED_RECALL_EVAL_SQL,
         "q_span_dedup_longest": SP.SPAN_DEDUP_LONGEST_SQL,
         "q_url_dedup": UR.URL_DEDUP_SQL,
+        "q_span_dedup_apply_longest": SP.SPAN_DEDUP_APPLY_LONGEST_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -417,16 +417,26 @@ def q_span_dedup_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by one document's duplicated positions — three linear exchanges
 # total, no corpus re-key.
 
-def span_longest_runs(docs: DataFrame, ns: tuple[int, ...] = MULTIK_NS) -> DataFrame:
+def span_longest_runs(
+    docs: DataFrame,
+    ns: tuple[int, ...] = MULTIK_NS,
+    keep_first: bool = False,
+) -> DataFrame:
     """(doc_id, n_tokens, s, e, k): per-document resolved cut spans —
     each touching/overlapping cluster of duplicated-gram runs reduced
-    to the maximal runs of its longest firing rung."""
+    to the maximal runs of its longest firing rung.  With
+    ``keep_first`` the LOWEST doc_id holding a gram keeps its
+    occurrence (the apply pass's delete rule, same as
+    ``q_span_dedup_apply``); without it every holder reports."""
     positions = span_positions_multik(docs, ns)
     wgh = Window.partitionBy("k", "gh")
+    dup = (F.col("_mn") != F.col("_mx")) & (
+        (F.col("doc_id") != F.col("_mn")) if keep_first else F.lit(True)
+    )
     hits = (
         positions.withColumn("_mn", F.min("doc_id").over(wgh))
         .withColumn("_mx", F.max("doc_id").over(wgh))
-        .filter(F.col("_mn") != F.col("_mx"))
+        .filter(dup)
         .select(
             "doc_id",
             "n_tokens",
@@ -505,6 +515,48 @@ def q_span_dedup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_longest_report(load_table(spark, sf_dir, "documents"))
 
 
+def q_span_dedup_apply_longest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END longest-match dedup (detect -> resolve -> DELETE):
+    (doc_id, n_tokens, kept_tokens, dedup_text) — the actual rewritten
+    corpus, not just a cut manifest.  Keep rule as in
+    ``q_span_dedup_apply``: the lowest doc_id holding a gram keeps its
+    occurrence; every other holder's RESOLVED longest-match spans are
+    spliced out and the surviving tokens reassembled.
+
+    Scale shape: detection is the same (k, gh) exchange; the resolved
+    spans (bounded per doc) aggregate to one row per affected doc and
+    join back on doc_id; the splice itself is one row-local
+    index-lambda ``filter`` over the token array — no UDF, no second
+    corpus scan beyond the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = span_longest_runs(docs, keep_first=True)
+    cutlists = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cuts")
+    )
+    toks = docs.select("doc_id", F.expr(_TOKENIZE_SPARK).alias("toks"))
+    kept = (
+        "CASE WHEN cuts IS NULL THEN toks ELSE "
+        "filter(toks, (t, i) -> "
+        "NOT exists(cuts, c -> i + 1 >= c.s AND i + 1 < c.e)) END"
+    )
+    return (
+        toks.join(cutlists, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr(kept).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            F.array_join("_kept", " ").alias("dedup_text"),
+        )
+    )
+
+
 _GH_K_SQL = _hash60_sql(
     "array_to_string(list_slice(toks, i, i + k - 1), ' ')", SPAN_SEED
 )
@@ -544,23 +596,29 @@ GROUP BY doc_id, n_tokens
 """
 
 
-SPAN_DEDUP_LONGEST_SQL = f"""
-WITH toks AS (
+def _longest_ctes(keep_first: bool) -> str:
+    """Shared CTE chain through ``resolved`` for the longest-match
+    report and apply SQLs.  ``keep_first`` adds the delete rule: the
+    lowest doc_id holding a gram keeps its occurrence."""
+    ks = ", ".join(str(k) for k in MULTIK_NS)
+    first_rule = "AND g.doc_id <> d.first_doc" if keep_first else ""
+    return f"""toks AS (
   SELECT doc_id, {_TOKENIZE} AS toks FROM documents
 ),
 grams AS MATERIALIZED (
   SELECT doc_id, LEN(toks) AS n_tokens, kk.k, i AS pos, {_GH_K_SQL} AS gh
   FROM toks,
-       UNNEST([{", ".join(str(k) for k in MULTIK_NS)}]) AS kk(k),
+       UNNEST([{ks}]) AS kk(k),
        UNNEST(range(1, GREATEST(LEN(toks) - kk.k + 2, 1))) AS t(i)
 ),
 dup AS (
-  SELECT k, gh FROM grams GROUP BY k, gh
+  SELECT k, gh, MIN(doc_id) AS first_doc FROM grams GROUP BY k, gh
   HAVING MIN(doc_id) <> MAX(doc_id)
 ),
 hits AS (
   SELECT g.doc_id, g.n_tokens, g.k, g.pos, g.pos + g.k AS e
-  FROM grams g JOIN dup USING (k, gh)
+  FROM grams g JOIN dup d USING (k, gh)
+  WHERE TRUE {first_rule}
 ),
 flagged AS (
   SELECT *,
@@ -599,7 +657,11 @@ resolved AS (
     SELECT *, MAX(k) OVER (PARTITION BY doc_id, cluster_id) AS kmax
     FROM clustered
   ) WHERE k = kmax
-)
+)"""
+
+
+SPAN_DEDUP_LONGEST_SQL = f"""
+WITH {_longest_ctes(keep_first=False)}
 SELECT doc_id, n_tokens,
        COUNT(*) AS n_spans,
        MAX(k) AS longest_k,
@@ -607,4 +669,26 @@ SELECT doc_id, n_tokens,
        ROUND(CAST(SUM(e - s) AS DOUBLE) / n_tokens, 6) AS cut_ratio
 FROM resolved
 GROUP BY doc_id, n_tokens
+"""
+
+
+SPAN_DEDUP_APPLY_LONGEST_SQL = f"""
+WITH {_longest_ctes(keep_first=True)},
+cutlists AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS cuts
+  FROM resolved GROUP BY doc_id
+),
+spliced AS (
+  SELECT t.doc_id, t.toks,
+    CASE WHEN c.cuts IS NULL THEN t.toks
+    ELSE list_filter(t.toks, (tok, i) ->
+      LEN(list_filter(c.cuts, cc -> i >= cc.s AND i < cc.e)) = 0)
+    END AS kept
+  FROM toks t LEFT JOIN cutlists c USING (doc_id)
+)
+SELECT doc_id,
+       LEN(toks) AS n_tokens,
+       CAST(LEN(kept) AS BIGINT) AS kept_tokens,
+       COALESCE(array_to_string(kept, ' '), '') AS dedup_text
+FROM spliced
 """

@@ -494,3 +494,121 @@ def test_longest_match_python_replay_sf0001(spark):
         for r in q_span_dedup_longest(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_apply_longest_first_holder_keeps_text(spark):
+    """Keep-first splice: the lowest doc_id holding the passage keeps
+    its text verbatim; every other holder loses exactly its resolved
+    longest-match spans."""
+    a = " ".join(f"t{i:02d}" for i in range(1, 31))
+    b = "bx1 bx2 " + " ".join(f"t{i:02d}" for i in range(1, 23)) + " bx3"
+    c = "cx1 " + " ".join(f"t{i:02d}" for i in range(21, 28)) + " cx2 cx3"
+    docs = _docs(spark, [a, b, c])
+
+    from pyspark.sql import functions as F
+
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        _TOKENIZE_SPARK,
+        span_longest_runs,
+    )
+
+    spans = span_longest_runs(docs, keep_first=True)
+    cutlists = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cuts")
+    )
+    toks = docs.select("doc_id", F.expr(_TOKENIZE_SPARK).alias("toks"))
+    kept = (
+        "CASE WHEN cuts IS NULL THEN toks ELSE "
+        "filter(toks, (t, i) -> "
+        "NOT exists(cuts, c -> i + 1 >= c.s AND i + 1 < c.e)) END"
+    )
+    out = {
+        r["doc_id"]: r["dedup_text"]
+        for r in toks.join(cutlists, "doc_id", "left")
+        .select(
+            "doc_id", F.array_join(F.expr(kept), " ").alias("dedup_text")
+        )
+        .collect()
+    }
+    assert out[0] == a                      # first holder untouched
+    assert out[1] == "bx1 bx2 bx3"          # 22-token passage spliced
+    assert out[2] == "cx1 cx2 cx3"          # 7-token fringe spliced
+
+
+def test_apply_longest_python_replay_sf0001(spark):
+    """Token-exact replay of the full detect -> resolve -> splice
+    chain at sf0.001: dedup_text must match for EVERY document."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from activity_classifier_spark_cassandra_spark.operators.spans import (
+        MULTIK_NS,
+        q_span_dedup_apply_longest,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [x for x in re.split(r"\s+", r.text) if x != ""]
+        for r in t.itertuples()
+    }
+    holders = defaultdict(set)
+    for d, tk in toks.items():
+        for k in MULTIK_NS:
+            for i in range(len(tk) - k + 1):
+                holders[(k, " ".join(tk[i : i + k]))].add(d)
+    iv_by_doc_k = defaultdict(list)
+    for (k, g), ds in holders.items():
+        if len(ds) < 2:
+            continue
+        first = min(ds)
+        for d in ds:
+            if d == first:
+                continue
+            tk = toks[d]
+            for i in range(len(tk) - k + 1):
+                if " ".join(tk[i : i + k]) == g:
+                    iv_by_doc_k[(d, k)].append((i + 1, i + 1 + k))
+
+    def merge(iv):
+        iv.sort()
+        out = []
+        for s, e in iv:
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return out
+
+    runs_by_doc = defaultdict(list)
+    for (d, k), iv in iv_by_doc_k.items():
+        for s, e in merge(iv):
+            runs_by_doc[d].append((s, e, k))
+    want = {}
+    for d, tk in toks.items():
+        runs = sorted(runs_by_doc.get(d, []))
+        clusters, hi = [], None
+        for s, e, k in runs:
+            if hi is None or s > hi:
+                clusters.append([])
+                hi = e
+            else:
+                hi = max(hi, e)
+            clusters[-1].append((s, e, k))
+        cuts = []
+        for cl in clusters:
+            kmax = max(k for _, _, k in cl)
+            cuts += [(s, e) for s, e, k in cl if k == kmax]
+        kept = [
+            tok
+            for i, tok in enumerate(tk, start=1)
+            if not any(s <= i < e for s, e in cuts)
+        ]
+        want[d] = " ".join(kept)
+
+    got = {
+        int(r.doc_id): r.dedup_text
+        for r in q_span_dedup_apply_longest(spark, SF_DIR).collect()
+    }
+    assert got == want
