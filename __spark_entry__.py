@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup_longest": SP.q_span_dedup_longest,
         "q_url_dedup": UR.q_url_dedup,
         "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
+        "q_stream_url_dedup": SD.q_stream_url_dedup,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -135,9 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": CP.q_decontaminate,
         "q_chunk_sequences": CP.q_chunk_sequences,
         "q_domain_mix": CP.q_domain_mix,
-        "q_knn_ivf_trained": S.q_knn_ivf_trained,
         # ==================== window boundary (50) ====================
         # ==== r6-green remainder (leads round 11) ====
+        "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
         "q_bpe_compression": T.q_bpe_compression,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup_longest": SP.SPAN_DEDUP_LONGEST_SQL,
         "q_url_dedup": UR.URL_DEDUP_SQL,
         "q_span_dedup_apply_longest": SP.SPAN_DEDUP_APPLY_LONGEST_SQL,
+        "q_stream_url_dedup": SD.STREAM_URL_DEDUP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -312,3 +312,80 @@ def q_stream_simhash_near_dup(spark, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+# ----------------------------------------------- streaming URL dedup
+#
+# The streaming counterpart of operators/urls.q_url_dedup: a crawl
+# frontier dedups by CANONICAL URL as fetches arrive — first fetch
+# wins, recrawls and tracking-param variants are dropped on arrival.
+# Canonicalization is the same stateless expression tree as the batch
+# operator (scheme/host case, default ports, dot-segments, fragments,
+# tracking params, param order), so it runs in any micro-batch;
+# the only stateful stage is the watermarked dropDuplicates on the
+# canonical key — state is O(URLs per watermark window), the same
+# bound dedup_stream gives event_ids.
+
+
+def url_dedup_stream(
+    crawl: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """First-seen-wins per canonical URL.  ``crawl`` carries
+    (doc_id, url, event_time); output adds ``canon_url`` and keeps
+    one row per canonical key."""
+    from ..operators.urls import canonicalize_urls
+
+    return (
+        canonicalize_urls(crawl)
+        .withWatermark("event_time", watermark)
+        .dropDuplicates(["canon_url"])
+    )
+
+
+def _synthetic_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic raw URLs with a synthetic crawl
+    time (doc_id seconds since epoch — arrival order = doc_id)."""
+    from ..operators.urls import with_synthetic_urls
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_synthetic_urls(docs).withColumn(
+        "event_time", F.expr("timestamp_micros(doc_id * 1000000)")
+    )
+
+
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming URL-dedup code path executed on a batch frame
+    (watermark a no-op outside a stream; stream-vs-batch equivalence
+    pinned by tests/test_streaming_dedup.py).  Output is per-host
+    unique-URL counts — a function of the surviving KEY SET only, so
+    it is insensitive to which duplicate row batch-mode
+    dropDuplicates happens to keep."""
+    deduped = url_dedup_stream(_synthetic_crawl(spark, sf_dir))
+    host = F.expr(
+        "substring_index(substring_index(canon_url, '://', -1), '/', 1)"
+    )
+    return deduped.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+
+
+def _stream_url_dedup_sql() -> str:
+    from ..operators.urls import _RAW_URL_SQL, _canon_sql
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+),
+uniq AS (
+  SELECT DISTINCT {_canon_sql("url")} AS canon_url FROM raw
+)
+SELECT split_part(split_part(canon_url, '://', 2), '/', 1) AS host,
+       COUNT(*) AS n_urls
+FROM uniq
+GROUP BY host
+"""
+
+
+STREAM_URL_DEDUP_SQL = _stream_url_dedup_sql()

@@ -103,3 +103,84 @@ def test_stream_near_dup_pairs_equal_batch_join(spark):
         for r in q_simhash_near_dup(spark, sf).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_url_dedup_matches_batch(spark, tmp_path):
+    """A recrawling feed (every URL served twice, the second time as a
+    different raw variant of the same canonical page) must come out of
+    the STREAM with exactly the batch-distinct canonical key set and
+    per-host counts."""
+    from pyspark.sql import functions as F2
+
+    from activity_classifier_spark_cassandra_spark.streaming.dedup import (
+        _synthetic_crawl,
+        q_stream_url_dedup,
+        url_dedup_stream,
+    )
+
+    crawl = _synthetic_crawl(spark, SF)
+    # recrawl: same canonical page, different raw variant (append a
+    # tracking param — canonicalizes away)
+    recrawl = crawl.withColumn(
+        "url", F2.concat("url", F2.lit("?utm_replay=1"))
+    ).withColumn(
+        "event_time", F2.expr("event_time + INTERVAL 1 MINUTE")
+    )
+    feed = crawl.unionAll(recrawl)
+    src = str(tmp_path / "crawl_feed")
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "url_dedup_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow drain timed out"
+    got = spark.table(name)
+    # exactly-once per canonical key
+    assert (
+        got.groupBy("canon_url").count().filter(F2.col("count") > 1).count()
+        == 0
+    )
+    host = F2.expr(
+        "substring_index(substring_index(canon_url, '://', -1), '/', 1)"
+    )
+    got_hosts = {
+        r["host"]: r["n"]
+        for r in got.groupBy(host.alias("host"))
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    want_hosts = {
+        r["host"]: r["n_urls"]
+        for r in q_stream_url_dedup(spark, SF).collect()
+    }
+    assert got_hosts == want_hosts
+
+
+def test_stream_url_dedup_state_is_watermarked(spark, tmp_path):
+    from activity_classifier_spark_cassandra_spark.streaming.dedup import (
+        _synthetic_crawl,
+        url_dedup_stream,
+    )
+
+    crawl = _synthetic_crawl(spark, SF)
+    src = str(tmp_path / "crawl_wm")
+    crawl.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(crawl.schema).parquet(src)
+    plan = (
+        url_dedup_stream(stream)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "EventTimeWatermark" in plan
