@@ -174,6 +174,13 @@ HEADLINE = [
     "q_jl_recall_eval",
     "q_paragraph_dedup",
     "q_knn_graph_q8",
+    # added in round 10: IVF-routed entry vertices (the growing-N
+    # serving path), longest-match span resolution, URL-level dedup
+    "q_knn_graph_routed",
+    "q_span_dedup_longest",
+    "q_span_dedup_apply_longest",
+    "q_url_dedup",
+    "q_stream_url_dedup",
 ]
 
 
