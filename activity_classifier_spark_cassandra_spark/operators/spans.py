@@ -462,7 +462,13 @@ def span_longest_runs(
         .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
     )
     # clusters: runs of ANY rung that touch or overlap merge
-    wdoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    # ORDER must be TOTAL: runs of different k can share (s, e)
+    # exactly (a fully-duplicated doc yields identical runs at every
+    # rung), and the new_cluster FLAG and its cumsum are two window
+    # evaluations — with a tie the engine may order them differently
+    # per evaluation, splitting a cluster and double-counting
+    # (caught by the sf0.01 sweep; k breaks the tie)
+    wdoc = Window.partitionBy("doc_id").orderBy("s", "e", "k")
     prev_cend = F.max("e").over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -640,14 +646,14 @@ runs AS (
 cflag AS (
   SELECT *,
     CASE WHEN s > COALESCE(MAX(e) OVER (
-           PARTITION BY doc_id ORDER BY s, e
+           PARTITION BY doc_id ORDER BY s, e, k
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          -1) THEN 1 ELSE 0 END AS new_cluster
   FROM runs
 ),
 clustered AS (
   SELECT *, SUM(new_cluster) OVER (
-    PARTITION BY doc_id ORDER BY s, e
+    PARTITION BY doc_id ORDER BY s, e, k
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
   FROM cflag
 ),
