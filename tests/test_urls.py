@@ -96,3 +96,50 @@ def test_url_dedup_plan_one_exchange_no_window(spark):
     plan = U.q_url_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_canonicalize_is_idempotent_and_normal(spark):
+    """Property: canon(canon(u)) == canon(u) on randomized URLs built
+    from the hazard grammar, and every canonical form is normal (no
+    fragment, no default port, no tracking params, params sorted, no
+    trailing slash)."""
+    import random
+
+    rng = random.Random(414)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["A.example.COM", "www.site.org", "S3.Example.com:443",
+             "host.net:80", "host.net:8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/./a/../a/b", "/x/y///"]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?ref=tw&id=3&a=1",
+               "?fbclid=1&z=9&m=2"]
+    frags = ["", "#top", "#a/b?c=1"]
+    raw = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+        f"{rng.choice(paths)}{rng.choice(queries)}{rng.choice(frags)}"
+        for _ in range(200)
+    ]
+    once = _canon(spark, raw)
+    twice = _canon(spark, once)
+    assert once == twice
+    for c in once:
+        assert "#" not in c
+        assert not c.startswith("HTTP")
+        scheme, rest = c.split("://", 1)
+        host = rest.split("/", 1)[0].split("?")[0]
+        if scheme == "https":
+            assert not host.endswith(":443"), c
+        if scheme == "http":
+            assert not host.endswith(":80"), c
+        if "?" in c:
+            q = c.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts), c
+            assert not any(
+                p.startswith(("utm_", "ref=", "fbclid=", "gclid="))
+                for p in parts
+            ), c
+        base = c.split("?")[0]
+        path = base.split("://", 1)[1]
+        path = path[path.find("/"):] if "/" in path else ""
+        assert not path.endswith("/") or path == "", c
+        assert "/./" not in path, c
