@@ -23,6 +23,7 @@ from activity_classifier_spark_cassandra_spark.operators import coreset as CS
 from activity_classifier_spark_cassandra_spark.operators import corpus as CP
 from activity_classifier_spark_cassandra_spark.operators import dedup as D
 from activity_classifier_spark_cassandra_spark.operators import bucketing as BK
+from activity_classifier_spark_cassandra_spark.operators import bitext as BX
 from activity_classifier_spark_cassandra_spark.operators import dq as DQ
 from activity_classifier_spark_cassandra_spark.operators import timeseries as TS
 from activity_classifier_spark_cassandra_spark.operators import transitions as TR
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": UR.q_url_dedup,
         "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
         "q_stream_url_dedup": SD.q_stream_url_dedup,
+        "q_bitext_mine": BX.q_bitext_mine,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -135,9 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": R.q_profile,
         "q_decontaminate": CP.q_decontaminate,
         "q_chunk_sequences": CP.q_chunk_sequences,
-        "q_domain_mix": CP.q_domain_mix,
         # ==================== window boundary (50) ====================
         # ==== r6-green remainder (leads round 11) ====
+        "q_domain_mix": CP.q_domain_mix,
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
         "q_bpe_tokenize": T.q_bpe_tokenize,
@@ -415,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_dedup": UR.URL_DEDUP_SQL,
         "q_span_dedup_apply_longest": SP.SPAN_DEDUP_APPLY_LONGEST_SQL,
         "q_stream_url_dedup": SD.STREAM_URL_DEDUP_SQL,
+        "q_bitext_mine": BX.BITEXT_MINE_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -181,6 +181,7 @@ HEADLINE = [
     "q_span_dedup_apply_longest",
     "q_url_dedup",
     "q_stream_url_dedup",
+    "q_bitext_mine",
 ]
 
 

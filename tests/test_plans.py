@@ -46,6 +46,9 @@ BNLJ_OK = {
     "q_graph_routed_recall_eval",  # same brute-truth side
     "q_graph_insert_policy",  # same brute-truth side as q_graph_recall_eval
     "q_jl_recall_eval",  # bounded |queries| x corpus audit scan, both brute sides
+    "q_bitext_mine",  # 25-row source batch broadcast into the target
+    # scan (forward) and <=25 mined candidates into the source scan
+    # (backward) — the documented bounded mining pass
 }
 
 
