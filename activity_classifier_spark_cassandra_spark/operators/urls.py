@@ -13,9 +13,14 @@ tracking-parameter strip every production pipeline adds):
 
 * scheme and host lowercased;
 * default ports stripped (``:443`` for https, ``:80`` for http);
-* ``/./`` segments collapsed and ``name/../`` pairs resolved;
-* trailing slashes stripped (root ``/`` kept);
-* the fragment dropped;
+* ``/./`` segments collapsed and ``name/../`` pairs resolved to a
+  FIXED POINT (bounded re-application, so nested ``a/b/../../c``
+  fully resolves and canonicalization is idempotent);
+* trailing slashes stripped — including the root slash, so
+  ``https://s.com/`` and ``https://s.com`` (RFC 3986 §6.2.3
+  equivalents for http/https) collapse to the same key;
+* the fragment dropped; the query is everything after the FIRST
+  ``?`` (RFC 3986 §3.4 — later ``?`` characters are query DATA);
 * tracking parameters dropped (``utm_*``, ``ref``, ``fbclid``,
   ``gclid``); the surviving query parameters sorted.
 
@@ -55,6 +60,19 @@ from ..sources.io import load_table
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_KEYS = ("ref", "fbclid", "gclid")
 
+# a path segment that is NOT the literal '.' or '..' (so '/v1.2/../x'
+# resolves but '/../..' is left alone, matching RFC 3986 §5.2.4's
+# treatment of leading dot-dots at the root).  Alternation instead of
+# lookahead so the same pattern runs under both Java regex (Spark)
+# and RE2 (DuckDB).
+_SEG = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+
+# '/seg/../' pairs can nest ('/a/b/../../c' needs two passes), so the
+# replacement is re-applied this many times — a bounded fixed-point
+# that both engines evaluate identically.  8 levels of '..' nesting
+# covers any real crawl URL.
+_DOTDOT_PASSES = 8
+
 
 def _strip_tracking_pred_spark(var: str) -> str:
     """Boolean SQL over one ``k=v`` pair: TRUE when the pair survives."""
@@ -66,12 +84,15 @@ def _strip_tracking_pred_spark(var: str) -> str:
 def canonical_url_expr(url_col: str = "url") -> Column:
     """Canonical form of ``url_col`` as one built-in expression tree."""
     u = url_col
-    # 1. drop the fragment, split path-part from query-part
+    # 1. drop the fragment, split path-part from query-part.  The
+    # query is everything after the FIRST '?' (RFC 3986 §3.4) — a
+    # second '?' is query data, so substring_index(.., '?', -1)
+    # would drop the real front of the query.
     nofrag = f"substring_index({u}, '#', 1)"
     base = f"substring_index({nofrag}, '?', 1)"
     query = (
         f"CASE WHEN instr({nofrag}, '?') > 0 "
-        f"THEN substring_index({nofrag}, '?', -1) ELSE '' END"
+        f"THEN substr({nofrag}, instr({nofrag}, '?') + 1) ELSE '' END"
     )
     # 2. scheme/host lowercase, default ports stripped
     scheme = f"lower(substring_index({base}, '://', 1))"
@@ -90,7 +111,14 @@ def canonical_url_expr(url_col: str = "url") -> Column:
         f"THEN substr({rest}, instr({rest}, '/')) ELSE '' END"
     )
     path1 = f"regexp_replace({path0}, '/(\\\\./)+', '/')"
-    path2 = f"regexp_replace({path1}, '/[^/.]+/\\\\.\\\\./', '/')"
+    # '/seg/../' resolved to a fixed point: one regexp pass only
+    # halves nested parents ('/a/b/../../c' -> '/a/../c'), so the
+    # replacement is re-applied _DOTDOT_PASSES times.  Spark SQL
+    # string literals consume one backslash level, hence the escape.
+    seg = _SEG.replace("\\", "\\\\")
+    path2 = path1
+    for _ in range(_DOTDOT_PASSES):
+        path2 = f"regexp_replace({path2}, '/{seg}/\\\\.\\\\./', '/')"
     path = f"regexp_replace({path2}, '/+$', '')"
     # 4. query: tracking params dropped, the rest sorted
     keep = _strip_tracking_pred_spark("p")
@@ -194,9 +222,11 @@ def _canon_sql(u: str) -> str:
     keep = "NOT (" + " OR ".join(drops) + ")"
     nofrag = f"split_part({u}, '#', 1)"
     base = f"split_part({nofrag}, '?', 1)"
+    # everything after the FIRST '?' — split_part(.., '?', 2) would
+    # truncate a query containing a literal second '?'
     query = (
         f"CASE WHEN instr({nofrag}, '?') > 0 "
-        f"THEN split_part({nofrag}, '?', 2) ELSE '' END"
+        f"THEN substr({nofrag}, instr({nofrag}, '?') + 1) ELSE '' END"
     )
     scheme = f"lower(split_part({base}, '://', 1))"
     rest = f"split_part({base}, '://', 2)"
@@ -213,7 +243,12 @@ def _canon_sql(u: str) -> str:
         f"THEN substr({rest}, instr({rest}, '/')) ELSE '' END"
     )
     path1 = f"regexp_replace({path0}, '/(\\./)+', '/', 'g')"
-    path2 = f"regexp_replace({path1}, '/[^/.]+/\\.\\./', '/', 'g')"
+    # same bounded fixed point as the Spark side; DuckDB (RE2) does
+    # not process backslash escapes in string literals, so _SEG is
+    # embedded verbatim
+    path2 = path1
+    for _ in range(_DOTDOT_PASSES):
+        path2 = f"regexp_replace({path2}, '/{_SEG}/\\.\\./', '/', 'g')"
     path = f"regexp_replace({path2}, '/+$', '', 'g')"
     # COALESCE: DuckDB's array_to_string over an empty filtered list
     # yields NULL, not '' — without it the ELSE branch appends a bare

@@ -330,4 +330,7 @@ def test_routed_recall_floor_and_vs_hash(spark, exact_topk):
         for q, g in hashed.groupby("query_id")
     )
     r_hash = hits_h / (len(truth) * GA.TOP_K)
-    assert r_routed >= r_hash - 0.05, (r_routed, r_hash)
+    # strict: routing must never lose to the hash-spread default —
+    # a regression that makes routed entries WORSE than hashing is a
+    # routing bug, not noise (both searches are deterministic here)
+    assert r_routed >= r_hash, (r_routed, r_hash)

@@ -120,9 +120,16 @@ def test_stream_url_dedup_matches_batch(spark, tmp_path):
 
     crawl = _synthetic_crawl(spark, SF)
     # recrawl: same canonical page, different raw variant (append a
-    # tracking param — canonicalizes away)
+    # tracking param — canonicalizes away).  '&' when the raw URL
+    # already has a query: a second '?' would be query DATA under the
+    # RFC 3986 first-'?' rule and make a genuinely different page.
     recrawl = crawl.withColumn(
-        "url", F2.concat("url", F2.lit("?utm_replay=1"))
+        "url",
+        F2.concat(
+            "url",
+            F2.when(F2.instr("url", "?") > 0, F2.lit("&utm_replay=1"))
+            .otherwise(F2.lit("?utm_replay=1")),
+        ),
     ).withColumn(
         "event_time", F2.expr("event_time + INTERVAL 1 MINUTE")
     )

@@ -66,6 +66,48 @@ def test_canonicalize_param_order_and_dot_segments(spark):
     assert got[2] == got[3] == got[4] == "https://s.com/a/b"
 
 
+def test_canonicalize_multi_question_mark(spark):
+    """RFC 3986 §3.4: the query is everything after the FIRST '?';
+    later '?' characters are query data and must survive."""
+    got = _canon(
+        spark,
+        [
+            "https://s.com/p?a=1?b=2",
+            "https://s.com/p?b=2&a=1?x=3",
+            # a '?' INSIDE a value must not let a tracking-looking
+            # suffix strip the real param it is glued to
+            "https://s.com/p?b=2&a=1?utm_replay=1",
+        ],
+    )
+    assert got[0] == "https://s.com/p?a=1?b=2"
+    assert got[1] == "https://s.com/p?a=1?x=3&b=2"
+    assert got[2] == "https://s.com/p?a=1?utm_replay=1&b=2"
+    # and canonical forms are stable under re-canonicalization
+    assert _canon(spark, got) == got
+
+
+def test_canonicalize_nested_dot_segments(spark):
+    """'/seg/../' resolution runs to a fixed point: nested parents
+    fully resolve, dotted segment names resolve, and a '..' that
+    climbs past the root is left alone (RFC 3986 §5.2.4)."""
+    got = _canon(
+        spark,
+        [
+            "https://s.com/a/b/../../c",
+            "https://s.com/a/b/c/../../../d",
+            "https://s.com/v1.2/../x",
+            "https://s.com/a/../..",
+            "https://s.com/./a/./b/../c",
+        ],
+    )
+    assert got[0] == "https://s.com/c"
+    assert got[1] == "https://s.com/d"
+    assert got[2] == "https://s.com/x"
+    assert got[3] == "https://s.com/.."
+    assert got[4] == "https://s.com/a/c"
+    assert _canon(spark, got) == got
+
+
 def test_url_dedup_keeps_lowest_doc_id(spark):
     df = spark.createDataFrame(
         [
@@ -109,9 +151,11 @@ def test_canonicalize_is_idempotent_and_normal(spark):
     schemes = ["http", "HTTP", "https", "HTTPS"]
     hosts = ["A.example.COM", "www.site.org", "S3.Example.com:443",
              "host.net:80", "host.net:8080"]
-    paths = ["", "/", "/a/b", "/a/b/", "/./a/../a/b", "/x/y///"]
+    paths = ["", "/", "/a/b", "/a/b/", "/./a/../a/b", "/x/y///",
+             "/a/b/../../c", "/v1.2/../x", "/p/q/r/../../../s",
+             "/a/../.."]
     queries = ["", "?utm_source=x", "?b=2&a=1", "?ref=tw&id=3&a=1",
-               "?fbclid=1&z=9&m=2"]
+               "?fbclid=1&z=9&m=2", "?a=1?b=2", "?b=2&a=1?u=3"]
     frags = ["", "#top", "#a/b?c=1"]
     raw = [
         f"{rng.choice(schemes)}://{rng.choice(hosts)}"
