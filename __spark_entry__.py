@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
         "q_stream_url_dedup": SD.q_stream_url_dedup,
         "q_bitext_mine": BX.q_bitext_mine,
+        "q_bitext_mine_corpus": BX.q_bitext_mine_corpus,
         # ==== stalest entries lead (last driver check r5; sweep-green
         #      at both SFs every round since) ====
         "q_schema_evolution": IO.q_schema_evolution,
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup_apply_longest": SP.SPAN_DEDUP_APPLY_LONGEST_SQL,
         "q_stream_url_dedup": SD.STREAM_URL_DEDUP_SQL,
         "q_bitext_mine": BX.BITEXT_MINE_SQL,
+        "q_bitext_mine_corpus": BX.BITEXT_MINE_CORPUS_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

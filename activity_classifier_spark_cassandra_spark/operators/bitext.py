@@ -198,3 +198,239 @@ FROM best b
 JOIN nn_x x USING (src_id)
 JOIN nn_y y USING (tgt_id)
 """
+
+
+# ------------------------------------------- full-corpus mining
+#
+# The shape CCMatrix actually ships (Schwenk et al. 2021 §3.2): EVERY
+# source sentence is mined, and the forward/backward neighbor scans
+# are candidate-bounded by a coarse quantizer instead of brute
+# |src| x |tgt|.  One trained IVF index per side (the same
+# deterministic Lloyd's the trained-IVF family uses), each probe
+# routed to its BT_NPROBE nearest cells, scoring only members of the
+# probed cells.  Candidate volume is |side| * nprobe * avg_cell — at
+# production scale the cell count grows ~sqrt(N) (pass ``cells``), so
+# the scan stays near-linear; the registry pins a small fixed cell
+# count so the DuckDB oracle can replay the training as chained CTEs
+# (the q_knn_ivf_trained pattern).
+#
+# Scale shape: NOTHING corpus-sized broadcasts.  The probe frame is
+# corpus-scale, so the probes->cells join is a plain shuffle join on
+# the cell id (AQE splits hot cells; production cell counts keep
+# parallelism); margins stay exact-integer 1e6-scaled LONG sums.
+
+BT_CELLS = 8     # cells per side's coarse quantizer (registry scale;
+                 # production passes cells ~ sqrt(N))
+BT_NPROBE = 2    # probed cells per query
+
+
+def _ivf_topk_c6(
+    queries: DataFrame,
+    side: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    qid: str,
+    nid: str,
+) -> DataFrame:
+    """Candidate-bounded top-k by 1e6-floored cosine: route each
+    (qid, e1) query row to its ``nprobe`` nearest cells of the side's
+    trained quantizer and score only members of those cells.  Returns
+    (qid, nid, c6, rn) with rn <= k.  Mirrors
+    ``similarity.ivf_trained_search`` minus the broadcast — the query
+    frame here is corpus-scale."""
+    from .similarity import _D2_FOLD, _assign_expr, _cents_literal
+
+    cents_lit = _cents_literal(cents)
+    corpus = side.select(
+        F.col("vec_id").alias(nid),
+        F.col("embedding").alias("e2"),
+        F.expr(_assign_expr(cents_lit)).alias("bucket"),
+    )
+    probes = (
+        queries.select(
+            qid, "e1", F.explode(F.expr(cents_lit)).alias("c")
+        )
+        .withColumn("d2", F.expr(_D2_FOLD.format(x="e1", c="c.c")))
+        .withColumn(
+            "cent_rank",
+            F.row_number().over(
+                Window.partitionBy(qid).orderBy(
+                    F.col("d2").asc(), F.col("c.k").asc()
+                )
+            ),
+        )
+        .filter(F.col("cent_rank") <= nprobe)
+        .select(qid, F.col("c.k").alias("bucket"), "e1")
+    )
+    scored = corpus.join(probes, "bucket").select(
+        qid, nid, F.expr(_COS6).alias("c6")
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("c6").desc(), F.col(nid).asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def mine_bitext_corpus(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = BT_K,
+    threshold: float = BT_THRESHOLD,
+    cells: int = BT_CELLS,
+    nprobe: int = BT_NPROBE,
+) -> DataFrame:
+    """(src_id, tgt_id, cosine, margin, mined) for EVERY source
+    sentence: forward-best target among the probed-cell candidates,
+    ratio margin over the candidate-bounded k-NN sums of both sides."""
+    from .similarity import train_kmeans_centroids
+
+    cents_t = train_kmeans_centroids(tgt, k=cells)
+    cents_s = train_kmeans_centroids(src, k=cells)
+
+    sq = src.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("e1")
+    )
+    fw = _ivf_topk_c6(sq, tgt, cents_t, k, nprobe, "src_id", "tgt_id")
+    nn_x = fw.groupBy("src_id").agg(F.sum("c6").alias("sum_x"))
+    best = fw.filter(F.col("rn") == 1).select("src_id", "tgt_id", "c6")
+
+    ys = best.select("tgt_id").distinct().join(
+        tgt.select(
+            F.col("vec_id").alias("tgt_id"),
+            F.col("embedding").alias("e1"),
+        ),
+        "tgt_id",
+    )
+    bw = _ivf_topk_c6(ys, src, cents_s, k, nprobe, "tgt_id", "cand_id")
+    nn_y = bw.groupBy("tgt_id").agg(F.sum("c6").alias("sum_y"))
+
+    denom = F.col("sum_x") + F.col("sum_y")
+    margin = F.when(
+        denom > 0,
+        F.round(F.lit(2 * k) * F.col("c6") / denom, 6),
+    )
+    return (
+        best.join(nn_x, "src_id")
+        .join(nn_y, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("c6") / F.lit(1e6), 6).alias("cosine"),
+            margin.alias("margin"),
+            (F.coalesce(margin, F.lit(0.0)) >= threshold).alias("mined"),
+        )
+    )
+
+
+def q_bitext_mine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine the WHOLE source side against the target side with
+    IVF-bounded candidate generation on both directions."""
+    src, tgt = _sides(spark, sf_dir)
+    return mine_bitext_corpus(src, tgt)
+
+
+def _bitext_corpus_sql() -> str:
+    """DuckDB replay: per-side Lloyd's training as chained CTEs (the
+    q_knn_ivf_trained pattern), candidate-bounded forward/backward
+    scans, identical integer margin arithmetic."""
+    from .similarity import KMEANS_ITERS, _sql_assign, _sql_d2, _sql_update
+
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        "src AS (SELECT * FROM emb WHERE vec_id % 2 = 0)",
+        "tgt AS (SELECT * FROM emb WHERE vec_id % 2 = 1)",
+    ]
+    for p, side in (("t", "tgt"), ("s", "src")):
+        ctes.append(f"""{p}c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(e, x -> round(x, 6)) AS centroid
+  FROM (SELECT vec_id, e FROM {side} ORDER BY vec_id LIMIT {BT_CELLS})
+)""")
+        for i in range(1, KMEANS_ITERS + 1):
+            ctes.append(_sql_assign(f"{p}c{i - 1}", f"{p}a{i}", side))
+            ctes.append(_sql_update(f"{p}a{i}", f"{p}c{i}"))
+        ctes.append(
+            _sql_assign(f"{p}c{KMEANS_ITERS}", f"{p}af", side)
+        )
+    tc, sc = f"tc{KMEANS_ITERS}", f"sc{KMEANS_ITERS}"
+    d2 = _sql_d2("v.e", "c.centroid")
+    ctes.append(f"""fprobe AS (
+  SELECT src_id, cluster, e1 FROM (
+    SELECT v.vec_id AS src_id, v.e AS e1, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {d2} ASC, c.cluster ASC) AS cr
+    FROM src v CROSS JOIN {tc} c
+  ) WHERE cr <= {BT_NPROBE}
+)""")
+    ctes.append(f"""fw AS (
+  SELECT src_id, tgt_id, c6,
+    ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY c6 DESC, tgt_id ASC) AS rn
+  FROM (
+    SELECT p.src_id, t.vec_id AS tgt_id,
+      {_sql_c6("p.e1", "t.e")} AS c6
+    FROM fprobe p JOIN taf t ON t.cluster = p.cluster
+  )
+)""")
+    ctes.append(
+        f"nn_x AS (SELECT src_id, SUM(c6) AS sum_x FROM fw"
+        f" WHERE rn <= {BT_K} GROUP BY src_id)"
+    )
+    ctes.append(
+        "best AS (SELECT src_id, tgt_id, c6 FROM fw WHERE rn = 1)"
+    )
+    ctes.append(
+        "ys AS (SELECT DISTINCT b.tgt_id, t.e AS e1 FROM best b"
+        " JOIN tgt t ON t.vec_id = b.tgt_id)"
+    )
+    ctes.append(f"""bprobe AS (
+  SELECT tgt_id, cluster, e1 FROM (
+    SELECT y.tgt_id, y.e1, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY y.tgt_id
+        ORDER BY {_sql_d2("y.e1", "c.centroid")} ASC, c.cluster ASC) AS cr
+    FROM ys y CROSS JOIN {sc} c
+  ) WHERE cr <= {BT_NPROBE}
+)""")
+    ctes.append(f"""bw AS (
+  SELECT tgt_id, cand_id, c6b,
+    ROW_NUMBER() OVER (PARTITION BY tgt_id
+      ORDER BY c6b DESC, cand_id ASC) AS rn
+  FROM (
+    SELECT p.tgt_id, s.vec_id AS cand_id,
+      {_sql_c6("p.e1", "s.e")} AS c6b
+    FROM bprobe p JOIN saf s ON s.cluster = p.cluster
+  )
+)""")
+    ctes.append(
+        f"nn_y AS (SELECT tgt_id, SUM(c6b) AS sum_y FROM bw"
+        f" WHERE rn <= {BT_K} GROUP BY tgt_id)"
+    )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT b.src_id, b.tgt_id,
+  ROUND(b.c6 / 1000000.0, 6) AS cosine,
+  CASE WHEN x.sum_x + y.sum_y > 0
+    THEN ROUND({2 * BT_K} * b.c6 / (x.sum_x + y.sum_y), 6) END AS margin,
+  COALESCE(CASE WHEN x.sum_x + y.sum_y > 0
+    THEN ROUND({2 * BT_K} * b.c6 / (x.sum_x + y.sum_y), 6) END, 0.0)
+    >= {BT_THRESHOLD} AS mined
+FROM best b
+JOIN nn_x x USING (src_id)
+JOIN nn_y y USING (tgt_id)"""
+    )
+    import re as _re
+
+    return _re.sub(
+        r"\b(emb|src|tgt|[ts]c\d|[ts]a\d|[ts]af|fprobe|fw|nn_x|best|ys"
+        r"|bprobe|bw|nn_y) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+BITEXT_MINE_CORPUS_SQL = _bitext_corpus_sql()

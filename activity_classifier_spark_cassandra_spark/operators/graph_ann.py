@@ -88,7 +88,19 @@ from .similarity import _DOT, _N1, _N2, N_QUERIES, TOP_K
 # and converges (0.02 -> 0.26 -> 0.69 -> 0.89).  It also never
 # assumes vec_ids are contiguous — only hash-order neighbors exist.
 G_K = 12         # graph out-degree
-G_ITERS = 4      # NN-descent refinement rounds
+G_ITERS = 4      # NN-descent refinement rounds (MAXIMUM — see G_DELTA)
+# δ-termination (Dong 2011 §2.3): stop when a round's update count
+# |g_i \ g_{i-1}| drops below δ·K·N.  The per-round adjacency exchange
+# is the build's whole constant, so on corpora that converge in 2-3
+# rounds this skips 1-2 redundant rounds of it.  The rule is replayed
+# EXACTLY in the DuckDB oracle (_term_ctes: per-round anti-join
+# counts, first round under threshold wins), so the realized round
+# count stays hash-checkable, not a tolerance.  The synthetic
+# near-random test embeddings keep update rates far above δ through
+# round 4 (recall still climbing — module docstring), so at test SFs
+# both engines run all G_ITERS rounds; clustered corpora stop early
+# (pinned in test_graph_ann.py).
+G_DELTA = 0.01
 INIT_MULT = 2654435761  # Knuth multiplicative hash base (2^32 * phi)
 INIT_BUCKET = 32        # target hash-bucket size for successor rings
 BEAM = 64        # search beam width
@@ -97,6 +109,11 @@ HOPS = 6         # search hops (recall saturates at 5 on both SFs —
 N_ENTRIES = 24   # hash-spread entry vertices (derived from the graph)
 
 _COS = f"({_DOT}) / (({_N1}) * ({_N2}))"
+
+# rounds the most recent build_knn_graph / build_knn_graph_q8 actually
+# ran (δ-termination observability; tests pin early stop on clustered
+# corpora against this)
+last_realized_rounds: int = 0
 
 _SQL_COS = (
     "ROUND(list_dot_product({q}, {c})"
@@ -173,9 +190,18 @@ def _init_pairs(ids: DataFrame, k: int, n: int) -> DataFrame:
     )
 
 
-def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataFrame:
+def build_knn_graph(
+    emb: DataFrame,
+    k: int = G_K,
+    iters: int = G_ITERS,
+    delta: float = G_DELTA,
+) -> DataFrame:
     """NN-descent k-NN graph build; returns (vec_id, neighbor_id,
-    cosine, rank) for the final graph.  Init: see ``_init_pairs``."""
+    cosine, rank) for the final graph.  Init: see ``_init_pairs``.
+    Rounds run until the per-round update count drops below
+    ``delta``·k·N or ``iters`` rounds have run (δ-termination,
+    Dong 2011 §2.3)."""
+    global last_realized_rounds
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     n = emb.count()  # one scalar aggregate — metadata-scale
     init = _init_pairs(corpus.select("vec_id"), k, n)
@@ -199,7 +225,9 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
     #     rows), never the K²·N pair frame: the pair join, the
     #     cosine fold, and the thin projection all happen inside u's
     #     partition.  Every exchange after that carries 24-byte rows.
-    for _ in range(iters):
+    last_realized_rounds = 0
+    for rnd in range(1, iters + 1):
+        g_prev = g
         in_vec = (
             g.select(
                 F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
@@ -250,6 +278,15 @@ def build_knn_graph(emb: DataFrame, k: int = G_K, iters: int = G_ITERS) -> DataF
             .select("vec_id", "neighbor_id", "cosine")
             .localCheckpoint(eager=True)
         )
+        last_realized_rounds = rnd
+        # δ-termination: both frames are checkpointed K·N id pairs,
+        # so this anti-join count is metadata-scale next to the
+        # adjacency exchange a skipped round saves
+        updates = g.join(
+            g_prev, ["vec_id", "neighbor_id"], "left_anti"
+        ).count()
+        if updates < delta * k * n:
+            break
 
     return _top_k(g, k).select("vec_id", "neighbor_id", "cosine", "rank")
 
@@ -351,7 +388,10 @@ def _top_k_q(scored: DataFrame, k: int) -> DataFrame:
 
 
 def build_knn_graph_q8(
-    emb: DataFrame, k: int = G_K, iters: int = G_ITERS
+    emb: DataFrame,
+    k: int = G_K,
+    iters: int = G_ITERS,
+    delta: float = G_DELTA,
 ) -> DataFrame:
     """NN-descent build ranked by SQ8 quantized cosine end-to-end,
     with ONE exact rescore of the final K·N edges.  Same init and
@@ -362,7 +402,10 @@ def build_knn_graph_q8(
     quantized then exact-rescored survivors INSIDE each round; the
     rescore's two sort-merge joins against the corpus cost 30 s/round
     at the 100x probe — more than the shuffle it saved.  Rank
-    quantized throughout, pay the corpus join once at the end)."""
+    quantized throughout, pay the corpus join once at the end).
+    Rounds δ-terminate like ``build_knn_graph`` (update counts over
+    the quantized-ranked edge sets)."""
+    global last_realized_rounds
     corpus = emb.select("vec_id", F.col("embedding").alias("e"))
     n = emb.count()
     q8 = _q8_corpus(corpus).localCheckpoint(eager=True)
@@ -374,7 +417,9 @@ def build_knn_graph_q8(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(iters):
+    last_realized_rounds = 0
+    for rnd in range(1, iters + 1):
+        g_prev = g
         in_q = g.select(
             F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
         ).join(
@@ -421,6 +466,12 @@ def build_knn_graph_q8(
             .select("vec_id", "neighbor_id", "qcos")
             .localCheckpoint(eager=True)
         )
+        last_realized_rounds = rnd
+        updates = g.join(
+            g_prev, ["vec_id", "neighbor_id"], "left_anti"
+        ).count()
+        if updates < delta * k * n:
+            break
 
     # one exact rescore + exact re-rank of the final K·N edges — the
     # only corpus join in the build
@@ -609,11 +660,44 @@ def _sql_top_k(scored: str, out: str, k: int, keep_score: bool) -> str:
 )"""
 
 
+def _term_ctes(p: str, corpus: str) -> list[str]:
+    """δ-termination replay (Dong 2011 §2.3): per-round update counts
+    ``u_i = |g_i \\ g_{i-1}|`` via anti-joins over CTEs the replay
+    materializes anyway, ``stop`` = the FIRST round whose count drops
+    below δ·K·N — exactly the rule the Spark build applies round by
+    round — and ``{p}gf`` selects that round's edge set.  The oracle
+    computes all G_ITERS rounds regardless (a CTE chain cannot branch),
+    but the SELECTED graph matches the early-stopped Spark build
+    bit-for-bit, so the query stays hash-checked."""
+    ctes = []
+    for i in range(1, G_ITERS + 1):
+        ctes.append(
+            f"{p}u{i} AS (SELECT COUNT(*) AS c FROM {p}g{i} a"
+            f" ANTI JOIN {p}g{i - 1} b ON b.vec_id = a.vec_id"
+            f" AND b.neighbor_id = a.neighbor_id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS i, c FROM {p}u{i}" for i in range(1, G_ITERS + 1)
+    )
+    ctes.append(
+        f"{p}stop AS (SELECT COALESCE(MIN(i), {G_ITERS}) AS r"
+        f" FROM ({union})"
+        f" WHERE c < {G_DELTA} * {G_K} * (SELECT COUNT(*) FROM {corpus}))"
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, neighbor_id FROM {p}g{i}"
+        f" WHERE {i} = (SELECT r FROM {p}stop)"
+        for i in range(1, G_ITERS + 1)
+    )
+    ctes.append(f"{p}gf AS (\n  {branches}\n)")
+    return ctes
+
+
 def _build_ctes(p: str, corpus: str) -> list[str]:
     """NN-descent build CTEs over the ``corpus`` CTE, every emitted
     name prefixed with ``p`` so two builds (e.g. old-corpus and
     full-corpus in the insert-policy oracle) coexist in one query.
-    Final graph CTE: ``{p}g{G_ITERS}``."""
+    Final graph CTE: ``{p}gf`` (δ-termination-selected round)."""
     ctes = [
         f"{p}nn AS (SELECT GREATEST(1, COUNT(*) // {INIT_BUCKET}) AS nb"
         f" FROM {corpus})",
@@ -658,7 +742,7 @@ def _build_ctes(p: str, corpus: str) -> list[str]:
         ctes.append(
             _sql_top_k(f"{p}s{i}", f"{p}g{i}", G_K, keep_score=False)
         )
-    return ctes
+    return ctes + _term_ctes(p, corpus)
 
 
 def _sql_score_q(cand: str, out: str, p: str) -> str:
@@ -687,8 +771,8 @@ def _sql_top_k_q(scored: str, out: str, k: int) -> str:
 def _build_q8_ctes(p: str, corpus: str) -> list[str]:
     """SQ8-ranked NN-descent build CTEs (mirrors build_knn_graph_q8):
     identical init, every round scored and ranked by quantized
-    cosine.  Final QUANTIZED-ranked edge CTE: ``{p}g{G_ITERS}`` (id
-    pairs only — callers exact-rescore it)."""
+    cosine.  Final QUANTIZED-ranked edge CTE: ``{p}gf`` (id pairs
+    only, δ-termination-selected round — callers exact-rescore it)."""
     ctes = _build_ctes(p, corpus)[:3]  # nn, hashed, init
     ctes.append(f"""{p}qv AS (
   SELECT vec_id,
@@ -720,7 +804,7 @@ def _build_q8_ctes(p: str, corpus: str) -> list[str]:
 )""")
         ctes.append(_sql_score_q(f"{p}cand{i}", f"{p}s{i}", p))
         ctes.append(_sql_top_k_q(f"{p}s{i}", f"{p}g{i}", G_K))
-    return ctes
+    return ctes + _term_ctes(p, corpus)
 
 
 def _graph_ctes() -> list[str]:
@@ -735,7 +819,7 @@ def _materialize(sql: str) -> str:
 
     return _re.sub(
         r"\b(corpus|nn|hashed|init|s\d+|g\d+|cand\d+|queries|entries|e0"
-        r"|f\d+|c\d+h|fs\d+|qv|q8) AS \(",
+        r"|f\d+|c\d+h|fs\d+|qv|q8|u\d+|stop|gf) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -743,7 +827,7 @@ def _materialize(sql: str) -> str:
 
 def _knn_graph_sql() -> str:
     ctes = _graph_ctes()
-    ctes.append(_sql_score(f"g{G_ITERS}", "sfin"))
+    ctes.append(_sql_score("gf", "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
     sql = (
         "WITH " + ",\n".join(ctes)
@@ -826,7 +910,7 @@ def _search_ctes() -> list[str]:
     frontier fs{HOPS} (shared by the search query and the recall
     eval)."""
     ctes = _graph_ctes()
-    g = f"g{G_ITERS}"
+    g = "gf"
     ctes.append(
         f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
         f" WHERE vec_id < {N_QUERIES})"
@@ -868,7 +952,7 @@ def _knn_graph_search_sql() -> str:
         f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
         f" WHERE vec_id < {N_QUERIES})"
     )
-    ctes += _sql_search_ctes("", f"g{G_ITERS}", "queries", "corpus")
+    ctes += _sql_search_ctes("", "gf", "queries", "corpus")
     sql = (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -886,7 +970,7 @@ def _knn_graph_q8_sql() -> str:
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
         " FROM embeddings)",
     ] + _build_q8_ctes("", "corpus")
-    ctes.append(_sql_score(f"g{G_ITERS}", "sfin"))
+    ctes.append(_sql_score("gf", "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
     sql = (
         "WITH " + ",\n".join(ctes)
@@ -1003,7 +1087,7 @@ def _graph_q8_recall_eval_sql() -> str:
         f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
         f" WHERE vec_id < {N_QUERIES})"
     )
-    ctes += _sql_search_ctes("", f"g{G_ITERS}", "queries", "corpus")
+    ctes += _sql_search_ctes("", "gf", "queries", "corpus")
     cos = _SQL_COS.format(q="q.e", c="y.e")
     ctes.append(f"""searchres AS (
   SELECT query_id, neighbor_id FROM (
@@ -1152,7 +1236,7 @@ def _knn_graph_insert_sql() -> str:
         " FROM corpus)".format(b=INIT_BUCKET),
     ]
     ctes = pre + base[1:]
-    g = f"g{G_ITERS}"
+    g = "gf"
     ctes.append(_sql_score(g, "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
     # beam search for the new batch over the old graph
@@ -1218,7 +1302,7 @@ UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
     return _re.sub(
         r"\b(allv|newids|corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+"
         r"|queries|entries|e0|f\d+|c\d+h|fs\d+|sfin|gfin|new_edges"
-        r"|affected|repaired) AS \(",
+        r"|affected|repaired|u\d+|stop|gf) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -1310,7 +1394,7 @@ def _graph_insert_policy_sql() -> str:
         " (SELECT vec_id FROM newids))",
     ]
     ctes = pre + base
-    g = f"g{G_ITERS}"
+    g = "gf"
     ctes.append(_sql_score(g, "sfin"))
     ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
     # batch beam-searches the OLD graph (scored against the old
@@ -1356,7 +1440,7 @@ def _graph_insert_policy_sql() -> str:
         f" WHERE vec_id < {N_QUERIES})"
     )
     ctes += _sql_search_ctes("u_", "upd", "sq", "allv")
-    ctes += _sql_search_ctes("v_", f"fb_g{G_ITERS}", "sq", "allv")
+    ctes += _sql_search_ctes("v_", "fb_gf", "sq", "allv")
     for p, out in (("u_", "utop"), ("v_", "vtop")):
         ctes.append(f"""{out} AS (
   SELECT query_id, neighbor_id FROM (
@@ -1404,7 +1488,7 @@ FROM (
     return _re.sub(
         r"\b(allv|newids|corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+"
         r"|sfin|gfin|bq|sq|new_edges|affected|repaired|upd|utop|vtop"
-        r"|btop|(?:b_|u_|v_|fb_)\w+) AS \(",
+        r"|btop|u\d+|stop|gf|(?:b_|u_|v_|fb_)\w+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
@@ -1597,7 +1681,7 @@ def _routed_ctes() -> list[str]:
   ) WHERE rn = 1
 )""")
     ctes += _build_q8_ctes("", "corpus")
-    g = f"g{G_ITERS}"
+    g = "gf"
     ctes.append(
         f"queries AS (SELECT vec_id AS query_id, e FROM corpus"
         f" WHERE vec_id < {N_QUERIES})"
@@ -1651,7 +1735,7 @@ def _materialize_routed(sql: str) -> str:
 
     return _re.sub(
         r"\b(corpus|nn|hashed|init|qv|q8|afd|routes|queries|e0"
-        r"|c\d+h|c\d|a\d|s\d+|g\d+|cand\d+|f\d+) AS \(",
+        r"|c\d+h|c\d|a\d|s\d+|g\d+|cand\d+|f\d+|u\d+|stop|gf) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )

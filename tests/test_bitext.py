@@ -121,3 +121,55 @@ def test_bitext_batch_contract(spark):
     assert (df.src_id % 2 == 0).all()
     assert (df.tgt_id % 2 == 1).all()
     assert df.margin.notna().all()
+
+
+def test_bitext_corpus_contract(spark):
+    """Full-corpus mining: exactly one row per SOURCE sentence, the
+    forward-best comes from one of the source's probed target cells,
+    and the mined flag is margin >= threshold."""
+    from activity_classifier_spark_cassandra_spark.operators.similarity import (
+        _D2_FOLD,
+        _assign_expr,
+        _cents_literal,
+        train_kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    out = BT.q_bitext_mine_corpus(spark, SF).toPandas()
+    src, tgt = BT._sides(spark, SF)
+    n_src = src.count()
+    assert len(out) == n_src
+    assert out.src_id.is_unique
+    assert (out.src_id % 2 == 0).all() and (out.tgt_id % 2 == 1).all()
+    m = out.margin.fillna(0.0)
+    assert ((m >= BT.BT_THRESHOLD) == out.mined).all()
+    assert out.mined.any()           # the threshold actually splits
+    assert (~out.mined).any()
+
+    # candidate validity: each src's best tgt sits in a probed cell
+    cents = train_kmeans_centroids(tgt, k=BT.BT_CELLS)
+    lit = _cents_literal(cents)
+    assign = {
+        r.vec_id: r.b
+        for r in tgt.select(
+            "vec_id", F.expr(_assign_expr(lit)).alias("b")
+        ).collect()
+    }
+    probed = {
+        r.src_id: set(r.cells)
+        for r in src.select(
+            F.col("vec_id").alias("src_id"),
+            F.expr(
+                f"transform(array_sort(transform({lit}, c -> named_struct("
+                f"'d2', {_D2_FOLD.format(x='embedding', c='c.c')},"
+                f" 'k', c.k))), s -> s.k)"
+            ).alias("ranked"),
+        )
+        .select(
+            "src_id",
+            F.slice("ranked", 1, BT.BT_NPROBE).alias("cells"),
+        )
+        .collect()
+    }
+    for r in out.itertuples():
+        assert assign[int(r.tgt_id)] in probed[int(r.src_id)], r

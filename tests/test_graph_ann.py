@@ -334,3 +334,71 @@ def test_routed_recall_floor_and_vs_hash(spark, exact_topk):
     # a regression that makes routed entries WORSE than hashing is a
     # routing bug, not noise (both searches are deterministic here)
     assert r_routed >= r_hash, (r_routed, r_hash)
+
+
+def _clustered_emb(spark, n_clusters=10, size=20, noise=1e-3, seed=77):
+    """Tightly clustered corpus: NN-descent converges before G_ITERS
+    rounds on it (per-round updates hit 0 by round 3 at this shape),
+    unlike the near-random test embeddings."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, 16))
+    rows = []
+    for i in range(n_clusters * size):
+        v = centers[i % n_clusters] + noise * rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+
+
+def test_delta_termination_early_stop_and_oracle_parity(spark, tmp_path):
+    """δ-termination (Dong 2011): on the clustered corpus both builds
+    must stop BEFORE G_ITERS rounds, the early-stopped output must
+    equal running exactly that many rounds, and the DuckDB oracle —
+    which replays every round but SELECTS the stopped one — must
+    match bit-for-bit (the cross-engine pin of the stop rule)."""
+    import duckdb
+
+    emb = _clustered_emb(spark)
+    path = str(tmp_path / "emb_clustered")
+    emb.write.mode("overwrite").parquet(path)
+
+    g8 = GA.build_knn_graph_q8(emb).toPandas()
+    rounds8 = GA.last_realized_rounds
+    assert 0 < rounds8 < GA.G_ITERS, rounds8
+
+    gx = GA.build_knn_graph(emb).toPandas()
+    roundsx = GA.last_realized_rounds
+    assert 0 < roundsx < GA.G_ITERS, roundsx
+
+    # stop-at-r == run-exactly-r-rounds (delta=0 disables the stop)
+    g8_fixed = GA.build_knn_graph_q8(
+        emb, iters=rounds8, delta=0.0
+    ).toPandas()
+    cols = ["vec_id", "neighbor_id", "cosine", "rank"]
+    a = g8[cols].sort_values(cols).reset_index(drop=True)
+    b = g8_fixed[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT *"
+        f" FROM read_parquet('{path}/*.parquet')"
+    )
+    for sdf, sql in ((g8, GA.KNN_GRAPH_Q8_SQL), (gx, GA.KNN_GRAPH_SQL)):
+        odf = con.execute(sql).df()
+        s = sdf[cols].sort_values(cols).reset_index(drop=True)
+        o = odf[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s, o, check_dtype=False)
+        assert len(s) > 0
+    con.close()
+
+
+def test_delta_termination_noop_on_test_corpus(spark):
+    """The near-random sf0.001 embeddings keep per-round updates far
+    above δ·K·N, so the default build runs all G_ITERS rounds there —
+    pinning that δ-termination changes nothing at the driver's SFs."""
+    emb = load_table(spark, SF, "embeddings")
+    GA.build_knn_graph_q8(emb).count()
+    assert GA.last_realized_rounds == GA.G_ITERS
