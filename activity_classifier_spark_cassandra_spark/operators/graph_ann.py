@@ -1207,12 +1207,28 @@ def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     production default since round 10 — same output contract as the
     exact build, a fraction of the shuffle); insert/repair arithmetic
     stays exact because the q8 build's final rescore emits exact
-    cosines."""
+    cosines.
+
+    Exercises the PERSISTED-index lifecycle end to end: the standing
+    graph is saved to parquet and RELOADED before the insert — the
+    day-over-day serving shape (build once per ingest batch, load for
+    every subsequent operation).  The roundtrip is bit-exact (rounded
+    6-dp doubles + ints survive parquet verbatim), so the oracle is
+    unchanged."""
+    import os
+    import tempfile
+    import uuid
+
     emb = load_table(spark, sf_dir, "embeddings")
     new, old = _split_insert_batch(emb)
-    g_old = build_knn_graph_q8(
+    g_built = build_knn_graph_q8(
         old.select("vec_id", F.col("e").alias("embedding"))
-    ).localCheckpoint(eager=True)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"acsc_knn_graph_{uuid.uuid4().hex}"
+    )
+    save_knn_graph(g_built, path)
+    g_old = load_knn_graph(spark, path)
     return insert_into_graph(emb, g_old, new)
 
 
@@ -1791,3 +1807,70 @@ GROUP BY s.query_id"""
 
 KNN_GRAPH_ROUTED_SQL = _knn_graph_routed_sql()
 GRAPH_ROUTED_RECALL_EVAL_SQL = _graph_routed_recall_eval_sql()
+
+
+# ------------------------------------------ persisted index lifecycle
+#
+# A production deployment builds ONCE per ingest batch and serves many
+# searches, so the index must live as a table, not a lineage: the
+# graph edges (32 B/edge regardless of vector width), the SQ8 codes
+# (1 B/dim — the form future quantized passes re-read), and the
+# routing centroids (ROUTE_K rows).  Parquet on all three, matching
+# the sources/io.py sink conventions; vec_id-keyed tables are
+# bucketable by vec_id at warehouse scale.  q_knn_graph_insert
+# exercises the lifecycle end to end (build -> save -> load -> insert),
+# and the roundtrip pytest pins loaded-index searches bit-equal to
+# inline ones.
+
+from typing import NamedTuple
+
+
+class GraphIndex(NamedTuple):
+    """A persisted-form ANN index: edges, SQ8 codes, routing cells."""
+
+    graph: DataFrame   # (vec_id, neighbor_id, cosine, rank)
+    q8: DataFrame      # (vec_id, q tinyint[], qn double)
+    centroids: list[tuple[int, list[float]]]
+
+
+def build_graph_index(emb: DataFrame) -> GraphIndex:
+    """SQ8 NN-descent graph + SQ8 corpus codes + trained routing
+    centroids — everything the serving paths (hash-spread or routed
+    beam search, insert/repair) need, built in one pass over the
+    corpus."""
+    from .similarity import train_kmeans_centroids_blas
+
+    graph = build_knn_graph_q8(emb)
+    q8 = _q8_corpus(emb.select("vec_id", F.col("embedding").alias("e")))
+    cents = train_kmeans_centroids_blas(emb, k=ROUTE_K)
+    return GraphIndex(graph, q8, cents)
+
+
+def save_graph_index(idx: GraphIndex, path: str) -> None:
+    import os
+
+    idx.graph.write.mode("overwrite").parquet(os.path.join(path, "graph"))
+    idx.q8.write.mode("overwrite").parquet(os.path.join(path, "q8"))
+    spark = idx.graph.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(k), [float(x) for x in c]) for k, c in sorted(idx.centroids)],
+        "cluster int, centroid array<double>",
+    )
+    # ROUTE_K rows — one file, no point sharding metadata
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def load_graph_index(spark: SparkSession, path: str) -> GraphIndex:
+    """Reload a saved index.  The centroid table is ROUTE_K rows, so
+    collecting it back to the literal list the routing expressions
+    embed is a bounded driver fetch (the same shape the trainers
+    return)."""
+    import os
+
+    graph = spark.read.parquet(os.path.join(path, "graph"))
+    q8 = spark.read.parquet(os.path.join(path, "q8"))
+    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cents = sorted((int(r.cluster), list(r.centroid)) for r in rows)
+    return GraphIndex(graph, q8, cents)
