@@ -279,9 +279,14 @@ def build_knn_graph(
             .localCheckpoint(eager=True)
         )
         last_realized_rounds = rnd
-        # δ-termination: both frames are checkpointed K·N id pairs,
-        # so this anti-join count is metadata-scale next to the
-        # adjacency exchange a skipped round saves
+        # δ-termination: both frames are checkpointed K·N id pairs, so
+        # the anti-join count is small next to the adjacency exchange a
+        # skipped round saves (~2 s vs ~35 s/round at the 100x probe).
+        # Skipped on the FINAL round — the loop exits either way, and
+        # the oracle's first-round-under-threshold selection returns
+        # g_iters for stop == iters regardless, so semantics match.
+        if rnd == iters or delta <= 0:
+            continue
         updates = g.join(
             g_prev, ["vec_id", "neighbor_id"], "left_anti"
         ).count()
@@ -467,6 +472,9 @@ def build_knn_graph_q8(
             .localCheckpoint(eager=True)
         )
         last_realized_rounds = rnd
+        # final-round count skipped — see build_knn_graph
+        if rnd == iters or delta <= 0:
+            continue
         updates = g.join(
             g_prev, ["vec_id", "neighbor_id"], "left_anti"
         ).count()
