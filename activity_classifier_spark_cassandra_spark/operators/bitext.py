@@ -54,6 +54,18 @@ _COS_RAW = f"({_DOT}) / (({_N1}) * ({_N2}))"
 # exact integer work; both engines floor the same double
 _COS6 = f"CAST(FLOOR(({_COS_RAW}) * 1000000) AS BIGINT)"
 
+# per-pair variant with PRE-COMPUTED norms (n1, n2 scalar columns):
+# the interpreted HOF fold is the per-pair cost at corpus scale, and
+# the two norm folds are pair-INDEPENDENT — hoisting them to one fold
+# per side row cuts the per-pair work to the dot alone (~3x fewer
+# fold elements, bit-identical: same fold over the same array yields
+# the same double wherever it runs)
+_COS6_PRE = f"CAST(FLOOR((({_DOT}) / (n1 * n2)) * 1000000) AS BIGINT)"
+_NORM = (
+    "sqrt(aggregate({e}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
 
 def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -245,6 +257,7 @@ def _ivf_topk_c6(
     corpus = side.select(
         F.col("vec_id").alias(nid),
         F.col("embedding").alias("e2"),
+        F.expr(_NORM.format(e="embedding")).alias("n2"),
         F.expr(_assign_expr(cents_lit)).alias("bucket"),
     )
     probes = (
@@ -261,10 +274,15 @@ def _ivf_topk_c6(
             ),
         )
         .filter(F.col("cent_rank") <= nprobe)
-        .select(qid, F.col("c.k").alias("bucket"), "e1")
+        .select(
+            qid,
+            F.col("c.k").alias("bucket"),
+            "e1",
+            F.expr(_NORM.format(e="e1")).alias("n1"),
+        )
     )
     scored = corpus.join(probes, "bucket").select(
-        qid, nid, F.expr(_COS6).alias("c6")
+        qid, nid, F.expr(_COS6_PRE).alias("c6")
     )
     w = Window.partitionBy(qid).orderBy(
         F.col("c6").desc(), F.col(nid).asc()
@@ -434,3 +452,138 @@ JOIN nn_y y USING (tgt_id)"""
 
 
 BITEXT_MINE_CORPUS_SQL = _bitext_corpus_sql()
+
+
+def _blas_route(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    qid: str,
+) -> DataFrame:
+    """(qid, bucket, e1) x nprobe per query via one BLAS matmul per
+    Arrow batch — the production routing for large cell counts, where
+    the interpreted d2 fold (|queries| x cells x dim) dominates.
+    Assignment-identical to the fold path: d2 rounded half-up to 6 dp
+    (``blas_assign``'s rounding argument), ties to the lowest cluster
+    (stable argsort over k-ordered columns)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([c for _, c in sorted(cents)], dtype=np.float64)
+    ks = np.array([k for k, _ in sorted(cents)], dtype=np.int32)
+    cn = (C * C).sum(axis=1)
+
+    def batches(it):
+        for pdf in it:
+            E = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
+            d2 = (
+                (E * E).sum(axis=1)[:, None]
+                - 2.0 * (E @ C.T)
+                + cn[None, :]
+            )
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    qid: pdf[qid].to_numpy().repeat(nprobe),
+                    "bucket": ks[top].reshape(-1),
+                    "e1": [
+                        pdf["e1"].iloc[i] for i in range(n) for _ in range(nprobe)
+                    ],
+                }
+            )
+
+    elem = dict(queries.dtypes)["e1"]
+    return queries.select(qid, "e1").mapInPandas(
+        batches, schema=f"{qid} long, bucket int, e1 {elem}"
+    )
+
+
+def _ivf_topk_c6_blas(
+    queries: DataFrame,
+    side: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    qid: str,
+    nid: str,
+) -> DataFrame:
+    """BLAS variant of ``_ivf_topk_c6``: corpus assignment and query
+    routing as Arrow matmul stages (assignment-identical — pinned in
+    tests), candidate scoring unchanged."""
+    from .similarity import blas_assign
+
+    corpus = blas_assign(side, cents, keep_embedding=True).select(
+        F.col("vec_id").alias(nid),
+        F.col("embedding").alias("e2"),
+        F.expr(_NORM.format(e="embedding")).alias("n2"),
+        F.col("cluster").alias("bucket"),
+    )
+    # n1 via the same JVM fold as the fold path (numpy's SIMD sum
+    # could differ in the last ulp — norms must stay bit-identical)
+    probes = _blas_route(queries, cents, nprobe, qid).withColumn(
+        "n1", F.expr(_NORM.format(e="e1"))
+    )
+    scored = corpus.join(probes, "bucket").select(
+        qid, nid, F.expr(_COS6_PRE).alias("c6")
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("c6").desc(), F.col(nid).asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def mine_bitext_corpus_blas(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = BT_K,
+    threshold: float = BT_THRESHOLD,
+    cells: int = BT_CELLS,
+    nprobe: int = BT_NPROBE,
+) -> DataFrame:
+    """Production-scale variant of ``mine_bitext_corpus``: the BLAS
+    trainer and BLAS assignment/routing stages replace the interpreted
+    folds (which are |side| x cells x dim per pass — the binding cost
+    once cells grows with N).  Candidate scoring, margins, and output
+    are identical; tests pin blas == fold output at sf0.001."""
+    from .similarity import train_kmeans_centroids_blas
+
+    cents_t = train_kmeans_centroids_blas(tgt, k=cells)
+    cents_s = train_kmeans_centroids_blas(src, k=cells)
+
+    sq = src.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("e1")
+    )
+    fw = _ivf_topk_c6_blas(sq, tgt, cents_t, k, nprobe, "src_id", "tgt_id")
+    nn_x = fw.groupBy("src_id").agg(F.sum("c6").alias("sum_x"))
+    best = fw.filter(F.col("rn") == 1).select("src_id", "tgt_id", "c6")
+
+    ys = best.select("tgt_id").distinct().join(
+        tgt.select(
+            F.col("vec_id").alias("tgt_id"),
+            F.col("embedding").alias("e1"),
+        ),
+        "tgt_id",
+    )
+    bw = _ivf_topk_c6_blas(ys, src, cents_s, k, nprobe, "tgt_id", "cand_id")
+    nn_y = bw.groupBy("tgt_id").agg(F.sum("c6").alias("sum_y"))
+
+    denom = F.col("sum_x") + F.col("sum_y")
+    margin = F.when(
+        denom > 0,
+        F.round(F.lit(2 * k) * F.col("c6") / denom, 6),
+    )
+    return (
+        best.join(nn_x, "src_id")
+        .join(nn_y, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("c6") / F.lit(1e6), 6).alias("cosine"),
+            margin.alias("margin"),
+            (F.coalesce(margin, F.lit(0.0)) >= threshold).alias("mined"),
+        )
+    )

@@ -173,3 +173,20 @@ def test_bitext_corpus_contract(spark):
     }
     for r in out.itertuples():
         assert assign[int(r.tgt_id)] in probed[int(r.src_id)], r
+
+
+def test_bitext_corpus_blas_matches_fold(spark):
+    """The BLAS trainer/assignment/routing variant must produce the
+    IDENTICAL mined frame as the interpreted-fold registry path (the
+    assignment-identity argument from similarity.blas_assign, now
+    pinned end to end through the mining composition)."""
+    import pandas as pd
+
+    src, tgt = BT._sides(spark, SF)
+    a = BT.mine_bitext_corpus(src, tgt).toPandas()
+    b = BT.mine_bitext_corpus_blas(src, tgt).toPandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
