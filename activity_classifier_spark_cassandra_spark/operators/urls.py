@@ -30,10 +30,17 @@ inside whole-stage codegen; no UDF, no shuffle until the dedup.
 
 The dedup itself is the skew-safe first-occurrence shape used
 everywhere in this repo: ``groupBy(canon).agg(min(struct(doc_id)))``
-+ broadcast-joinable join-back — NEVER a window over the canonical
-URL (one boilerplate URL = one hot key with millions of rows; the
-partial-min collapses it map-side and the join back is AQE-skew-
-splittable).
++ join-back — never a window over the canonical URL.  MEASURED trade
+(round-11 hot-key probe, BASELINE.md): at 20M rows with a 4M-row hot
+key the window is actually ~2.6x FASTER flat (one canonicalization
+pass + one exchange vs this shape's two of each — plan branches
+cannot share the canon expression), and a 4M-row in-task sort is
+cheap.  The agg shape is kept anyway because its failure mode is
+bounded: the partial min collapses any hot key map-side and the
+join-back is AQE-skew-splittable, while the window's hot key is ONE
+task whose memory grows without bound — at 100 TB a boilerplate URL
+holds billions of rows and that task dies.  Insurance costs ~2.6x on
+the flat case; the cliff it removes is unbounded.
 
 The ``documents`` testdata carries no url column, so the registry
 query derives one deterministically from (doc_id, source): every
@@ -119,7 +126,13 @@ def canonical_url_expr(url_col: str = "url") -> Column:
     path2 = path1
     for _ in range(_DOTDOT_PASSES):
         path2 = f"regexp_replace({path2}, '/{seg}/\\\\.\\\\./', '/')"
-    path = f"regexp_replace({path2}, '/+$', '')"
+    # dot-segment work gated on ONE instr: both patterns need a '/.'
+    # substring to match ('/../' contains it), and real crawl URLs
+    # almost never carry dot segments, so the 9 regex passes are
+    # identity for ~every row — the guard skips them (measured 1.9x
+    # on the 20M-row hot-key probe).  Mirrored in the oracle.
+    dotpath = f"CASE WHEN instr({path0}, '/.') = 0 THEN {path0} ELSE {path2} END"
+    path = f"regexp_replace({dotpath}, '/+$', '')"
     # 4. query: tracking params dropped, the rest sorted
     keep = _strip_tracking_pred_spark("p")
     qsorted = (
@@ -249,7 +262,11 @@ def _canon_sql(u: str) -> str:
     path2 = path1
     for _ in range(_DOTDOT_PASSES):
         path2 = f"regexp_replace({path2}, '/{_SEG}/\\.\\./', '/', 'g')"
-    path = f"regexp_replace({path2}, '/+$', '', 'g')"
+    # same '/.' guard as the Spark side (identity when absent)
+    dotpath = (
+        f"CASE WHEN instr({path0}, '/.') = 0 THEN {path0} ELSE {path2} END"
+    )
+    path = f"regexp_replace({dotpath}, '/+$', '', 'g')"
     # COALESCE: DuckDB's array_to_string over an empty filtered list
     # yields NULL, not '' — without it the ELSE branch appends a bare
     # '?' to every query-less canonical URL
