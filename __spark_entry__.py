@@ -80,66 +80,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leads round 11), the r7-green block, the r8-green block, and the
     47 entries the round-9 driver just verified backmost."""
     return {
-        # ==== round-10 window: queries whose RESULTS CHANGED this
-        #      round (SQ8 is now the graph-family composition default,
-        #      commit 6718abd) or that are NEW (IVF-routed search) —
-        #      never driver-verified in this form ====
+        # ==== round-11 window: oracles/plans CHANGED this round
+        #      (graph family: delta-termination stop/gf CTE rewrite;
+        #      URL canonicalizer RFC 3986 fixes; persisted-index
+        #      insert) or NEW (full-corpus bitext mining), then the
+        #      round-10 additions kept in-window one more round ====
+        "q_bitext_mine_corpus": BX.q_bitext_mine_corpus,
+        "q_knn_graph": GA.q_knn_graph,
+        "q_knn_graph_q8": GA.q_knn_graph_q8,
+        "q_graph_recall_eval": GA.q_graph_recall_eval,
+        "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
         "q_knn_graph_search": GA.q_knn_graph_search,
         "q_knn_graph_insert": GA.q_knn_graph_insert,
         "q_graph_insert_policy": GA.q_graph_insert_policy,
         "q_knn_graph_routed": GA.q_knn_graph_routed,
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
-        "q_span_dedup_longest": SP.q_span_dedup_longest,
         "q_url_dedup": UR.q_url_dedup,
-        "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
         "q_stream_url_dedup": SD.q_stream_url_dedup,
         "q_bitext_mine": BX.q_bitext_mine,
-        "q_bitext_mine_corpus": BX.q_bitext_mine_corpus,
-        # ==== stalest entries lead (last driver check r5; sweep-green
-        #      at both SFs every round since) ====
-        "q_schema_evolution": IO.q_schema_evolution,
-        "q_simhash_near_dup": D.q_simhash_near_dup,
-        "q_dedup_clusters": G.q_dedup_clusters,
-        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
-        # ==== r6-green block head (last driver check r6) ====
-        "q_corpus_pipeline": G.q_corpus_pipeline,
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_dedup_exact": D.q_dedup_exact,
-        "q_dedup_minhash": D.q_dedup_minhash,
-        "q_simhash": D.q_simhash,
-        "q_dedup_embedding": D.q_dedup_embedding,
-        "q_dedup_keep_best": D.q_dedup_keep_best,
-        "q_corpus_clean": D.q_corpus_clean,
-        "q_text_stats": T.q_text_stats,
-        "q_knn_brute": S.q_knn_brute,
-        "q_lang_id": T.q_lang_id,
-        "q_knn_ivf": S.q_knn_ivf,
-        "q_knn_lsh": S.q_knn_lsh,
-        "q_token_count": T.q_token_count,
-        "q_doc_fingerprint": T.q_doc_fingerprint,
-        "q_tfidf_top_terms": T.q_tfidf_top_terms,
-        "q_redact": T.q_redact,
-        "q_repetition_ratio": T.q_repetition_ratio,
-        "q_unigram_logprob": T.q_unigram_logprob,
-        "q_knn_pandas": S.q_knn_pandas,
-        "q_media_features": MM.q_media_features,
-        "q_sample_hash": SM.q_sample_hash,
-        "q_train_test_split": SM.q_train_test_split,
-        "q_user_holdout": SM.q_user_holdout,
-        "q_stratified_sample": SM.q_stratified_sample,
-        "q_broadcast_dim_join": R.q_broadcast_dim_join,
-        "q_anti_join": R.q_anti_join,
-        "q_semi_join": R.q_semi_join,
-        "q_union_distinct": R.q_union_distinct,
-        "q_pandas_udaf": U.q_pandas_udaf,
-        "q_salted_agg": K.q_salted_agg,
-        "q_upsert_compact": C.q_upsert_compact,
-        "q_histogram": R.q_histogram,
-        "q_profile": R.q_profile,
-        "q_decontaminate": CP.q_decontaminate,
+        "q_span_dedup_longest": SP.q_span_dedup_longest,
+        "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
+        # ==== stalest entries lead (last driver check r6/r7;
+        #      sweep-green at both SFs every round since) ====
         "q_chunk_sequences": CP.q_chunk_sequences,
-        # ==================== window boundary (50) ====================
-        # ==== r6-green remainder (leads round 11) ====
         "q_domain_mix": CP.q_domain_mix,
         "q_knn_ivf_trained": S.q_knn_ivf_trained,
         "q_bpe_merges": T.q_bpe_merges,
@@ -155,7 +118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall_eval": S.q_ann_recall_eval,
         "q_hard_negatives": S.q_hard_negatives,
         "q_session_features_skewres": P.q_session_features_skewres,
-        # ==== r7-green block (CORRECTNESS_r07: 50/50) ====
         "q_quality_funnel": CP.q_quality_funnel,
         "q_incremental_dedup": CP.q_incremental_dedup,
         "q_knn_ivfpq": S.q_knn_ivfpq,
@@ -175,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka_eval": S.q_matryoshka_eval,
         "q_semdedup": D.q_semdedup,
         "q_quality_classifier": CP.q_quality_classifier,
+        # ==== behind the 50-entry driver window: remaining
+        #      stale blocks (stalest first), then the 35 entries
+        #      the round-10 driver verified, backmost ====
         "q_decontaminate_semantic": CP.q_decontaminate_semantic,
         "q_dsir_sample": CP.q_dsir_sample,
         "q_domain_mix_budget": CP.q_domain_mix_budget,
@@ -206,8 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features": P.q_session_features,
         "q_sessionize": P.q_sessionize,
         "q_session_features_3axis": P.q_session_features_3axis,
-        # ==== r8-green block (CORRECTNESS_r08: 47/50 + 3 rows-only
-        #      by design) ====
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
@@ -246,8 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": R.q17_small_quantity,
         "q18_large_orders": TH.q18_large_orders,
         "q19_disjunctive": TH.q19_disjunctive,
-        # ==== r9-green block (CORRECTNESS_r09: 50/50, judge re-verified
-        #      nine) — freshest, backmost ====
         "q22_idle_customers": TH.q22_idle_customers,
         "q_percentiles": R.q_percentiles,
         "q_rollup": R.q_rollup,
@@ -263,12 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_near_dup": MM.q_phash_near_dup,
         "q_span_dedup_apply": SP.q_span_dedup_apply,
         "q_jpeg_features": MM.q_jpeg_features,
-        "q_knn_graph": GA.q_knn_graph,
         "q_jpeg_decode": MM.q_jpeg_decode,
         "q_triangle_count": G.q_triangle_count,
         "q_knn_binary": S.q_knn_binary,
         "q_orc_roundtrip": IO.q_orc_roundtrip,
-        "q_graph_recall_eval": GA.q_graph_recall_eval,
         "q_stream_simhash_near_dup": SD.q_stream_simhash_near_dup,
         "q_semdedup_blas": D.q_semdedup_blas,
         "q_span_dedup_multik": SP.q_span_dedup_multik,
@@ -276,8 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jl_recall_eval": PJ.q_jl_recall_eval,
         "q_csv_roundtrip": IO.q_csv_roundtrip,
         "q_paragraph_dedup": PG.q_paragraph_dedup,
-        "q_knn_graph_q8": GA.q_knn_graph_q8,
-        "q_graph_q8_recall_eval": GA.q_graph_q8_recall_eval,
         "q_heavy_hitters_cms": SK.q_heavy_hitters_cms,
         "q_bloom_join_prune": SK.q_bloom_join_prune,
         "q_incremental_agg": INC.q_incremental_agg,
@@ -295,6 +252,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": C.q_snapshot_diff,
         "q_user_trend": TS.q_user_trend,
         "q_label_centroids": S.q_label_centroids,
+        "q_schema_evolution": IO.q_schema_evolution,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_dedup_clusters": G.q_dedup_clusters,
+        "q_knn_ivf_multiprobe": S.q_knn_ivf_multiprobe,
+        "q_corpus_pipeline": G.q_corpus_pipeline,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_minhash": D.q_dedup_minhash,
+        "q_simhash": D.q_simhash,
+        "q_dedup_embedding": D.q_dedup_embedding,
+        "q_dedup_keep_best": D.q_dedup_keep_best,
+        "q_corpus_clean": D.q_corpus_clean,
+        "q_text_stats": T.q_text_stats,
+        "q_knn_brute": S.q_knn_brute,
+        "q_lang_id": T.q_lang_id,
+        "q_knn_ivf": S.q_knn_ivf,
+        "q_knn_lsh": S.q_knn_lsh,
+        "q_token_count": T.q_token_count,
+        "q_doc_fingerprint": T.q_doc_fingerprint,
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_redact": T.q_redact,
+        "q_repetition_ratio": T.q_repetition_ratio,
+        "q_unigram_logprob": T.q_unigram_logprob,
+        "q_knn_pandas": S.q_knn_pandas,
+        "q_media_features": MM.q_media_features,
+        "q_sample_hash": SM.q_sample_hash,
+        "q_train_test_split": SM.q_train_test_split,
+        "q_user_holdout": SM.q_user_holdout,
+        "q_stratified_sample": SM.q_stratified_sample,
+        "q_broadcast_dim_join": R.q_broadcast_dim_join,
+        "q_anti_join": R.q_anti_join,
+        "q_semi_join": R.q_semi_join,
+        "q_union_distinct": R.q_union_distinct,
+        "q_pandas_udaf": U.q_pandas_udaf,
+        "q_salted_agg": K.q_salted_agg,
+        "q_upsert_compact": C.q_upsert_compact,
+        "q_histogram": R.q_histogram,
+        "q_profile": R.q_profile,
+        "q_decontaminate": CP.q_decontaminate,
     }
 
 

@@ -182,6 +182,8 @@ HEADLINE = [
     "q_url_dedup",
     "q_stream_url_dedup",
     "q_bitext_mine",
+    # added in round 11: full-corpus IVF-bounded bitext mining
+    "q_bitext_mine_corpus",
 ]
 
 
