@@ -482,3 +482,19 @@ def test_triangle_count_three_thin_joins(spark):
     plan = _plan(spark, "q_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitext_corpus_candidate_join_shape(spark):
+    """Full-corpus mining: the probes->cells candidate joins are
+    equi-joins keyed on the cell id with NOTHING corpus-sized
+    broadcast (the probe frame is corpus-scale, unlike the batch
+    miner's 25-row broadcast), and no window runs over a raw side —
+    only over the per-query candidate ranking keys."""
+    plan = _plan(spark, "q_bitext_mine_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the forward and backward candidate passes are EQUI-joins keyed
+    # on the cell id (2 assignment joins x 2 sides); at sf0.001 the
+    # stats make them broadcast-hash (correct adaptive choice), at
+    # scale they shuffle — the pin is the key, not the strategy
+    assert len(re.findall(r"Left keys \[1\]: \[bucket#", plan)) >= 2
