@@ -227,7 +227,6 @@ def build_knn_graph(
     #     partition.  Every exchange after that carries 24-byte rows.
     last_realized_rounds = 0
     for rnd in range(1, iters + 1):
-        g_prev = g
         in_vec = (
             g.select(
                 F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
@@ -265,31 +264,37 @@ def build_knn_graph(
             F.col("vec_id").alias("neighbor_id"),
             "cosine",
         )
+        # δ-termination bookkeeping rides the EXISTING candidate
+        # exchange: rows from the current edge list carry old=1, so
+        # after the dedup-agg a kept pair with max(old)=0 is exactly
+        # an edge of g_new \ g_old — no separate anti-join job, just a
+        # flag count on the frame the checkpoint materializes anyway.
         cand = (
-            g.unionByName(rev)
-            .unionByName(two_hop)
+            g.withColumn("old", F.lit(1))
+            .unionByName(rev.withColumn("old", F.lit(0)))
+            .unionByName(two_hop.withColumn("old", F.lit(0)))
             .groupBy("vec_id", "neighbor_id")
-            .agg(F.min("cosine").alias("cosine"))  # duplicates carry
-            # the identical rounded value; min is just a deterministic
-            # pick that fuses dedup into the same exchange
+            .agg(  # duplicates carry the identical rounded value; min
+                # is just a deterministic pick that fuses dedup into
+                # the same exchange
+                F.min("cosine").alias("cosine"),
+                F.max("old").alias("old"),
+            )
         )
-        g = (
+        g_full = (
             _top_k(cand, k)
-            .select("vec_id", "neighbor_id", "cosine")
+            .select("vec_id", "neighbor_id", "cosine", "old")
             .localCheckpoint(eager=True)
         )
+        g = g_full.drop("old")
         last_realized_rounds = rnd
-        # δ-termination: both frames are checkpointed K·N id pairs, so
-        # the anti-join count is small next to the adjacency exchange a
-        # skipped round saves (~2 s vs ~35 s/round at the 100x probe).
-        # Skipped on the FINAL round — the loop exits either way, and
-        # the oracle's first-round-under-threshold selection returns
-        # g_iters for stop == iters regardless, so semantics match.
+        # Count skipped on the FINAL round — the loop exits either
+        # way, and the oracle's first-round-under-threshold selection
+        # returns g_iters for stop == iters regardless, so semantics
+        # match.
         if rnd == iters or delta <= 0:
             continue
-        updates = g.join(
-            g_prev, ["vec_id", "neighbor_id"], "left_anti"
-        ).count()
+        updates = g_full.filter(F.col("old") == 0).count()
         if updates < delta * k * n:
             break
 
@@ -424,7 +429,6 @@ def build_knn_graph_q8(
 
     last_realized_rounds = 0
     for rnd in range(1, iters + 1):
-        g_prev = g
         in_q = g.select(
             F.col("neighbor_id").alias("u"), F.col("vec_id").alias("v")
         ).join(
@@ -460,24 +464,28 @@ def build_knn_graph_q8(
             F.col("vec_id").alias("neighbor_id"),
             "qcos",
         )
+        # same fold-in update flag as build_knn_graph
         cand = (
-            g.unionByName(rev)
-            .unionByName(two_hop)
+            g.withColumn("old", F.lit(1))
+            .unionByName(rev.withColumn("old", F.lit(0)))
+            .unionByName(two_hop.withColumn("old", F.lit(0)))
             .groupBy("vec_id", "neighbor_id")
-            .agg(F.min("qcos").alias("qcos"))
+            .agg(
+                F.min("qcos").alias("qcos"),
+                F.max("old").alias("old"),
+            )
         )
-        g = (
+        g_full = (
             _top_k_q(cand, k)
-            .select("vec_id", "neighbor_id", "qcos")
+            .select("vec_id", "neighbor_id", "qcos", "old")
             .localCheckpoint(eager=True)
         )
+        g = g_full.drop("old")
         last_realized_rounds = rnd
         # final-round count skipped — see build_knn_graph
         if rnd == iters or delta <= 0:
             continue
-        updates = g.join(
-            g_prev, ["vec_id", "neighbor_id"], "left_anti"
-        ).count()
+        updates = g_full.filter(F.col("old") == 0).count()
         if updates < delta * k * n:
             break
 
