@@ -1890,3 +1890,157 @@ def load_graph_index(spark: SparkSession, path: str) -> GraphIndex:
     rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     cents = sorted((int(r.cluster), list(r.centroid)) for r in rows)
     return GraphIndex(graph, q8, cents)
+
+
+# --------------------------------------------- incremental delete
+#
+# The third of the index CRUD story (build/insert/DELETE — GDPR
+# erasure, retention expiry, re-crawled pages going stale): remove a
+# batch of vectors from a built graph WITHOUT rebuilding.  Removing a
+# vertex tears a hole in every neighbor list that pointed at it, so
+# the repair follows the HNSW delete recipe: each vertex u that lost
+# an edge to a deleted d re-ranks its SURVIVING edges ∪ the BRIDGE
+# candidates routed through d (d's own out-neighbors w — "my deleted
+# neighbor's neighbors are my best replacement candidates").  Bridge
+# pairs are the only rows that need scoring (one bounded corpus
+# join); everything else reuses stored cosines.  Work is
+# |affected|·K + |D|·K² — never corpus-scale; untouched vertices
+# keep their rows verbatim.
+
+DELETE_BATCH = INSERT_BATCH  # "today's erasures": the highest 50 vec_ids
+
+
+def delete_from_graph(
+    emb: DataFrame, graph: DataFrame, del_ids: DataFrame
+) -> DataFrame:
+    """Remove ``del_ids`` (a bounded (vec_id) frame) from a built
+    (vec_id, neighbor_id, cosine, rank) graph; returns the repaired
+    graph with the same schema."""
+    corpus = emb.select("vec_id", F.col("embedding").alias("e"))
+    dels = F.broadcast(del_ids.select("vec_id"))
+
+    alive = graph.join(dels, "vec_id", "left_anti")
+    surviving = alive.join(
+        dels.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id",
+        "left_anti",
+    ).select("vec_id", "neighbor_id", "cosine", "rank")
+
+    # vertices that lost at least one edge to a deleted vertex
+    affected = (
+        alive.join(
+            dels.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+            "left_semi",
+        )
+        .select("vec_id")
+        .distinct()
+    )
+
+    # bridge candidates: u -> d -> w with d deleted, u and w alive
+    in_nb = alive.join(
+        dels.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id",
+        "left_semi",
+    ).select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("d"))
+    out_nb = (
+        graph.join(dels, "vec_id", "left_semi")
+        .join(
+            dels.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+        .select(F.col("vec_id").alias("d"), F.col("neighbor_id").alias("w"))
+    )
+    bridges = (
+        in_nb.join(out_nb, "d")
+        .filter(F.col("u") != F.col("w"))
+        .select(F.col("u").alias("vec_id"), F.col("w").alias("neighbor_id"))
+        .distinct()
+    )
+    bscored = _score(bridges, corpus)  # the delete's only corpus join
+
+    rcand = (
+        surviving.join(affected, "vec_id", "left_semi")
+        .select("vec_id", "neighbor_id", "cosine")
+        .unionByName(bscored)
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))  # rescore == stored 6-dp
+        # value; min is the deterministic dedup pick (build convention)
+    )
+    repaired = _top_k(rcand, G_K).select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+    untouched = surviving.join(affected, "vec_id", "left_anti").select(
+        "vec_id", "neighbor_id", "cosine", "rank"
+    )
+    return untouched.unionByName(repaired)
+
+
+def q_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repaired full graph after deleting the DELETE_BATCH highest
+    vec_ids from the SQ8-built index over the whole corpus — the
+    erasure path of the index lifecycle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    dels, _ = _split_insert_batch(emb)
+    return delete_from_graph(emb, graph, dels)
+
+
+def _knn_graph_delete_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(_sql_score("gf", "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    ctes.append(
+        f"dels AS (SELECT vec_id FROM corpus"
+        f" ORDER BY vec_id DESC LIMIT {DELETE_BATCH})"
+    )
+    ctes.append("""surv AS (
+  SELECT vec_id, neighbor_id, cosine, rank FROM gfin
+  WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    AND neighbor_id NOT IN (SELECT vec_id FROM dels)
+)""")
+    ctes.append("""aff AS (
+  SELECT DISTINCT vec_id FROM gfin
+  WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    AND neighbor_id IN (SELECT vec_id FROM dels)
+)""")
+    ctes.append("""bridges AS (
+  SELECT DISTINCT a.vec_id, b.neighbor_id
+  FROM gfin a JOIN gfin b ON b.vec_id = a.neighbor_id
+  WHERE a.neighbor_id IN (SELECT vec_id FROM dels)
+    AND a.vec_id NOT IN (SELECT vec_id FROM dels)
+    AND b.neighbor_id NOT IN (SELECT vec_id FROM dels)
+    AND b.neighbor_id <> a.vec_id
+)""")
+    ctes.append(_sql_score("bridges", "bscored"))
+    ctes.append("""rcand AS (
+  SELECT vec_id, neighbor_id, MIN(cosine) AS cosine FROM (
+    SELECT s.vec_id, s.neighbor_id, s.cosine FROM surv s
+    WHERE s.vec_id IN (SELECT vec_id FROM aff)
+    UNION ALL
+    SELECT vec_id, neighbor_id, cosine FROM bscored
+  ) GROUP BY vec_id, neighbor_id
+)""")
+    ctes.append(_sql_top_k("rcand", "repaired", G_K, keep_score=True))
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT vec_id, neighbor_id, cosine, rank FROM surv
+WHERE vec_id NOT IN (SELECT vec_id FROM aff)
+UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM repaired"""
+    )
+    import re as _re
+
+    return _re.sub(
+        r"\b(corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+|u\d+|stop|gf"
+        r"|sfin|gfin|dels|surv|aff|bridges|bscored|rcand|repaired) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
+    )
+
+
+KNN_GRAPH_DELETE_SQL = _knn_graph_delete_sql()

@@ -182,8 +182,10 @@ HEADLINE = [
     "q_url_dedup",
     "q_stream_url_dedup",
     "q_bitext_mine",
-    # added in round 11: full-corpus IVF-bounded bitext mining
+    # added in round 11: full-corpus IVF-bounded bitext mining,
+    # graph-index erasure (delete + repair)
     "q_bitext_mine_corpus",
+    "q_knn_graph_delete",
 ]
 
 

@@ -436,3 +436,94 @@ def test_graph_index_lifecycle_roundtrip(spark, tmp_path):
     a = inline[cols].sort_values(cols).reset_index(drop=True)
     b = served[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_incremental_delete_semantics(spark):
+    """Delete contract: no deleted id anywhere in the output (either
+    column); vertices with no edge into the deleted set keep rows
+    verbatim; an affected vertex's repaired list is the top-G_K of
+    (its surviving edges ∪ its bridge candidates through deleted
+    neighbors), ranked by (cosine desc, id asc)."""
+    emb = load_table(spark, SF, "embeddings")
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    del_ids = set(all_ids[-GA.DELETE_BATCH:])
+
+    graph = GA.build_knn_graph_q8(emb).toPandas()
+    out = GA.q_knn_graph_delete(spark, SF).toPandas()
+
+    assert not (out.vec_id.isin(del_ids)).any()
+    assert not (out.neighbor_id.isin(del_ids)).any()
+    assert (out.groupby("vec_id").size() <= GA.G_K).all()
+
+    affected = set(
+        graph[
+            ~graph.vec_id.isin(del_ids) & graph.neighbor_id.isin(del_ids)
+        ].vec_id
+    )
+    assert affected, "fixture must actually tear holes"
+    surviving = graph[
+        ~graph.vec_id.isin(del_ids) & ~graph.neighbor_id.isin(del_ids)
+    ]
+
+    # untouched rows verbatim (incl. original rank)
+    unt = sorted(set(surviving.vec_id) - affected)
+    a = (
+        out[out.vec_id.isin(unt)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        surviving[surviving.vec_id.isin(unt)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["vec_id", "neighbor_id", "cosine", "rank"]],
+        b[["vec_id", "neighbor_id", "cosine", "rank"]],
+        check_dtype=False,
+    )
+
+    # one affected vertex spot-checked against the bridge rule
+    E = np.stack(
+        pq.read_table(f"{SF}/embeddings.parquet")
+        .to_pandas()
+        .set_index("vec_id")["embedding"]
+        .to_numpy()
+    )
+    ids = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()["vec_id"]
+    idx = {int(v): i for i, v in enumerate(ids)}
+
+    def cos(a_, b_):
+        va, vb = E[idx[a_]].astype(float), E[idx[b_]].astype(float)
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+        )
+
+    v = sorted(affected)[0]
+    surv_v = [
+        (r.cosine, int(r.neighbor_id))
+        for r in surviving[surviving.vec_id == v].itertuples()
+    ]
+    my_deleted = set(
+        graph[(graph.vec_id == v) & graph.neighbor_id.isin(del_ids)].neighbor_id
+    )
+    bridge = {
+        int(w)
+        for d in my_deleted
+        for w in graph[graph.vec_id == d].neighbor_id
+        if w not in del_ids and int(w) != v
+    } - {n for _, n in surv_v}
+    cands = surv_v + [(cos(v, w), w) for w in bridge]
+    # numpy cosine can differ from the fold in the last ulp at a
+    # 6-dp boundary — compare the neighbor SETS under a 1e-6-robust
+    # rule instead of exact scores
+    want = sorted(cands, key=lambda t: (-t[0], t[1]))[: GA.G_K]
+    got = out[out.vec_id == v].sort_values("rank")
+    assert len(got) == len(want)
+    got_set = set(got.neighbor_id.astype(int))
+    want_set = {n for _, n in want}
+    diff = got_set ^ want_set
+    if diff:  # any disagreement must sit at a near-tie boundary
+        border = min(c for c, _ in want)
+        for n in diff:
+            assert abs(cos(v, int(n)) - border) <= 2e-6, (n, border)
