@@ -1987,17 +1987,15 @@ def q_knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delete_from_graph(emb, graph, dels)
 
 
-def _knn_graph_delete_sql() -> str:
+def _delete_ctes() -> list[str]:
+    """Delete/repair CTE block over the exact-rescored ``gfin`` graph
+    (build it first): emits dels/surv/aff/bridges/bscored/rcand/
+    repaired and the final repaired graph ``gdel`` — shared by the
+    delete oracle and the update (delete+insert) oracle."""
     ctes = [
-        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
-        " FROM embeddings)",
-    ] + _build_q8_ctes("", "corpus")
-    ctes.append(_sql_score("gf", "sfin"))
-    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
-    ctes.append(
         f"dels AS (SELECT vec_id FROM corpus"
         f" ORDER BY vec_id DESC LIMIT {DELETE_BATCH})"
-    )
+    ]
     ctes.append("""surv AS (
   SELECT vec_id, neighbor_id, cosine, rank FROM gfin
   WHERE vec_id NOT IN (SELECT vec_id FROM dels)
@@ -2026,21 +2024,150 @@ def _knn_graph_delete_sql() -> str:
   ) GROUP BY vec_id, neighbor_id
 )""")
     ctes.append(_sql_top_k("rcand", "repaired", G_K, keep_score=True))
+    ctes.append("""gdel AS (
+  SELECT vec_id, neighbor_id, cosine, rank FROM surv
+  WHERE vec_id NOT IN (SELECT vec_id FROM aff)
+  UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM repaired
+)""")
+    return ctes
+
+
+_DELETE_MAT = (
+    r"\b(corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+|u\d+|stop|gf"
+    r"|sfin|gfin|dels|surv|aff|bridges|bscored|rcand|repaired|gdel"
+)
+
+
+def _knn_graph_delete_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(_sql_score("gf", "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    ctes += _delete_ctes()
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, neighbor_id, cosine, rank FROM gdel"
+    )
+    import re as _re
+
+    return _re.sub(_DELETE_MAT + r") AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
+KNN_GRAPH_DELETE_SQL = _knn_graph_delete_sql()
+
+
+# --------------------------------------------- incremental update
+#
+# The 'U' of index CRUD, as the composition a production index
+# actually runs when documents are RE-EMBEDDED (model refresh,
+# content edit): delete the batch's old rows from the graph, then
+# insert the batch's new vectors into the repaired graph.  No new
+# machinery — the correctness of the composition is the point (both
+# halves are individually oracle-checked), and work stays
+# |batch|-bounded end to end.  The registry synthesizes the
+# re-embedding deterministically (the batch's arrays REVERSED — a
+# norm-preserving permutation both engines express natively), so the
+# update genuinely moves every batch vector.
+
+
+def update_graph_embeddings(
+    emb: DataFrame, graph: DataFrame, updated: DataFrame
+) -> DataFrame:
+    """Re-embed ``updated`` (vec_id, e NEW) inside a built graph:
+    delete their old rows, insert their new vectors."""
+    g_del = delete_from_graph(
+        emb, graph, updated.select("vec_id")
+    ).localCheckpoint(eager=True)
+    new_emb = (
+        emb.join(
+            updated.select("vec_id", F.col("e").alias("_new")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("_new", "embedding").alias("embedding"),
+        )
+    )
+    return insert_into_graph(new_emb, g_del, updated)
+
+
+def q_knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repaired full graph after RE-EMBEDDING the DELETE_BATCH highest
+    vec_ids (arrays reversed) inside the SQ8-built index — erasure +
+    re-insert composed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph_q8(emb).localCheckpoint(eager=True)
+    batch, _ = _split_insert_batch(emb)
+    updated = batch.select("vec_id", F.reverse("e").alias("e"))
+    return update_graph_embeddings(emb, graph, updated)
+
+
+def _knn_graph_update_sql() -> str:
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+    ] + _build_q8_ctes("", "corpus")
+    ctes.append(_sql_score("gf", "sfin"))
+    ctes.append(_sql_top_k("sfin", "gfin", G_K, keep_score=True))
+    ctes += _delete_ctes()
+    # re-embedded batch + the corpus with the new vectors applied
+    ctes.append(
+        "updq AS (SELECT d.vec_id, list_reverse(c.e) AS e"
+        " FROM dels d JOIN corpus c USING (vec_id))"
+    )
+    ctes.append(
+        "corpus2 AS (SELECT c.vec_id, COALESCE(u.e, c.e) AS e"
+        " FROM corpus c LEFT JOIN updq u USING (vec_id))"
+    )
+    # insert: the batch beam-searches the REPAIRED graph, scored
+    # against the updated corpus (alive vertices are unchanged)
+    ctes.append("queries AS (SELECT vec_id AS query_id, e FROM updq)")
+    ctes += _sql_search_ctes("i_", "gdel", "queries", "corpus2")
+    ctes.append(f"""new_edges AS (
+  SELECT query_id AS vec_id, neighbor_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM i_fs
+  ) WHERE rank <= {G_K}
+)""")
+    ctes.append(
+        "affected2 AS (SELECT DISTINCT neighbor_id AS vec_id"
+        " FROM new_edges)"
+    )
+    ctes.append(f"""repaired2 AS (
+  SELECT vec_id, neighbor_id, cosine, rank FROM (
+    SELECT vec_id, neighbor_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT g.vec_id, g.neighbor_id, g.cosine FROM gdel g
+      WHERE g.vec_id IN (SELECT vec_id FROM affected2)
+      UNION ALL
+      SELECT n.neighbor_id AS vec_id, n.vec_id AS neighbor_id, n.cosine
+      FROM new_edges n
+    )
+  ) WHERE rank <= {G_K}
+)""")
     sql = (
         "WITH " + ",\n".join(ctes)
         + """
-SELECT vec_id, neighbor_id, cosine, rank FROM surv
-WHERE vec_id NOT IN (SELECT vec_id FROM aff)
-UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM repaired"""
+SELECT vec_id, neighbor_id, cosine, rank FROM gdel
+WHERE vec_id NOT IN (SELECT vec_id FROM affected2)
+UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM repaired2
+UNION ALL SELECT vec_id, neighbor_id, cosine, rank FROM new_edges"""
     )
     import re as _re
 
     return _re.sub(
-        r"\b(corpus|nn|hashed|init|qv|q8|s\d+|g\d+|cand\d+|u\d+|stop|gf"
-        r"|sfin|gfin|dels|surv|aff|bridges|bscored|rcand|repaired) AS \(",
+        _DELETE_MAT
+        + r"|updq|corpus2|queries|new_edges|affected2|repaired2"
+        r"|i_\w+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
 
 
-KNN_GRAPH_DELETE_SQL = _knn_graph_delete_sql()
+KNN_GRAPH_UPDATE_SQL = _knn_graph_update_sql()

@@ -186,6 +186,7 @@ HEADLINE = [
     # graph-index erasure (delete + repair)
     "q_bitext_mine_corpus",
     "q_knn_graph_delete",
+    "q_knn_graph_update",
 ]
 
 

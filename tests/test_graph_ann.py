@@ -527,3 +527,56 @@ def test_incremental_delete_semantics(spark):
         border = min(c for c, _ in want)
         for n in diff:
             assert abs(cos(v, int(n)) - border) <= 2e-6, (n, border)
+
+
+def test_incremental_update_semantics(spark):
+    """Update contract (delete+insert composed): every updated id
+    reappears with exactly G_K out-edges into NON-updated vertices;
+    its new neighbor list reflects the NEW (reversed) embedding, not
+    the old one; vertices untouched by both halves keep their
+    post-delete rows verbatim."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    upd_ids = set(all_ids[-GA.DELETE_BATCH:])
+
+    out = GA.q_knn_graph_update(spark, SF).toPandas()
+    new_rows = out[out.vec_id.isin(upd_ids)]
+    assert set(new_rows.vec_id) == upd_ids
+    assert (new_rows.groupby("vec_id").size() == GA.G_K).all()
+    assert not new_rows.neighbor_id.isin(upd_ids).any()
+
+    # the new out-edges score the REVERSED embedding: verify one id's
+    # top edge cosine against numpy on the reversed vector
+    E = (
+        pq.read_table(f"{SF}/embeddings.parquet")
+        .to_pandas()
+        .set_index("vec_id")["embedding"]
+    )
+    v = sorted(upd_ids)[0]
+    got = new_rows[new_rows.vec_id == v].sort_values("rank").iloc[0]
+    va = np.asarray(E.loc[v], dtype=float)[::-1]
+    vb = np.asarray(E.loc[int(got.neighbor_id)], dtype=float)
+    want = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+    assert abs(got.cosine - want) < 1.5e-6
+
+    # untouched-by-both rows == the plain delete output for those ids
+    deleted = GA.q_knn_graph_delete(spark, SF).toPandas()
+    touched = set(new_rows.neighbor_id) | upd_ids
+    unt = sorted(set(deleted.vec_id) - touched)
+    a = (
+        out[out.vec_id.isin(unt)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        deleted[deleted.vec_id.isin(unt)]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["vec_id", "neighbor_id", "cosine", "rank"]],
+        b[["vec_id", "neighbor_id", "cosine", "rank"]],
+        check_dtype=False,
+    )
