@@ -1703,3 +1703,261 @@ SELECT doc_id AS media_id,
 FROM px
 GROUP BY doc_id, is_color
 """
+
+
+# ------------------------------------------------ real MJPEG/AVI codec
+#
+# Round-11: the video column graduates from a declared stub to a REAL
+# container path for the one video format expressible with what this
+# container already has — Motion-JPEG in AVI (RIFF 'AVI ', per the
+# public Microsoft/IBM multimedia spec the WAV decoder above also
+# follows): chunk-walk the RIFF tree, read dims + frame count from
+# 'avih', gate on the 'vids' stream's fccHandler being MJPG, collect
+# the '..dc'/'..db' frame chunks, and decode each frame with the real
+# baseline-JPEG decoder above.  Every other codec (H.264 etc.) keeps
+# the honest NotImplementedError -> decode_ok=false contract — those
+# need external decoders this container does not ship.
+#
+# 100 TB story: identical to the image codecs — the container parse +
+# per-frame decode run inside ONE Arrow mapInPandas stage, the blob is
+# pruned in-stage, frame SAMPLING is applied before any frame is
+# entropy-decoded (every_n-th frame only — the decoder seeks by chunk
+# walking, no full-video decode), and only (media_id, frame_idx,
+# stats) rows ever shuffle.
+
+_struct = struct  # module-top import
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(listtype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + payload)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    handler: bytes = b"MJPG",
+) -> bytes:
+    """Minimal spec-correct AVI wrapping pre-encoded JPEG frames.
+    ``handler`` other than MJPG builds a structurally valid file the
+    DECODER must refuse (the codec-gate fixture)."""
+    n = len(frames)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0,           # maxbytes/sec, padding, flags
+        n, 0, 1,           # totalframes, initialframes, streams
+        0, width, height,  # suggested buffer, dims
+        0, 0, 0, 0,        # reserved
+    )
+    strh = (
+        b"vids"
+        + handler
+        + _struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,        # flags, priority, language, initialframes
+            1, fps,            # dwScale / dwRate
+            0, n,              # start, length (frames)
+            0, 0, 0,           # bufsize, quality, samplesize
+            0, 0, width, height,           # rcFrame
+        )
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, handler, width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_riff(data: bytes, pos: int, end: int):
+    """Yield (fourcc, listtype_or_None, payload_start, payload_size)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise NotImplementedError("avi: truncated chunk")
+        if fourcc == b"LIST" or fourcc == b"RIFF":
+            yield fourcc, data[body : body + 4], body + 4, size - 4
+        else:
+            yield fourcc, None, body, size
+        pos = body + size + (size % 2)
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """(width, height, n_frames_declared, jpeg_frames) from an MJPEG
+    AVI.  Raises NotImplementedError for anything this pure-python
+    path cannot honestly decode: non-AVI RIFF, truncated chunks, a
+    video stream whose handler is not MJPG, or frame chunks that are
+    not JPEG (extractors surface those rows as decode_ok=false)."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("avi: not a RIFF/AVI stream")
+    width = height = total = -1
+    handler_ok = False
+    frames: list[bytes] = []
+    for fourcc, ltype, body, size in _walk_riff(data, 0, len(data)):
+        if fourcc != b"RIFF":
+            raise NotImplementedError("avi: no RIFF root")
+        for f2, l2, b2, s2 in _walk_riff(data, body, body + size):
+            if f2 == b"LIST" and l2 == b"hdrl":
+                for f3, l3, b3, s3 in _walk_riff(data, b2, b2 + s2):
+                    if f3 == b"avih":
+                        vals = _struct.unpack_from("<14I", data, b3)
+                        total, width, height = vals[4], vals[8], vals[9]
+                    elif f3 == b"LIST" and l3 == b"strl":
+                        for f4, _l4, b4, s4 in _walk_riff(data, b3, b3 + s3):
+                            if f4 == b"strh":
+                                ftype = data[b4 : b4 + 4]
+                                fhandler = data[b4 + 4 : b4 + 8]
+                                if ftype == b"vids":
+                                    handler_ok = fhandler.upper() == b"MJPG"
+            elif f2 == b"LIST" and l2 == b"movi":
+                for f3, _l3, b3, s3 in _walk_riff(data, b2, b2 + s2):
+                    if f3[2:4] in (b"dc", b"db"):
+                        frames.append(data[b3 : b3 + s3])
+    if not handler_ok:
+        raise NotImplementedError("avi: video handler is not MJPG")
+    if width <= 0 or height <= 0 or total < 0:
+        raise NotImplementedError("avi: missing avih header")
+    for fr in frames:
+        if fr[:2] != b"\xff\xd8":
+            raise NotImplementedError("avi: non-JPEG frame chunk")
+    return width, height, total, frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+VIDEO_N_FRAMES = 8      # synthesized frames per clip
+VIDEO_SAMPLE_EVERY = 3  # keep frames 0, 3, 6 — sampling BEFORE decode
+
+
+def extract_video_frame_stats(
+    df: DataFrame, every_n: int = VIDEO_SAMPLE_EVERY
+) -> DataFrame:
+    """Per-SAMPLED-frame raster stats over (media_id, content: binary)
+    video rows: container parse, keep every ``every_n``-th frame, real
+    JPEG decode of only those, mean over the decoded raster.  An
+    undecodable container (wrong codec, truncation) surfaces ONE
+    decode_ok=false row with zeroed stats — the row is preserved, the
+    task never fails."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in VIDEO_FRAME_SCHEMA.fieldNames()}
+
+            def emit(mid, idx, w, h, mean, ok):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_value"].append(mean)
+                out["decode_ok"].append(ok)
+
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    w, h, _total, frames = decode_avi_mjpeg(blob)
+                    for idx in range(0, len(frames), every_n):
+                        fw, fh, _ch, raster = decode_jpeg(frames[idx])
+                        mean = (
+                            sum(raster) / len(raster) if raster else 0.0
+                        )
+                        emit(mid, idx, fw, fh, mean, True)
+                except NotImplementedError:
+                    emit(mid, -1, 0, 0, 0.0, False)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_avi_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+    """Deterministic MJPEG/AVI per document: VIDEO_N_FRAMES grayscale
+    16x16 frames of four flat 8x8 blocks (flat blocks make the lossy
+    DCT roundtrip EXACT, so the oracle replays pixel means
+    analytically — the q_jpeg_decode trick, now per frame).  Every
+    7th doc gets a structurally valid AVI with an XVID handler — the
+    honest can't-decode path, surfaced as decode_ok=false."""
+    out = []
+    for d, n in zip(doc_id, n_chars):
+        d, n = int(d), int(n)
+        frames = []
+        for f in range(VIDEO_N_FRAMES):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for b, (by, bx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                v = 128 + 2 * (((d * 31 + f * 23 + b * 17 + n) % 128) - 64)
+                img[by : by + 8, bx : bx + 8] = v
+            frames.append(encode_jpeg_baseline(img))
+        handler = b"XVID" if d % 7 == 0 else b"MJPG"
+        out.append(encode_avi_mjpeg(frames, 16, 16, handler=handler))
+    return pd.Series(out)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end to end, driver-checkable: per-document
+    MJPEG/AVI synthesis (Arrow pandas UDF) -> RIFF container parse ->
+    every-3rd-frame REAL JPEG decode -> per-frame raster stats, with
+    the wrong-codec path surfacing decode_ok=false rows.  Zero
+    shuffle: both stages are partition-local maps."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_avi_udf(F.col("doc_id"), F.col("n_chars")).alias("content"),
+    )
+    return extract_video_frame_stats(docs)
+
+
+VIDEO_FRAMES_SQL = f"""
+WITH sampled AS (
+  SELECT d.doc_id, d.n_chars, CAST(t.f AS INTEGER) AS frame_idx
+  FROM documents d, UNNEST(range(0, {VIDEO_N_FRAMES},
+                                 {VIDEO_SAMPLE_EVERY})) AS t(f)
+  WHERE d.doc_id % 7 <> 0
+),
+px AS (
+  SELECT doc_id, frame_idx,
+    128 + 2 * (((doc_id * 31 + frame_idx * 23 + t.b * 17 + n_chars)
+                % 128) - 64) AS y
+  FROM sampled, UNNEST(range(4)) AS t(b)
+)
+SELECT doc_id AS media_id, frame_idx,
+  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+  CAST(SUM(y) AS DOUBLE) / 4 AS mean_value,
+  TRUE AS decode_ok
+FROM px GROUP BY doc_id, frame_idx
+UNION ALL
+SELECT doc_id AS media_id, CAST(-1 AS INTEGER) AS frame_idx,
+  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+  CAST(0.0 AS DOUBLE) AS mean_value, FALSE AS decode_ok
+FROM documents WHERE doc_id % 7 = 0
+"""

@@ -187,6 +187,7 @@ HEADLINE = [
     "q_bitext_mine_corpus",
     "q_knn_graph_delete",
     "q_knn_graph_update",
+    "q_video_frames",
 ]
 
 

@@ -550,3 +550,77 @@ def test_phash_near_dup_banding_recall(spark):
     }
     assert got == want
     assert len(want) > 0  # the fixture must actually exercise the path
+
+
+def test_avi_mjpeg_roundtrip_and_gates():
+    """Container roundtrip is exact for flat-block frames, and every
+    dishonest-decode path (wrong handler, truncation, non-AVI RIFF,
+    non-JPEG frame chunk) raises NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from activity_classifier_spark_cassandra_spark.operators import multimodal as MM
+
+    frames = [
+        MM.encode_jpeg_baseline(np.full((16, 16), 40 + 20 * i, dtype=np.uint8))
+        for i in range(5)
+    ]
+    avi = MM.encode_avi_mjpeg(frames, 16, 16)
+    w, h, total, out = MM.decode_avi_mjpeg(avi)
+    assert (w, h, total, len(out)) == (16, 16, 5, 5)
+    for i, fr in enumerate(out):
+        fw, fh, ch, raster = MM.decode_jpeg(fr)
+        assert (fw, fh, ch) == (16, 16, 1)
+        assert set(raster) == {40 + 20 * i}  # flat blocks decode EXACTLY
+
+    with _pytest.raises(NotImplementedError):
+        MM.decode_avi_mjpeg(MM.encode_avi_mjpeg(frames, 16, 16, handler=b"XVID"))
+    with _pytest.raises(NotImplementedError):
+        MM.decode_avi_mjpeg(avi[:60])
+    with _pytest.raises(NotImplementedError):
+        MM.decode_avi_mjpeg(b"RIFF" + avi[4:8] + b"WAVE" + avi[12:])
+    # non-JPEG frame chunk
+    junk = MM.encode_avi_mjpeg([b"\x00\x01notajpeg"], 16, 16)
+    with _pytest.raises(NotImplementedError):
+        MM.decode_avi_mjpeg(junk)
+
+
+def test_q_video_frames_contract(spark):
+    """Sampling + decode_ok contract: decodable clips emit exactly
+    frames 0/3/6 with exact per-frame means; every 7th doc surfaces
+    ONE decode_ok=false zeroed row; no other rows exist."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        VIDEO_N_FRAMES,
+        VIDEO_SAMPLE_EVERY,
+        q_video_frames,
+    )
+
+    out = q_video_frames(spark, "/root/testdata/sf0.001").toPandas()
+    bad = out[~out.decode_ok]
+    ok = out[out.decode_ok]
+    assert (bad.media_id % 7 == 0).all()
+    assert (bad.frame_idx == -1).all() and (bad.mean_value == 0).all()
+    assert not (ok.media_id % 7 == 0).any()
+    want_idx = set(range(0, VIDEO_N_FRAMES, VIDEO_SAMPLE_EVERY))
+    assert set(ok.frame_idx) == want_idx
+    assert (ok.groupby("media_id").frame_idx.nunique() == len(want_idx)).all()
+    # exact analytic mean for one (doc, frame)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    d = int(ok.media_id.iloc[0])
+    n = int(docs.set_index("doc_id").loc[d, "n_chars"])
+    f = int(ok[ok.media_id == d].frame_idx.iloc[0])
+    want = (
+        sum(
+            128 + 2 * (((d * 31 + f * 23 + b * 17 + n) % 128) - 64)
+            for b in range(4)
+        )
+        / 4
+    )
+    got = float(
+        ok[(ok.media_id == d) & (ok.frame_idx == f)].mean_value.iloc[0]
+    )
+    assert got == want
