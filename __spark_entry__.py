@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_graph_delete": GA.q_knn_graph_delete,
         "q_knn_graph_update": GA.q_knn_graph_update,
         "q_video_frames": MM.q_video_frames,
+        "q_video_near_dup": MM.q_video_near_dup,
         "q_knn_graph": GA.q_knn_graph,
         "q_knn_graph_q8": GA.q_knn_graph_q8,
         "q_graph_recall_eval": GA.q_graph_recall_eval,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph_delete": GA.KNN_GRAPH_DELETE_SQL,
         "q_knn_graph_update": GA.KNN_GRAPH_UPDATE_SQL,
         "q_video_frames": MM.VIDEO_FRAMES_SQL,
+        "q_video_near_dup": MM.VIDEO_NEAR_DUP_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -1961,3 +1961,148 @@ SELECT doc_id AS media_id, CAST(-1 AS INTEGER) AS frame_idx,
   CAST(0.0 AS DOUBLE) AS mean_value, FALSE AS decode_ok
 FROM documents WHERE doc_id % 7 = 0
 """
+
+
+# ----------------------------------------- video near-dup (clip aHash)
+#
+# The video analogue of q_phash_near_dup — the dedup a video training
+# corpus actually needs: the SAME clip re-encoded (brightness shift,
+# container re-mux) must collapse to one canonical copy.  Per-frame
+# aHash over every frame's decoded raster, clip signature = the
+# ordered (frame_idx, phash) sequence, first-occurrence keep per
+# signature (the skew-safe min-struct + join-back house shape).
+# aHash is brightness-shift invariant BY CONSTRUCTION (bit j compares
+# sample_j·n to the raster sum; adding a constant to every sample
+# shifts both sides equally), so the synthesized re-encodes (same
+# page content, per-doc brightness delta) are exact signature dups.
+#
+# Scale shape: hashing is one Arrow stage (blob pruned in-stage, only
+# (media_id, frame_idx, phash) rows emerge); the signature is one
+# groupBy(media_id); the dedup is one groupBy(sig) + join-back.
+# Perceptual-signature collisions merge distinct content — inherent
+# to perceptual hashing and replayed identically by the oracle.
+
+# bit positions of the top-left / top-right flat block among the
+# first PHASH_BITS samples of a 16x16 raster (rows 0-3 only)
+_VID_MASK0 = sum(1 << j for j in range(PHASH_BITS) if (j % 16) < 8)
+_VID_MASK1 = sum(1 << j for j in range(PHASH_BITS) if (j % 16) >= 8)
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_avi_dup_udf(doc_id: pd.Series) -> pd.Series:
+    """Re-encode synthesis: every 3 consecutive doc_ids carry the SAME
+    clip content (pixels derive from the page = doc_id DIV 3), each
+    copy at a different brightness (+2·(doc_id%3) — invisible to
+    aHash, visible to any byte-level hash)."""
+    out = []
+    for d in doc_id:
+        d = int(d)
+        page, delta = d // 3, 2 * (d % 3)
+        frames = []
+        for f in range(VIDEO_N_FRAMES):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for b, (by, bx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                v = 128 + 2 * (((page * 31 + f * 23 + b * 17) % 124) - 62)
+                img[by : by + 8, bx : bx + 8] = v + delta
+            frames.append(encode_jpeg_baseline(img))
+        out.append(encode_avi_mjpeg(frames, 16, 16))
+    return pd.Series(out)
+
+
+def extract_video_phash(df: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, phash) over (media_id, content) MJPEG/AVI
+    rows: container walk + real per-frame decode + aHash, one Arrow
+    stage.  Undecodable containers are skipped (extract_video_frame_
+    stats is the row-preserving audit; this is the dedup feed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    _w, _h, _t, frames = decode_avi_mjpeg(blob)
+                    for i, fr in enumerate(frames):
+                        _fw, _fh, _ch, raster = decode_jpeg(fr)
+                        ids.append(mid)
+                        idxs.append(i)
+                        hashes.append(ahash_bits(raster))
+                except NotImplementedError:
+                    continue
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        batches,
+        schema="media_id long, frame_idx int, phash long",
+    )
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, sig, keep): clip-signature dedup over the re-encode
+    synthesis — keep is TRUE for the lowest media_id per signature."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_avi_dup_udf(F.col("doc_id")).alias("content"),
+    )
+    sig = (
+        extract_video_phash(docs)
+        .groupBy("media_id")
+        .agg(
+            F.expr(
+                "array_join(transform("
+                "array_sort(collect_list(struct(frame_idx, phash))),"
+                " x -> concat(CAST(x.frame_idx AS STRING), ':',"
+                " CAST(x.phash AS STRING))), ',')"
+            ).alias("sig")
+        )
+    )
+    firsts = (
+        sig.groupBy("sig")
+        .agg(F.min(F.struct("media_id")).alias("_f"))
+        .select("sig", F.col("_f.media_id").alias("_first"))
+    )
+    return (
+        sig.join(firsts, "sig")
+        .withColumn("keep", F.col("media_id") == F.col("_first"))
+        .select("media_id", "sig", "keep")
+    )
+
+
+VIDEO_NEAR_DUP_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, CAST(t.f AS INTEGER) AS frame_idx,
+    128 + 2 * ((((d.doc_id // 3) * 31 + t.f * 23) % 124) - 62)
+      + 2 * (d.doc_id % 3) AS y0,
+    128 + 2 * ((((d.doc_id // 3) * 31 + t.f * 23 + 17) % 124) - 62)
+      + 2 * (d.doc_id % 3) AS y1,
+    128 + 2 * ((((d.doc_id // 3) * 31 + t.f * 23 + 34) % 124) - 62)
+      + 2 * (d.doc_id % 3) AS y2,
+    128 + 2 * ((((d.doc_id // 3) * 31 + t.f * 23 + 51) % 124) - 62)
+      + 2 * (d.doc_id % 3) AS y3
+  FROM documents d, UNNEST(range({VIDEO_N_FRAMES})) AS t(f)
+),
+ph AS (
+  -- aHash bit j set iff sample_j * 4 > (y0+y1+y2+y3); the first 60
+  -- samples live in the two TOP flat blocks, at the literal masks
+  SELECT doc_id, frame_idx,
+    CASE WHEN y0 * 4 > y0 + y1 + y2 + y3 THEN {_VID_MASK0} ELSE 0 END
+    + CASE WHEN y1 * 4 > y0 + y1 + y2 + y3 THEN {_VID_MASK1} ELSE 0 END
+      AS phash
+  FROM px
+),
+sig AS MATERIALIZED (
+  SELECT doc_id AS media_id,
+    string_agg(frame_idx || ':' || phash, ',' ORDER BY frame_idx) AS sig
+  FROM ph GROUP BY doc_id
+),
+firsts AS (
+  SELECT sig, MIN(media_id) AS first_id FROM sig GROUP BY sig
+)
+SELECT s.media_id, s.sig, s.media_id = f.first_id AS keep
+FROM sig s JOIN firsts f USING (sig)
+"""

@@ -188,6 +188,7 @@ HEADLINE = [
     "q_knn_graph_delete",
     "q_knn_graph_update",
     "q_video_frames",
+    "q_video_near_dup",
 ]
 
 

@@ -624,3 +624,32 @@ def test_q_video_frames_contract(spark):
         ok[(ok.media_id == d) & (ok.frame_idx == f)].mean_value.iloc[0]
     )
     assert got == want
+
+
+def test_q_video_near_dup_groups_reencodes(spark):
+    """Brightness-shifted re-encodes of the same clip content (every 3
+    consecutive doc_ids) must share a signature with keep on the
+    lowest id; byte-level content differs (the shift IS in the pixels)
+    so only the perceptual path can group them."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        _encode_avi_dup_udf,
+        q_video_near_dup,
+    )
+    from pyspark.sql import functions as F2
+
+    out = q_video_near_dup(spark, "/root/testdata/sf0.001").toPandas()
+    out["page"] = out.media_id // 3
+    # page-mates share the signature...
+    assert (out.groupby("page").sig.nunique() == 1).all()
+    # ...and keep goes to the page's lowest id (unless an EARLIER page
+    # collides on the perceptual signature — then that page's first
+    # wins; verify keep == global min per sig either way)
+    kept = out[out.keep].groupby("sig").media_id.min()
+    assert (out.groupby("sig").media_id.min() == kept).all()
+    assert (out.groupby("sig").keep.sum() == 1).all()
+    # byte-level inequality of two page-mates (brightness is real)
+    docs = spark.range(2).select(
+        F2.col("id").alias("doc_id"),
+        _encode_avi_dup_udf(F2.col("id")).alias("c"),
+    ).collect()
+    assert bytes(docs[0]["c"]) != bytes(docs[1]["c"])
