@@ -475,6 +475,8 @@ def _blas_route(
 
     def batches(it):
         for pdf in it:
+            if not len(pdf):  # np.stack raises on an empty batch
+                continue
             E = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
             d2 = (
                 (E * E).sum(axis=1)[:, None]

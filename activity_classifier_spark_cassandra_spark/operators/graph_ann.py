@@ -1230,8 +1230,15 @@ def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-over-day serving shape (build once per ingest batch, load for
     every subsequent operation).  The roundtrip is bit-exact (rounded
     6-dp doubles + ints survive parquet verbatim), so the oracle is
-    unchanged."""
+    unchanged.
+
+    The scratch dir is driver-local (fine on local[*]; a real cluster
+    deployment points save/load at a SHARED path — the functions take
+    any Hadoop-compatible URI) and is removed once the insert result
+    is materialized, so repeated bench/sweep invocations leak
+    nothing."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1243,9 +1250,17 @@ def q_knn_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"acsc_knn_graph_{uuid.uuid4().hex}"
     )
-    save_knn_graph(g_built, path)
-    g_old = load_knn_graph(spark, path)
-    return insert_into_graph(emb, g_old, new)
+    try:
+        save_knn_graph(g_built, path)
+        g_old = load_knn_graph(spark, path)
+        # materialize before the scratch dir goes away — the returned
+        # frame must not keep a live reference to the deleted parquet
+        out = insert_into_graph(emb, g_old, new).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 def _knn_graph_insert_sql() -> str:

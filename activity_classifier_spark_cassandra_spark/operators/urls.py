@@ -13,7 +13,8 @@ tracking-parameter strip every production pipeline adds):
 
 * scheme and host lowercased;
 * default ports stripped (``:443`` for https, ``:80`` for http);
-* ``/./`` segments collapsed and ``name/../`` pairs resolved to a
+* ``/./`` segments collapsed and ``name/../`` pairs — including a
+  TERMINAL ``name/..`` with no trailing slash — resolved to a
   FIXED POINT (bounded re-application, so nested ``a/b/../../c``
   fully resolves and canonicalization is idempotent);
 * trailing slashes stripped — including the root slash, so
@@ -126,6 +127,10 @@ def canonical_url_expr(url_col: str = "url") -> Column:
     path2 = path1
     for _ in range(_DOTDOT_PASSES):
         path2 = f"regexp_replace({path2}, '/{seg}/\\\\.\\\\./', '/')"
+        # a TERMINAL '/seg/..' (no trailing slash) is the same RFC
+        # 3986 §5.2.4 parent step — without this pass '/a/b/..' and
+        # '/a/b/../' canonicalize to different keys
+        path2 = f"regexp_replace({path2}, '/{seg}/\\\\.\\\\.$', '/')"
     # dot-segment work gated on ONE instr: both patterns need a '/.'
     # substring to match ('/../' contains it), and real crawl URLs
     # almost never carry dot segments, so the 9 regex passes are
@@ -262,6 +267,8 @@ def _canon_sql(u: str) -> str:
     path2 = path1
     for _ in range(_DOTDOT_PASSES):
         path2 = f"regexp_replace({path2}, '/{_SEG}/\\.\\./', '/', 'g')"
+        # terminal '/seg/..' — same pass as the Spark side
+        path2 = f"regexp_replace({path2}, '/{_SEG}/\\.\\.$', '/', 'g')"
     # same '/.' guard as the Spark side (identity when absent)
     dotpath = (
         f"CASE WHEN instr({path0}, '/.') = 0 THEN {path0} ELSE {path2} END"

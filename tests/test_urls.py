@@ -98,6 +98,11 @@ def test_canonicalize_nested_dot_segments(spark):
             "https://s.com/v1.2/../x",
             "https://s.com/a/../..",
             "https://s.com/./a/./b/../c",
+            # terminal '/seg/..' — RFC-equivalent to the trailing-slash
+            # form, so all three must land on the same canonical key
+            "https://s.com/a/b/..",
+            "https://s.com/a/b/../",
+            "https://s.com/a/b/../..",
         ],
     )
     assert got[0] == "https://s.com/c"
@@ -105,6 +110,8 @@ def test_canonicalize_nested_dot_segments(spark):
     assert got[2] == "https://s.com/x"
     assert got[3] == "https://s.com/.."
     assert got[4] == "https://s.com/a/c"
+    assert got[5] == got[6] == "https://s.com/a"
+    assert got[7] == "https://s.com"
     assert _canon(spark, got) == got
 
 

@@ -85,10 +85,6 @@ def main():
             )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def hot_urls_range(spark, rows: int) -> DataFrame:
     """rows synthetic raw URLs straight from range(): 20% on ONE raw
     URL (one canonical hot key), the rest page-distinct — the shape a
@@ -105,3 +101,7 @@ def hot_urls_range(spark, rows: int) -> DataFrame:
         f" END"
     )
     return base.select("doc_id", F.expr(url).alias("url"))
+
+
+if __name__ == "__main__":
+    main()
