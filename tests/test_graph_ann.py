@@ -580,3 +580,32 @@ def test_incremental_update_semantics(spark):
         b[["vec_id", "neighbor_id", "cosine", "rank"]],
         check_dtype=False,
     )
+
+
+def test_memo_matches_fresh(spark):
+    """The session-scoped build memo returns the SAME object on a hit
+    and its values are bit-identical to a fresh build — caching nine
+    registry queries' identical inline builds cannot change any
+    oracle row."""
+    GA._BUILD_MEMO.clear()
+    memo1 = GA.memo_graph_q8(spark, SF)
+    memo2 = GA.memo_graph_q8(spark, SF)
+    assert memo2 is memo1  # second call is a cache hit, no rebuild
+
+    fresh = (
+        GA.build_knn_graph_q8(load_table(spark, SF, "embeddings"))
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        memo1.toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, fresh, check_dtype=False)
+
+    # the routed-centroid memo caches the literal list
+    c1 = GA.memo_route_cents(spark, SF)
+    c2 = GA.memo_route_cents(spark, SF)
+    assert c1 is c2 and len(c1) == GA.ROUTE_K
