@@ -51,6 +51,7 @@ from activity_classifier_spark_cassandra_spark.plans import pipeline as P
 from activity_classifier_spark_cassandra_spark.sources import io as IO
 from activity_classifier_spark_cassandra_spark.plans import relational as R
 from activity_classifier_spark_cassandra_spark.plans import tpch as TH
+from activity_classifier_spark_cassandra_spark.streaming import ann_index as AI
 from activity_classifier_spark_cassandra_spark.streaming import dedup as SD
 from activity_classifier_spark_cassandra_spark.streaming import joins as SJ
 from activity_classifier_spark_cassandra_spark.streaming import sessions as STR
@@ -67,29 +68,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness run
-    covers a 50-entry window from the front.  Round 10 executes the
-    round-9 verdict's rotation (oldest-verdict-first): first the five
-    graph-ANN entries that are new or whose results changed this
-    round (the SQ8 build became the composition default; IVF-routed
-    search landed), then the four r5-stale stragglers the round-9
-    window squeezed out, then the head of the r6-green block fills
-    the window to 50.  Everything in-window is sweep-green at both
-    SFs on round-9 final HEAD plus focused round-10 verification of
-    the changed graph family (sf0.001/sf0.01/sf0.1).
-    Behind the boundary: the r6-green remainder (stalest first —
-    leads round 11), the r7-green block, the r8-green block, and the
-    47 entries the round-9 driver just verified backmost."""
+    covers a 50-entry window from the front.  Round 12 rotation
+    (per the round-11 verdict): first the two NEW queries
+    (shingle-banded video near-dup, streaming graph-index ingest),
+    then every query whose PLAN changed this round (the graph family
+    under the session-scoped build memo + insert scratch cleanup;
+    URL dedup under the salted hot-key hybrid), then the round-11
+    additions kept in-window one more round, then the stalest
+    behind-window block (last driver-checked r6-r9) fills to 50.
+    Everything in-window is sweep-green at both SFs at round-12 HEAD.
+    Behind the boundary: remaining stale blocks stalest-first, with
+    the entries the round-11 driver just verified backmost."""
     return {
-        # ==== round-11 window: oracles/plans CHANGED this round
-        #      (graph family: delta-termination stop/gf CTE rewrite;
-        #      URL canonicalizer RFC 3986 fixes; persisted-index
-        #      insert) or NEW (full-corpus bitext mining), then the
-        #      round-10 additions kept in-window one more round ====
-        "q_bitext_mine_corpus": BX.q_bitext_mine_corpus,
-        "q_knn_graph_delete": GA.q_knn_graph_delete,
-        "q_knn_graph_update": GA.q_knn_graph_update,
-        "q_video_frames": MM.q_video_frames,
-        "q_video_near_dup": MM.q_video_near_dup,
+        # ==== round-12 window: NEW (shingle-banded video
+        #      near-dup, streaming graph-index ingest), then every
+        #      query whose PLAN changed this round (graph family:
+        #      session-scoped memoized builds + insert scratch
+        #      cleanup; URL dedup: salted hot-key hybrid), then the
+        #      round-11 additions kept in-window one more round ====
+        "q_video_near_dup_shingle": MM.q_video_near_dup_shingle,
+        "q_stream_graph_ingest": AI.q_stream_graph_ingest,
         "q_knn_graph": GA.q_knn_graph,
         "q_knn_graph_q8": GA.q_knn_graph_q8,
         "q_graph_recall_eval": GA.q_graph_recall_eval,
@@ -99,51 +97,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_insert_policy": GA.q_graph_insert_policy,
         "q_knn_graph_routed": GA.q_knn_graph_routed,
         "q_graph_routed_recall_eval": GA.q_graph_routed_recall_eval,
+        "q_knn_graph_delete": GA.q_knn_graph_delete,
+        "q_knn_graph_update": GA.q_knn_graph_update,
         "q_url_dedup": UR.q_url_dedup,
-        "q_stream_url_dedup": SD.q_stream_url_dedup,
-        "q_bitext_mine": BX.q_bitext_mine,
-        "q_span_dedup_longest": SP.q_span_dedup_longest,
-        "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
-        # ==== stalest entries lead (last driver check r6/r7;
-        #      sweep-green at both SFs every round since) ====
-        "q_chunk_sequences": CP.q_chunk_sequences,
-        "q_domain_mix": CP.q_domain_mix,
-        "q_knn_ivf_trained": S.q_knn_ivf_trained,
-        "q_bpe_merges": T.q_bpe_merges,
-        "q_bpe_tokenize": T.q_bpe_tokenize,
-        "q_bpe_compression": T.q_bpe_compression,
-        "q_upsert_with_deletes": C.q_upsert_with_deletes,
-        "q_int8_quantize": S.q_int8_quantize,
-        "q_knn_int8": S.q_knn_int8,
-        "q_contrastive_triplets": S.q_contrastive_triplets,
-        "q_knn_pq": S.q_knn_pq,
-        "q_drift_psi": DQ.q_drift_psi,
-        "q_dedup_recall_eval": D.q_dedup_recall_eval,
-        "q_ann_recall_eval": S.q_ann_recall_eval,
-        "q_hard_negatives": S.q_hard_negatives,
-        "q_session_features_skewres": P.q_session_features_skewres,
-        "q_quality_funnel": CP.q_quality_funnel,
-        "q_incremental_dedup": CP.q_incremental_dedup,
-        "q_knn_ivfpq": S.q_knn_ivfpq,
-        "q_audio_features": MM.q_audio_features,
-        "q_hybrid_search_rrf": RT.q_hybrid_search_rrf,
-        "q_mmr_rerank": RT.q_mmr_rerank,
-        "q_dedup_edit_distance": D.q_dedup_edit_distance,
-        "q_ndcg_eval": RT.q_ndcg_eval,
-        "q_pca_power": S.q_pca_power,
-        "q_dedup_minhash_cc": D.q_dedup_minhash_cc,
-        "q_winnow_overlap": D.q_winnow_overlap,
-        "q_kn_logprob": T.q_kn_logprob,
-        "q_dsir_weights": CP.q_dsir_weights,
-        "q_gopher_rules": T.q_gopher_rules,
-        "q_dedup_apply": D.q_dedup_apply,
-        "q_ppl_buckets": T.q_ppl_buckets,
-        "q_matryoshka_eval": S.q_matryoshka_eval,
-        "q_semdedup": D.q_semdedup,
-        "q_quality_classifier": CP.q_quality_classifier,
-        # ==== behind the 50-entry driver window: remaining
-        #      stale blocks (stalest first), then the 35 entries
-        #      the round-10 driver verified, backmost ====
+        "q_bitext_mine_corpus": BX.q_bitext_mine_corpus,
+        "q_video_frames": MM.q_video_frames,
+        "q_video_near_dup": MM.q_video_near_dup,
+        # ==== stalest fill to 50: behind-window since round 10,
+        #      last driver-checked r6-r9; sweep-green at both SFs
+        #      every round since ====
         "q_decontaminate_semantic": CP.q_decontaminate_semantic,
         "q_dsir_sample": CP.q_dsir_sample,
         "q_domain_mix_budget": CP.q_domain_mix_budget,
@@ -177,6 +139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_features_3axis": P.q_session_features_3axis,
         "q_stream_session_features": STR.q_stream_session_features,
         "q_stream_windowed_features": STR.q_stream_windowed_features,
+        # ==== behind the 50-entry driver window: remaining stale
+        #      blocks (stalest first), then the entries the
+        #      round-11/12 drivers just verified, backmost ====
+        "q_ppl_buckets": T.q_ppl_buckets,
+        "q_matryoshka_eval": S.q_matryoshka_eval,
+        "q_semdedup": D.q_semdedup,
+        "q_quality_classifier": CP.q_quality_classifier,
         "q_stream_sliding_features": STR.q_stream_sliding_features,
         "q_ml_train_eval": M.q_ml_train_eval,
         "q_ml_predict_counts": M.q_ml_predict_counts,
@@ -295,6 +264,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": R.q_histogram,
         "q_profile": R.q_profile,
         "q_decontaminate": CP.q_decontaminate,
+        # (verified in the round-11 driver window / round-12 sweeps)
+        "q_stream_url_dedup": SD.q_stream_url_dedup,
+        "q_bitext_mine": BX.q_bitext_mine,
+        "q_span_dedup_longest": SP.q_span_dedup_longest,
+        "q_span_dedup_apply_longest": SP.q_span_dedup_apply_longest,
+        "q_chunk_sequences": CP.q_chunk_sequences,
+        "q_domain_mix": CP.q_domain_mix,
+        "q_knn_ivf_trained": S.q_knn_ivf_trained,
+        "q_bpe_merges": T.q_bpe_merges,
+        "q_bpe_tokenize": T.q_bpe_tokenize,
+        "q_bpe_compression": T.q_bpe_compression,
+        "q_upsert_with_deletes": C.q_upsert_with_deletes,
+        "q_int8_quantize": S.q_int8_quantize,
+        "q_knn_int8": S.q_knn_int8,
+        "q_contrastive_triplets": S.q_contrastive_triplets,
+        "q_knn_pq": S.q_knn_pq,
+        "q_drift_psi": DQ.q_drift_psi,
+        "q_dedup_recall_eval": D.q_dedup_recall_eval,
+        "q_ann_recall_eval": S.q_ann_recall_eval,
+        "q_hard_negatives": S.q_hard_negatives,
+        "q_session_features_skewres": P.q_session_features_skewres,
+        "q_quality_funnel": CP.q_quality_funnel,
+        "q_incremental_dedup": CP.q_incremental_dedup,
+        "q_knn_ivfpq": S.q_knn_ivfpq,
+        "q_audio_features": MM.q_audio_features,
+        "q_hybrid_search_rrf": RT.q_hybrid_search_rrf,
+        "q_mmr_rerank": RT.q_mmr_rerank,
+        "q_dedup_edit_distance": D.q_dedup_edit_distance,
+        "q_ndcg_eval": RT.q_ndcg_eval,
+        "q_pca_power": S.q_pca_power,
+        "q_dedup_minhash_cc": D.q_dedup_minhash_cc,
+        "q_winnow_overlap": D.q_winnow_overlap,
+        "q_kn_logprob": T.q_kn_logprob,
+        "q_dsir_weights": CP.q_dsir_weights,
+        "q_gopher_rules": T.q_gopher_rules,
+        "q_dedup_apply": D.q_dedup_apply,
     }
 
 
@@ -424,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_graph_update": GA.KNN_GRAPH_UPDATE_SQL,
         "q_video_frames": MM.VIDEO_FRAMES_SQL,
         "q_video_near_dup": MM.VIDEO_NEAR_DUP_SQL,
+        "q_video_near_dup_shingle": MM.VIDEO_NEAR_DUP_SHINGLE_SQL,
+        # bit-equal to the one-shot re-embed by batching-invariance
+        # (streaming/ann_index.py) -> shares the update oracle
+        "q_stream_graph_ingest": GA.KNN_GRAPH_UPDATE_SQL,
         "q_hybrid_search_rrf": RT.HYBRID_SEARCH_RRF_SQL,
         "q_mmr_rerank": RT.MMR_RERANK_SQL,
         "q_dedup_edit_distance": D.DEDUP_EDIT_DISTANCE_SQL,

@@ -502,6 +502,44 @@ def _blas_route(
     )
 
 
+def _blas_pair_c6(pairs: DataFrame, qid: str, nid: str) -> DataFrame:
+    """Vectorized pair scoring: (qid, nid, e1, e2, n1, n2) ->
+    (qid, nid, c6), one Arrow stage.
+
+    BIT-IDENTICAL to the interpreted ``_COS6_PRE`` fold by
+    construction: the dot is accumulated dimension-at-a-time across
+    the whole pair batch (``acc += e1[:, d] * e2[:, d]`` — one IEEE
+    double multiply then one add per step, the exact operation order
+    of the Catalyst left fold), NOT a BLAS matmul, whose unspecified
+    summation order can differ in the last ulp and flip a
+    FLOOR(x * 1e6) boundary.  Division, scaling, and floor are then
+    single IEEE ops in both engines.  Cost: dim vectorized passes
+    over the batch — ~100x fewer interpreter dispatches than the
+    per-element Catalyst ``aggregate`` lambda, which the 100x probe
+    showed dominating the full-corpus mining wall."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            e1 = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
+            e2 = np.stack(pdf["e2"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(e1.shape[1]):
+                acc += e1[:, d] * e2[:, d]
+            denom = pdf["n1"].to_numpy() * pdf["n2"].to_numpy()
+            c6 = np.floor(acc / denom * 1e6).astype(np.int64)
+            yield pd.DataFrame(
+                {qid: pdf[qid], nid: pdf[nid], "c6": c6}
+            )
+
+    return pairs.select(qid, nid, "e1", "e2", "n1", "n2").mapInPandas(
+        batches, schema=f"{qid} long, {nid} long, c6 long"
+    )
+
+
 def _ivf_topk_c6_blas(
     queries: DataFrame,
     side: DataFrame,
@@ -511,9 +549,9 @@ def _ivf_topk_c6_blas(
     qid: str,
     nid: str,
 ) -> DataFrame:
-    """BLAS variant of ``_ivf_topk_c6``: corpus assignment and query
-    routing as Arrow matmul stages (assignment-identical — pinned in
-    tests), candidate scoring unchanged."""
+    """BLAS variant of ``_ivf_topk_c6``: corpus assignment, query
+    routing, AND candidate-pair scoring as Arrow-vectorized stages
+    (all output-identical to the fold path — pinned in tests)."""
     from .similarity import blas_assign
 
     corpus = blas_assign(side, cents, keep_embedding=True).select(
@@ -527,8 +565,8 @@ def _ivf_topk_c6_blas(
     probes = _blas_route(queries, cents, nprobe, qid).withColumn(
         "n1", F.expr(_NORM.format(e="e1"))
     )
-    scored = corpus.join(probes, "bucket").select(
-        qid, nid, F.expr(_COS6_PRE).alias("c6")
+    scored = _blas_pair_c6(
+        corpus.join(probes, "bucket"), qid, nid
     )
     w = Window.partitionBy(qid).orderBy(
         F.col("c6").desc(), F.col(nid).asc()

@@ -2106,3 +2106,172 @@ firsts AS (
 SELECT s.media_id, s.sig, s.media_id = f.first_id AS keep
 FROM sig s JOIN firsts f USING (sig)
 """
+
+
+# ------------------------------- video near-dup, shingle-banded
+#
+# The full-sequence clip signature above is alignment-BLIND: a
+# trimmed or re-cut clip (drop one leading frame) shares no signature
+# with its source and never dedups.  Real video corpora band the
+# per-frame hash sequence the way the text side shingles content
+# (operators/spans.py, MinHash bands): a k-frame SHINGLE carries no
+# frame positions, so any k consecutive shared frames — wherever they
+# sit in either clip — collide in the same bucket.
+#
+# Dedup rule: per shingle bucket take min(media_id) (one combinable
+# agg — never pairs), then per clip take the min over its shingles'
+# bucket minima; keep = clip is its own group minimum.  A clip is
+# dropped iff an EARLIER clip shares >= 1 k-shingle — the
+# first-occurrence analogue of the banded-LSH apply in dedup.py, and
+# the same linear shape: no candidate-pair frame ever materializes,
+# so a viral k-frame snippet shared by millions of clips costs one
+# hot-but-combinable agg key instead of a quadratic bucket join.
+#
+# Scale shape: decode+hash is the same zero-shuffle Arrow stage as
+# the sequence path; shingling is one doc-keyed window (frame_idx is
+# unique per clip — a total order, no tie ambiguity); then two
+# combinable aggs and one keys-only join.  Nothing corpus-sized
+# broadcasts; perceptual collisions merge distinct content, replayed
+# identically by the oracle.
+
+VIDEO_SHINGLE_K = 4  # frames per shingle: trims shorter than K
+                     # consecutive shared frames do not bridge
+
+
+def video_shingle_dedup(
+    ph: DataFrame, k: int = VIDEO_SHINGLE_K
+) -> DataFrame:
+    """(media_id, first_id, keep) from per-frame hashes (media_id,
+    frame_idx, phash): keep is TRUE unless an earlier media_id shares
+    at least one k-frame shingle.  Clips shorter than k frames have
+    no shingles and always keep."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("media_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.currentRow, k - 1)
+    )
+    shingles = (
+        ph.withColumn("_sh_arr", F.collect_list("phash").over(w))
+        .filter(F.size("_sh_arr") == k)
+        .select(
+            "media_id",
+            F.expr(
+                "array_join(transform(_sh_arr,"
+                " x -> CAST(x AS STRING)), ':')"
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    bucket_min = shingles.groupBy("sh").agg(
+        F.min("media_id").alias("_m")
+    )
+    clip_min = (
+        shingles.join(bucket_min, "sh")
+        .groupBy("media_id")
+        .agg(F.min("_m").alias("_first"))
+    )
+    clips = ph.select("media_id").distinct()
+    return (
+        clips.join(clip_min, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("_first", "media_id").alias("first_id"),
+        )
+        .withColumn("keep", F.col("media_id") == F.col("first_id"))
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_avi_trim_udf(doc_id: pd.Series) -> pd.Series:
+    """Re-cut synthesis: per page (doc_id DIV 3) three copies —
+    variant 0 the original, variant 1 a brightness re-encode (+2),
+    variant 2 a TRIMMED re-cut (+4 brightness, FIRST FRAME DROPPED:
+    output frame i carries content frame i+1).  The full-sequence
+    signature provably misses variant 2 (different frame count, every
+    frame_idx re-aligned); the shingle band catches it."""
+    out = []
+    for d in doc_id:
+        d = int(d)
+        page, variant = d // 3, d % 3
+        delta = 2 * variant
+        trim = 1 if variant == 2 else 0
+        frames = []
+        for f in range(trim, VIDEO_N_FRAMES):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for b, (by, bx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+                v = 128 + 2 * (((page * 31 + f * 23 + b * 17) % 124) - 62)
+                img[by : by + 8, bx : bx + 8] = v + delta
+            frames.append(encode_jpeg_baseline(img))
+        out.append(encode_avi_mjpeg(frames, 16, 16))
+    return pd.Series(out)
+
+
+def q_video_near_dup_shingle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(media_id, first_id, keep): shingle-banded clip dedup over the
+    re-cut synthesis — trimmed copies collapse onto their source."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        _encode_avi_trim_udf(F.col("doc_id")).alias("content"),
+    )
+    return video_shingle_dedup(extract_video_phash(docs))
+
+
+VIDEO_NEAR_DUP_SHINGLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, doc_id // 3 AS page, doc_id % 3 AS variant,
+    CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS trim
+  FROM documents
+),
+px AS (
+  -- output frame i of a trimmed clip carries CONTENT frame i+trim
+  SELECT b.doc_id, CAST(t.f - b.trim AS INTEGER) AS frame_idx,
+    128 + 2 * (((b.page * 31 + t.f * 23) % 124) - 62)
+      + 2 * b.variant AS y0,
+    128 + 2 * (((b.page * 31 + t.f * 23 + 17) % 124) - 62)
+      + 2 * b.variant AS y1,
+    128 + 2 * (((b.page * 31 + t.f * 23 + 34) % 124) - 62)
+      + 2 * b.variant AS y2,
+    128 + 2 * (((b.page * 31 + t.f * 23 + 51) % 124) - 62)
+      + 2 * b.variant AS y3
+  FROM base b, UNNEST(range({VIDEO_N_FRAMES})) AS t(f)
+  WHERE t.f >= b.trim
+),
+ph AS MATERIALIZED (
+  SELECT doc_id, frame_idx,
+    CASE WHEN y0 * 4 > y0 + y1 + y2 + y3 THEN {_VID_MASK0} ELSE 0 END
+    + CASE WHEN y1 * 4 > y0 + y1 + y2 + y3 THEN {_VID_MASK1} ELSE 0 END
+      AS phash
+  FROM px
+),
+sh AS MATERIALIZED (
+  SELECT a.doc_id, a.frame_idx,
+    string_agg(CAST(b.phash AS VARCHAR), ':'
+               ORDER BY b.frame_idx) AS shingle,
+    COUNT(*) AS n
+  FROM ph a JOIN ph b ON b.doc_id = a.doc_id
+    AND b.frame_idx BETWEEN a.frame_idx
+                        AND a.frame_idx + {VIDEO_SHINGLE_K - 1}
+  GROUP BY a.doc_id, a.frame_idx
+),
+shv AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  WHERE n = {VIDEO_SHINGLE_K}
+),
+bmin AS (
+  SELECT shingle, MIN(doc_id) AS m FROM shv GROUP BY shingle
+),
+cmin AS (
+  SELECT s.doc_id, MIN(b.m) AS first_id
+  FROM shv s JOIN bmin b USING (shingle) GROUP BY s.doc_id
+)
+SELECT p.media_id, COALESCE(c.first_id, p.media_id) AS first_id,
+  p.media_id = COALESCE(c.first_id, p.media_id) AS keep
+FROM (SELECT DISTINCT doc_id AS media_id FROM ph) p
+LEFT JOIN cmin c ON c.doc_id = p.media_id
+"""

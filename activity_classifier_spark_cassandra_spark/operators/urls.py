@@ -159,8 +159,13 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """First-occurrence URL dedup: (all input columns, canon_url,
     keep) — ``keep`` is true for the LOWEST doc_id per canonical URL.
 
-    Skew-safe: first-occurrence via min(struct) aggregate + join-back,
-    never a window over the canonical-URL key."""
+    The bounded-failure-mode shape: first-occurrence via min(struct)
+    aggregate + join-back.  Collapses any hot key map-side, but pays
+    TWO canonicalization passes and two exchanges on flat data
+    (measured 2.6x vs a window at the 20M-row probe — plan branches
+    cannot share the canon expression).  ``url_dedup_hybrid`` routes
+    between this and the cheap window per detected key and is the
+    registry default."""
     canon = canonicalize_urls(df, url_col)
     firsts = (
         canon.groupBy("canon_url")
@@ -170,6 +175,131 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     return canon.join(firsts, "canon_url").withColumn(
         "keep", F.col("doc_id") == F.col("_first_doc")
     ).drop("_first_doc")
+
+
+def detect_hot_canon_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    hot_min_rows: int = 1_000_000,
+    sample_fraction: float = 0.01,
+    seed: int = 414,
+) -> DataFrame:
+    """(canon_url) keys whose estimated row count exceeds
+    ``hot_min_rows``, from a seeded Bernoulli sample — the detection
+    canonicalizes only ``sample_fraction`` of the corpus, so the scan
+    costs ~1% of a full pass plus one keys-only metadata exchange.
+
+    The detection threshold is HALF the expected sample count of a
+    key at ``hot_min_rows`` (Chernoff: a genuinely hot key at 2x the
+    floor misses with vanishing probability; a borderline key near
+    the floor may land either side — harmless, both routes compute
+    identical values and both handle ~hot_min_rows rows fine)."""
+    thresh = max(1, int(hot_min_rows * sample_fraction / 2))
+    sampled = canonicalize_urls(
+        df.sample(fraction=sample_fraction, seed=seed), url_col
+    )
+    return (
+        sampled.groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= thresh)
+        .select("canon_url")
+    )
+
+
+HOT_SALTS = 64        # tasks a detected hot key is split across
+HOT_KEYS_MAX = 4096   # expression-routing cap (IN-list size)
+
+
+def url_dedup_hybrid(
+    df: DataFrame,
+    url_col: str = "url",
+    hot_min_rows: int = 1_000_000,
+    sample_fraction: float = 0.01,
+    hot_salts: int = HOT_SALTS,
+    hot_keys: list[str] | None = None,
+) -> DataFrame:
+    """Hot-key-routed first-occurrence URL dedup — same output as
+    ``url_dedup``, the skew-hybrid idea applied to the canonical-URL
+    key as ONE canonicalization pass and ONE corpus exchange.
+
+    The first cut of this hybrid routed via semi/anti joins and LOST:
+    each branch re-evaluated the canonicalizer (three full passes —
+    measured slower than the always-agg shape it was meant to fix,
+    BASELINE.md round-12).  Plan branches cannot share an expression,
+    so the only shapes that canonicalize once are those with a single
+    consumer chain or a shared EXCHANGE.  Hence:
+
+    * detection samples ``sample_fraction`` of the corpus and
+      COLLECTS the flagged keys — a bounded driver fetch by
+      construction (<= corpus_rows/hot_min_rows keys, the same
+      metadata-scale argument as the trained-centroid literals);
+    * routing is a pure expression: hot rows get a doc_id salt,
+      cold rows salt 0 — no join, so the canonicalizer runs exactly
+      once, inside the map side of the window exchange;
+    * ``keep`` comes from a window min over (canon_url, salt): for
+      cold keys that IS the answer; a hot key is split across
+      ``hot_salts`` bounded tasks, and its true minimum comes from a
+      direct map-side-combining aggregate over ONLY the hot rows —
+      a metadata-scale frame (|hot keys| rows) broadcast back.  The
+      corpus shuffles ONCE; the canonicalizer is evaluated a second
+      time only on a hot corpus (the partial-agg branch — exchange
+      reuse cannot share it because column pruning specializes each
+      branch), which is still one full exchange cheaper than the
+      always-agg shape;
+    * with no hot keys detected the optimizer folds the empty IN-list
+      to false, prunes the hot subtrees, and the plan IS the plain
+      one-pass window — insurance costs one sampled detection scan.
+
+    A corpus with more than ``HOT_KEYS_MAX`` simultaneously-hot keys
+    falls back to the always-agg ``url_dedup`` (IN-list routing stops
+    being metadata there; every one of its keys is map-side
+    collapsible by construction).
+
+    Routing cannot change values: every path computes keep =
+    (doc_id == min(doc_id) per canon_url) exactly, so output equality
+    with ``url_dedup`` holds for ANY routing — pinned by
+    tests/test_urls.py with forced hot-key lists."""
+    from pyspark.sql import Window
+
+    if hot_keys is None:
+        hot_keys = sorted(
+            r["canon_url"]
+            for r in detect_hot_canon_urls(
+                df, url_col, hot_min_rows, sample_fraction
+            ).collect()
+        )
+    if len(hot_keys) > HOT_KEYS_MAX:
+        return url_dedup(df, url_col)
+
+    canon = canonicalize_urls(df, url_col)
+    if not hot_keys:
+        w = Window.partitionBy("canon_url")
+        return canon.withColumn(
+            "keep", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+
+    is_hot = F.col("canon_url").isin(hot_keys)
+    salted = canon.withColumn(
+        "_salt",
+        F.when(is_hot, F.pmod(F.col("doc_id"), F.lit(hot_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    w = Window.partitionBy("canon_url", "_salt")
+    df1 = salted.withColumn("_local_min", F.min("doc_id").over(w))
+    hotmin = (
+        canon.filter(F.col("canon_url").isin(hot_keys))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("_hot_min"))
+    )
+    return (
+        df1.join(F.broadcast(hotmin), "canon_url", "left")
+        .withColumn(
+            "keep",
+            F.col("doc_id") == F.coalesce("_hot_min", "_local_min"),
+        )
+        .drop("_salt", "_local_min", "_hot_min")
+    )
 
 
 # ------------------------------------------------- registry query
@@ -206,9 +336,12 @@ def with_synthetic_urls(docs: DataFrame) -> DataFrame:
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + first-occurrence dedup over the derived
-    crawl URLs: (doc_id, url, canon_url, keep)."""
+    crawl URLs: (doc_id, url, canon_url, keep).  Routes through the
+    hot-key hybrid (the production shape); on this flat corpus the
+    detection finds no hot keys, so the whole frame takes the
+    one-pass window branch."""
     docs = load_table(spark, sf_dir, "documents")
-    out = url_dedup(with_synthetic_urls(docs))
+    out = url_dedup_hybrid(with_synthetic_urls(docs))
     return out.select("doc_id", "url", "canon_url", "keep")
 
 

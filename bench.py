@@ -189,6 +189,10 @@ HEADLINE = [
     "q_knn_graph_update",
     "q_video_frames",
     "q_video_near_dup",
+    # added in round 12: shingle-banded (trim-robust) video near-dup,
+    # streaming graph-index ingest over the saved index
+    "q_video_near_dup_shingle",
+    "q_stream_graph_ingest",
 ]
 
 

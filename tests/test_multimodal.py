@@ -653,3 +653,100 @@ def test_q_video_near_dup_groups_reencodes(spark):
         _encode_avi_dup_udf(F2.col("id")).alias("c"),
     ).collect()
     assert bytes(docs[0]["c"]) != bytes(docs[1]["c"])
+
+
+def test_video_shingle_dedup_catches_trimmed_clip(spark):
+    """A re-cut clip (first frame dropped) shares NO full-sequence
+    signature with its source — the sequence path provably keeps
+    both — but shares k-frame shingles, so the shingle band drops it.
+    An unrelated clip survives."""
+    import numpy as np
+    from pyspark.sql import Row
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        VIDEO_SHINGLE_K,
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+        extract_video_phash,
+        video_shingle_dedup,
+    )
+
+    def frame(seed: int) -> bytes:
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for b, (by, bx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+            img[by : by + 8, bx : bx + 8] = 128 + 2 * (
+                ((seed * 31 + b * 17) % 124) - 62
+            )
+        return encode_jpeg_baseline(img)
+
+    full = [frame(f) for f in range(8)]
+    clips = [
+        Row(media_id=0, content=encode_avi_mjpeg(full, 16, 16)),
+        # trimmed re-cut: first frame dropped
+        Row(media_id=1, content=encode_avi_mjpeg(full[1:], 16, 16)),
+        # unrelated content: FLAT frames hash to 0 every frame, so
+        # its only shingle (0:0:0:0) is provably outside clip 0's
+        # shingle set {0003, 3000, 0300, 0030} — the 4-value aHash
+        # alphabet makes "random other frames" collide
+        Row(
+            media_id=2,
+            content=encode_avi_mjpeg(
+                [
+                    encode_jpeg_baseline(
+                        np.full((16, 16), 128, dtype=np.uint8)
+                    )
+                ]
+                * 8,
+                16,
+                16,
+            ),
+        ),
+    ]
+    ph = extract_video_phash(spark.createDataFrame(clips))
+
+    # the full-sequence signature MISSES the trim: 0 and 1 differ
+    sigs = (
+        ph.groupBy("media_id")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(frame_idx, phash))),"
+                " x -> concat(CAST(x.frame_idx AS STRING), ':',"
+                " CAST(x.phash AS STRING))), ',')"
+            ).alias("sig")
+        )
+        .toPandas()
+        .set_index("media_id")["sig"]
+    )
+    assert sigs[0] != sigs[1]
+
+    out = (
+        video_shingle_dedup(ph, k=VIDEO_SHINGLE_K)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"]) is True
+    assert bool(out.loc[1, "keep"]) is False and out.loc[1, "first_id"] == 0
+    assert bool(out.loc[2, "keep"]) is True
+
+
+def test_q_video_near_dup_shingle_groups_pages(spark):
+    """Registry synthesis: per page, the original (v0), the
+    brightness re-encode (v1), AND the trimmed re-cut (v2) all
+    collapse onto the page's lowest id (modulo earlier-page
+    perceptual collisions: keep == group-min always holds)."""
+    from activity_classifier_spark_cassandra_spark.operators.multimodal import (
+        q_video_near_dup_shingle,
+    )
+
+    out = q_video_near_dup_shingle(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) == out.media_id.nunique()
+    # keep is exactly "I am my own group minimum"
+    assert (out.keep == (out.media_id == out.first_id)).all()
+    # every non-keeper points at an EARLIER clip
+    assert (out[~out.keep].first_id < out[~out.keep].media_id).all()
+    # page-mates (incl. the trim) always land in one group
+    out["page"] = out.media_id // 3
+    assert (out.groupby("page").first_id.nunique() == 1).all()

@@ -139,12 +139,87 @@ def test_q_url_dedup_contract(spark):
     assert (g.doc_id.min() == kept.loc[g.doc_id.min().index]).all()
 
 
-def test_url_dedup_plan_one_exchange_no_window(spark):
-    """The first-occurrence rule must be the skew-safe aggregate +
-    join-back, never a window over the canonical-URL hot key."""
-    plan = U.q_url_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+def test_url_dedup_hybrid_plan_shape(spark):
+    """No hot keys detected -> the plan IS the plain one-pass window
+    (empty IN-list folds to false, hot subtrees pruned: no join, no
+    second aggregate).  With a forced hot key -> the corpus still
+    shuffles ONCE (the salted window exchange); the hot-minima branch
+    is a map-side-combining aggregate whose exchange carries only
+    metadata, broadcast back.  Never a cartesian."""
+    plan = (
+        U.q_url_dedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "BroadcastHashJoin" not in plan  # hot subtrees pruned
     assert "CartesianProduct" not in plan
+
+    from activity_classifier_spark_cassandra_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hot_plan = (
+        U.url_dedup_hybrid(
+            U.with_synthetic_urls(docs),
+            hot_keys=["https://hot.example.com/boilerplate"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert hot_plan.count("Window") == 1
+    # exactly two hash exchanges: the salted corpus window + the
+    # metadata-sized hot-minima aggregate (never a second full
+    # corpus shuffle, never a window over the unsalted hot key)
+    assert hot_plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in hot_plan  # metadata join-back
+    assert "CartesianProduct" not in hot_plan
+
+
+def test_url_dedup_hybrid_matches_agg_any_routing(spark):
+    """Routing cannot change values: hybrid == agg shape with (a) the
+    default sampled detection, (b) a FORCED hot key exercising the
+    salted path, (c) every key forced hot."""
+    rows = [
+        Row(doc_id=i, url=u)
+        for i, u in enumerate(
+            [
+                "https://hot.example.com/boilerplate?utm_source=x",
+                "https://hot.example.com/boilerplate?utm_source=y",
+                "HTTPS://HOT.Example.COM:443/boilerplate",
+                "https://s.com/p?b=2&a=1",
+                "https://s.com/p?a=1&b=2#frag",
+                "https://s.com/other",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    want = (
+        U.url_dedup(df)
+        .select("doc_id", "canon_url", "keep")
+        .orderBy("doc_id")
+        .collect()
+    )
+    all_keys = [
+        r["canon_url"]
+        for r in U.canonicalize_urls(df)
+        .select("canon_url")
+        .distinct()
+        .collect()
+    ]
+    for hk in (
+        None,
+        ["https://hot.example.com/boilerplate"],
+        all_keys,
+    ):
+        got = (
+            U.url_dedup_hybrid(df, hot_keys=hk)
+            .select("doc_id", "canon_url", "keep")
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert got == want
 
 
 def test_canonicalize_is_idempotent_and_normal(spark):
