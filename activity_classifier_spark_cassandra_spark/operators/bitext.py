@@ -502,41 +502,65 @@ def _blas_route(
     )
 
 
-def _blas_pair_c6(pairs: DataFrame, qid: str, nid: str) -> DataFrame:
-    """Vectorized pair scoring: (qid, nid, e1, e2, n1, n2) ->
-    (qid, nid, c6), one Arrow stage.
+_QBLOCK = 1024  # probe rows scored per accumulation block
+
+
+def _blas_cell_scores(
+    probes: DataFrame, corpus: DataFrame, qid: str, nid: str
+) -> DataFrame:
+    """Cell-local pair scoring: cogroup (qid, e1, n1) probes with
+    (nid, e2, n2) members on ``bucket`` and emit every (qid, nid, c6)
+    pair — the Arrow-matmul shape of the candidate scan.
+
+    Why cogroup and not a pair join: the joined pair frame ships BOTH
+    vectors per pair through Arrow (|pairs| ~ |side|·nprobe·avg_cell
+    rows x ~1 KB — tens of GB at the 100x probe; measured SLOWER than
+    the interpreted fold it replaced).  Cogrouping ships each vector
+    ONCE per cell and materializes only the thin (qid, nid, c6) rows.
 
     BIT-IDENTICAL to the interpreted ``_COS6_PRE`` fold by
-    construction: the dot is accumulated dimension-at-a-time across
-    the whole pair batch (``acc += e1[:, d] * e2[:, d]`` — one IEEE
-    double multiply then one add per step, the exact operation order
-    of the Catalyst left fold), NOT a BLAS matmul, whose unspecified
-    summation order can differ in the last ulp and flip a
-    FLOOR(x * 1e6) boundary.  Division, scaling, and floor are then
-    single IEEE ops in both engines.  Cost: dim vectorized passes
-    over the batch — ~100x fewer interpreter dispatches than the
-    per-element Catalyst ``aggregate`` lambda, which the 100x probe
-    showed dominating the full-corpus mining wall."""
+    construction: the pair-score matrix is accumulated
+    dimension-at-a-time (``acc += Q[:, d, None] * M[None, :, d]`` —
+    one IEEE double multiply then one add per step, the exact
+    operation order of the Catalyst left fold), NOT a BLAS ``@``,
+    whose unspecified summation order can differ in the last ulp and
+    flip a FLOOR(x·1e6) boundary.  Division by the JVM-computed norm
+    product, the 1e6 scale, and the floor are single IEEE ops in both
+    engines.  Probe rows are processed in ``_QBLOCK`` chunks so the
+    accumulator stays cache-sized regardless of cell skew."""
     import numpy as np
     import pandas as pd
 
-    def batches(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            e1 = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
-            e2 = np.stack(pdf["e2"].to_numpy()).astype(np.float64)
-            acc = np.zeros(len(pdf), dtype=np.float64)
-            for d in range(e1.shape[1]):
-                acc += e1[:, d] * e2[:, d]
-            denom = pdf["n1"].to_numpy() * pdf["n2"].to_numpy()
+    def score(probes_pdf: pd.DataFrame, members_pdf: pd.DataFrame):
+        if not len(probes_pdf) or not len(members_pdf):
+            return pd.DataFrame({qid: [], nid: [], "c6": []})
+        M = np.stack(members_pdf["e2"].to_numpy()).astype(np.float64)
+        n2 = members_pdf["n2"].to_numpy()
+        nids = members_pdf[nid].to_numpy()
+        out = []
+        for lo in range(0, len(probes_pdf), _QBLOCK):
+            blk = probes_pdf.iloc[lo : lo + _QBLOCK]
+            Q = np.stack(blk["e1"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(Q), len(M)), dtype=np.float64)
+            for d in range(Q.shape[1]):
+                acc += Q[:, d, None] * M[None, :, d]
+            denom = blk["n1"].to_numpy()[:, None] * n2[None, :]
             c6 = np.floor(acc / denom * 1e6).astype(np.int64)
-            yield pd.DataFrame(
-                {qid: pdf[qid], nid: pdf[nid], "c6": c6}
+            out.append(
+                pd.DataFrame(
+                    {
+                        qid: np.repeat(blk[qid].to_numpy(), len(M)),
+                        nid: np.tile(nids, len(Q)),
+                        "c6": c6.reshape(-1),
+                    }
+                )
             )
+        return pd.concat(out, ignore_index=True)
 
-    return pairs.select(qid, nid, "e1", "e2", "n1", "n2").mapInPandas(
-        batches, schema=f"{qid} long, {nid} long, c6 long"
+    return (
+        probes.groupBy("bucket")
+        .cogroup(corpus.groupBy("bucket"))
+        .applyInPandas(score, schema=f"{qid} long, {nid} long, c6 long")
     )
 
 
@@ -550,8 +574,9 @@ def _ivf_topk_c6_blas(
     nid: str,
 ) -> DataFrame:
     """BLAS variant of ``_ivf_topk_c6``: corpus assignment, query
-    routing, AND candidate-pair scoring as Arrow-vectorized stages
-    (all output-identical to the fold path — pinned in tests)."""
+    routing, AND cell-local candidate scoring as Arrow-vectorized
+    stages (all output-identical to the fold path — pinned in
+    tests)."""
     from .similarity import blas_assign
 
     corpus = blas_assign(side, cents, keep_embedding=True).select(
@@ -565,9 +590,7 @@ def _ivf_topk_c6_blas(
     probes = _blas_route(queries, cents, nprobe, qid).withColumn(
         "n1", F.expr(_NORM.format(e="e1"))
     )
-    scored = _blas_pair_c6(
-        corpus.join(probes, "bucket"), qid, nid
-    )
+    scored = _blas_cell_scores(probes, corpus, qid, nid)
     w = Window.partitionBy(qid).orderBy(
         F.col("c6").desc(), F.col(nid).asc()
     )
