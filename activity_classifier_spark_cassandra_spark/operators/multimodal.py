@@ -1313,12 +1313,52 @@ def _encode_scan(
     return bw.flush()
 
 
+# Per-worker bounded memo for SMALL frames, encode and decode sides.
+# MJPEG corpora repeat frames byte-identically (static scenes, screen
+# recordings, synthesized fixtures), and the pure-Python entropy
+# coder is the measured constant of every video query — so a repeat
+# frame should cost one dict probe, not a full T.81 pass.  Bounds
+# keep it honest on high-entropy corpora: only payloads <= _CODEC_
+# CACHE_MAX_BYTES are cached (a 4K frame never is), the LRU holds at
+# most _CODEC_CACHE_SIZE entries per side, and the cache lives in the
+# Python worker (recomputed from inputs in any fresh process — no
+# cross-run persistence).  Worst case per worker: ~2 x 1024 x 4 KB.
+_CODEC_CACHE_SIZE = 1024
+_CODEC_CACHE_MAX_BYTES = 4096
+_ENC_CACHE: "OrderedDict[tuple, bytes]" = __import__(
+    "collections"
+).OrderedDict()
+_DEC_CACHE: "OrderedDict[bytes, tuple[int, int, int, bytes]]" = __import__(
+    "collections"
+).OrderedDict()
+
+
+def _cache_get(cache, key):
+    val = cache.get(key)
+    if val is not None:
+        cache.move_to_end(key)
+    return val
+
+
+def _cache_put(cache, key, val) -> None:
+    cache[key] = val
+    if len(cache) > _CODEC_CACHE_SIZE:
+        cache.popitem(last=False)
+
+
 def encode_jpeg_baseline(pixels: "np.ndarray", ycbcr: bool = False) -> bytes:
     """Spec-complete baseline JPEG encoder for fixtures: (h, w) uint8
     grayscale or (h, w, 3) uint8 RGB (or raw YCbCr planes when
     ``ycbcr=True``), 4:4:4 sampling, Annex K tables.  Dimensions must
     be multiples of 8 (fixtures control their own padding)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
+    raw = pixels.tobytes()
+    key = None
+    if len(raw) <= _CODEC_CACHE_MAX_BYTES:
+        key = (pixels.shape, bool(ycbcr), raw)
+        hit = _cache_get(_ENC_CACHE, key)
+        if hit is not None:
+            return hit
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if h % 8 or w % 8:
@@ -1380,7 +1420,10 @@ def encode_jpeg_baseline(pixels: "np.ndarray", ycbcr: bool = False) -> bytes:
     out += seg(0xDA, sos)
     out += scan
     out += b"\xff\xd9"
-    return bytes(out)
+    out = bytes(out)
+    if key is not None:
+        _cache_put(_ENC_CACHE, key, out)
+    return out
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -1394,12 +1437,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     segment can produce (short SOF/SOS, unknown component id in a
     scan, bit-reader overrun) is re-raised as NotImplementedError so
     one bad file drops one row instead of failing the Spark task."""
+    data = bytes(data)
+    cacheable = len(data) <= _CODEC_CACHE_MAX_BYTES
+    if cacheable:
+        hit = _cache_get(_DEC_CACHE, data)
+        if hit is not None:
+            return hit
     try:
-        return _decode_jpeg_checked(bytes(data))
+        out = _decode_jpeg_checked(data)
     except NotImplementedError:
         raise
     except (struct.error, IndexError, ValueError, KeyError) as e:
         raise NotImplementedError(f"corrupt JPEG stream: {e}") from e
+    if cacheable and len(out[3]) <= _CODEC_CACHE_MAX_BYTES:
+        _cache_put(_DEC_CACHE, data, out)
+    return out
 
 
 def _decode_jpeg_checked(data: bytes) -> tuple[int, int, int, bytes]:
@@ -2049,6 +2101,12 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         _encode_avi_dup_udf(F.col("doc_id")).alias("content"),
     )
+    # sig feeds both the firsts aggregate and the join-back; the two
+    # plan branches cannot share the expensive encode+decode Arrow
+    # stage (column pruning specializes each branch below the
+    # exchange, so ReuseExchange does not fire — measured 2
+    # MapInPandas passes in the before-plan).  Materialize the THIN
+    # per-clip signature (1 row per clip) once; the codec runs once.
     sig = (
         extract_video_phash(docs)
         .groupBy("media_id")
@@ -2060,6 +2118,7 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " CAST(x.phash AS STRING))), ',')"
             ).alias("sig")
         )
+        .localCheckpoint(eager=True)
     )
     firsts = (
         sig.groupBy("sig")
@@ -2219,7 +2278,15 @@ def q_video_near_dup_shingle(
         F.col("doc_id").alias("media_id"),
         _encode_avi_trim_udf(F.col("doc_id")).alias("content"),
     )
-    return video_shingle_dedup(extract_video_phash(docs))
+    # video_shingle_dedup consumes the per-frame hash frame in three
+    # plan branches (shingle window -> bucket_min + clip_min, plus the
+    # clip list); plan branches cannot share an expression, so without
+    # a barrier the pure-Python encode+decode Arrow stage re-runs per
+    # branch (guide §8: decide on thin proxies, move heavy bytes
+    # once).  Materialize the THIN (media_id, frame_idx, phash) rows
+    # once — keys only, the blob never leaves the Arrow stage.
+    ph = extract_video_phash(docs).localCheckpoint(eager=True)
+    return video_shingle_dedup(ph)
 
 
 VIDEO_NEAR_DUP_SHINGLE_SQL = f"""

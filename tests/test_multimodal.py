@@ -750,3 +750,47 @@ def test_q_video_near_dup_shingle_groups_pages(spark):
     # page-mates (incl. the trim) always land in one group
     out["page"] = out.media_id // 3
     assert (out.groupby("page").first_id.nunique() == 1).all()
+
+
+def test_codec_cache_roundtrip_and_bounds():
+    """The per-worker codec memo returns byte-identical results to an
+    uncached pass, never caches oversized payloads, and stays within
+    its LRU bound."""
+    import numpy as np
+
+    from activity_classifier_spark_cassandra_spark.operators import (
+        multimodal as MM,
+    )
+
+    MM._ENC_CACHE.clear()
+    MM._DEC_CACHE.clear()
+    img = np.full((16, 16), 99, dtype=np.uint8)
+    img[:8, :8] = 37
+    first = MM.encode_jpeg_baseline(img)
+    assert len(MM._ENC_CACHE) == 1
+    assert MM.encode_jpeg_baseline(img) == first  # hit == fresh bytes
+
+    dec1 = MM.decode_jpeg(first)
+    assert len(MM._DEC_CACHE) == 1
+    assert MM.decode_jpeg(first) == dec1  # hit == fresh tuple
+
+    # distinct pixels -> distinct entry, distinct jpeg
+    img2 = img.copy()
+    img2[8:, 8:] = 201
+    second = MM.encode_jpeg_baseline(img2)
+    assert second != first and len(MM._ENC_CACHE) == 2
+
+    # oversized payloads are never cached (64x64x3 > the byte bound)
+    big = np.zeros((64, 64, 3), dtype=np.uint8)
+    MM.encode_jpeg_baseline(big)
+    assert len(MM._ENC_CACHE) == 2
+
+    # LRU bound holds under churn
+    for v in range(MM._CODEC_CACHE_SIZE + 50):
+        i = np.full((8, 8), v % 256, dtype=np.uint8)
+        i[0, 0] = (v * 7) % 256
+        i[0, 1] = v // 256
+        MM.encode_jpeg_baseline(i)
+    assert len(MM._ENC_CACHE) <= MM._CODEC_CACHE_SIZE
+    MM._ENC_CACHE.clear()
+    MM._DEC_CACHE.clear()
