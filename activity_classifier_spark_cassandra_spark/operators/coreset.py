@@ -59,17 +59,33 @@ def kcenter_select(
 ) -> list[tuple[int, int, list[float]]]:
     """Greedy k-center selection; returns [(round, vec_id, vector)].
     Round 0 is the lowest vec_id; round i maximizes ROUND(min-d2, 6)
-    to rounds 0..i-1 (ties to the lowest vec_id)."""
+    to rounds 0..i-1 (ties to the lowest vec_id).
+
+    Round i folds ONLY the center round i-1 added into a carried
+    running-min column: ``least(md2, d2_new)`` over the previous
+    round's materialized state.  Every per-center d2 is 6-dp rounded
+    BEFORE any min (same _D2_FOLD), and float min is exact and
+    order-free, so the carried value is bit-identical to the
+    array_min over all i centers the previous shape recomputed from
+    scratch — N·k d2 folds total instead of N·k²/2 (the folds, not
+    the k driver fetches, dominate: the interpreted HOF is the
+    per-row constant).  The state is localCheckpoint-ed per round so
+    round i actually reads round i-1's column instead of replaying
+    the whole expression lineage."""
     corpus = emb.select("vec_id", "embedding")
     first = corpus.orderBy("vec_id").limit(1).collect()[0]
     centers = [(0, int(first.vec_id), [float(x) for x in first.embedding])]
+    state = corpus
     for i in range(1, k):
-        lit = _centers_literal(centers)
-        d2 = _D2_FOLD.format(x="embedding", c="c.c")
-        mind2 = F.expr(f"array_min(transform({lit}, c -> {d2}))")
+        _, _, cvec = centers[-1]
+        arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cvec)
+        d2_new = F.expr(_D2_FOLD.format(x="embedding", c=f"array({arr})"))
+        md2 = (
+            d2_new if i == 1 else F.least(F.col("md2"), d2_new)
+        )
+        state = state.withColumn("md2", md2).localCheckpoint(eager=True)
         nxt = (
-            corpus.withColumn("md2", mind2)
-            .orderBy(F.col("md2").desc(), F.col("vec_id").asc())
+            state.orderBy(F.col("md2").desc(), F.col("vec_id").asc())
             .limit(1)  # TakeOrderedAndProject: 1-row driver merge
             .collect()[0]
         )
