@@ -44,23 +44,38 @@ OPS_SCHEMA_FMT = "op string, vec_id long, embedding array<{elem}>"
 
 
 def apply_index_ops(
-    corpus: DataFrame, graph: DataFrame, batch: DataFrame
+    corpus: DataFrame,
+    graph: DataFrame,
+    batch: DataFrame,
+    has_delete: bool | None = None,
+    has_insert: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply one micro-batch of (op, vec_id, embedding) rows to the
     (corpus, graph) state: deletes first, then inserts.  Returns the
-    new (corpus, graph) — pure frames, no I/O."""
+    new (corpus, graph) — pure frames, no I/O.  ``has_delete`` /
+    ``has_insert`` let a caller that already probed the batch skip
+    the per-op existence jobs; None means probe here (one combined
+    aggregate over the bounded batch — a single driver fetch instead
+    of two limit(1).count() jobs)."""
     from ..operators.graph_ann import delete_from_graph, insert_into_graph
 
+    if has_delete is None or has_insert is None:
+        row = batch.agg(
+            F.max((F.col("op") == "delete").cast("int")).alias("d"),
+            F.max((F.col("op") == "insert").cast("int")).alias("i"),
+        ).collect()[0]
+        has_delete = bool(row.d)
+        has_insert = bool(row.i)
     dels = batch.filter(F.col("op") == "delete").select("vec_id")
     ins = batch.filter(F.col("op") == "insert").select(
         "vec_id", "embedding"
     )
-    if dels.limit(1).count():
+    if has_delete:
         graph = delete_from_graph(corpus, graph, dels)
         corpus = corpus.join(
             F.broadcast(dels), "vec_id", "left_anti"
         )
-    if ins.limit(1).count():
+    if has_insert:
         corpus = corpus.unionByName(ins)
         graph = insert_into_graph(
             corpus,
@@ -94,14 +109,25 @@ def foreach_batch_index_updater(state_path: str):
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)  # |batch|-bounded
-        if not batch.limit(1).count():
+        row = batch.agg(
+            F.max((F.col("op") == "delete").cast("int")).alias("d"),
+            F.max((F.col("op") == "insert").cast("int")).alias("i"),
+        ).collect()[0]  # ONE bounded probe job (emptiness + op mix)
+        if not (row.d or row.i):
             return
         corpus = spark.read.parquet(f"{state_path}/corpus")
         graph = spark.read.parquet(f"{state_path}/graph")
-        corpus2, graph2 = apply_index_ops(corpus, graph, batch)
-        # materialize BEFORE the swap: the new frames read the old
-        # parquet state that the swap renames away
-        corpus2 = corpus2.localCheckpoint(eager=True)
+        corpus2, graph2 = apply_index_ops(
+            corpus, graph, batch,
+            has_delete=bool(row.d), has_insert=bool(row.i),
+        )
+        # Only the GRAPH must be materialized before the swaps: its
+        # plan reads BOTH old parquet state tables that the swaps
+        # rename away.  The corpus swap itself writes corpus.new
+        # while the old state is still in place (_swap_in renames
+        # only after the write completes), so corpus2 streams
+        # straight into its parquet write — one materialization per
+        # trigger saved vs checkpointing both.
         graph2 = graph2.localCheckpoint(eager=True)
         _swap_in(corpus2, f"{state_path}/corpus")
         _swap_in(graph2, f"{state_path}/graph")
