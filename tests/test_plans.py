@@ -493,8 +493,9 @@ def test_bitext_corpus_candidate_join_shape(spark):
     plan = _plan(spark, "q_bitext_mine_corpus")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the forward and backward candidate passes are EQUI-joins keyed
-    # on the cell id (2 assignment joins x 2 sides); at sf0.001 the
-    # stats make them broadcast-hash (correct adaptive choice), at
-    # scale they shuffle — the pin is the key, not the strategy
-    assert len(re.findall(r"Left keys \[1\]: \[bucket#", plan)) >= 2
+    # round 12: the registry path is the BLAS variant — the forward
+    # and backward candidate passes COGROUP probes with cell members
+    # on the cell id (each side's vectors cross Arrow once per cell,
+    # never per pair), so the pin is the cogroup node count plus the
+    # no-cartesian guards above
+    assert len(re.findall(r"FlatMapCoGroupsInPandas", plan)) >= 2
