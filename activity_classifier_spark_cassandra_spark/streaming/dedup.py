@@ -169,6 +169,22 @@ def _sig_batches(it):
     from ..operators.dedup import SIMHASH_BITS
 
     jidx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    # Per-task token-hash memo (guide §4.5: heavyweight work once per
+    # task, amortized over every batch): token frequencies are Zipf,
+    # so the md5 of a TYPE (unique token) is paid once, not once per
+    # occurrence.  Bounded — a pathological vocabulary resets the
+    # dict instead of growing without limit.
+    tok_memo: dict[str, int] = {}
+
+    def _tok_hash(t: str) -> int:
+        h = tok_memo.get(t)
+        if h is None:
+            if len(tok_memo) > 1 << 16:
+                tok_memo.clear()
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            tok_memo[t] = h
+        return h
+
     for pdf in it:
         sigs = []
         for text in pdf["text"]:
@@ -181,12 +197,7 @@ def _sig_batches(it):
                 sigs.append(0)
                 continue
             hs = np.array(
-                [
-                    int(
-                        hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16
-                    )
-                    for t in toks
-                ],
+                [_tok_hash(t) for t in toks],
                 dtype=np.int64,
             )
             bitmat = (hs[:, None] >> jidx) & 1
