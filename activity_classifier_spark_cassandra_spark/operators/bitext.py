@@ -482,6 +482,12 @@ def _blas_route(
     ks = np.array([k for k, _ in sorted(cents)], dtype=np.int32)
     cn = (C * C).sum(axis=1)
 
+    # A degenerate/tiny corpus can train fewer centroids than nprobe;
+    # route to every cell that exists instead of raising a pandas
+    # length mismatch inside the Arrow stage (the fold path degrades
+    # the same way: fewer distinct probe buckets per query).
+    p = min(nprobe, len(C))
+
     def batches(it):
         for pdf in it:
             if not len(pdf):  # np.stack raises on an empty batch
@@ -493,14 +499,14 @@ def _blas_route(
                 + cn[None, :]
             )
             d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
-            top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            top = np.argsort(d2, axis=1, kind="stable")[:, :p]
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    qid: pdf[qid].to_numpy().repeat(nprobe),
+                    qid: pdf[qid].to_numpy().repeat(p),
                     "bucket": ks[top].reshape(-1),
                     "e1": [
-                        pdf["e1"].iloc[i] for i in range(n) for _ in range(nprobe)
+                        pdf["e1"].iloc[i] for i in range(n) for _ in range(p)
                     ],
                 }
             )
@@ -554,13 +560,24 @@ def _blas_cell_scores(
             for d in range(Q.shape[1]):
                 acc += Q[:, d, None] * M[None, :, d]
             denom = blk["n1"].to_numpy()[:, None] * n2[None, :]
-            c6 = np.floor(acc / denom * 1e6).astype(np.int64)
+            # denom == 0 (zero-norm embedding): the interpreted fold's
+            # divide-by-zero yields NULL; mirror that instead of
+            # letting floor(inf/nan) cast to an undefined int64.
+            zero = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c6 = np.floor(acc / denom * 1e6)
+            flat = np.where(zero, 0.0, c6).reshape(-1).astype(np.int64)
+            c6_col = (
+                pd.Series(flat).mask(zero.reshape(-1)).astype("Int64")
+                if zero.any()
+                else pd.Series(flat)
+            )
             out.append(
                 pd.DataFrame(
                     {
                         qid: np.repeat(blk[qid].to_numpy(), len(M)),
                         nid: np.tile(nids, len(Q)),
-                        "c6": c6.reshape(-1),
+                        "c6": c6_col,
                     }
                 )
             )

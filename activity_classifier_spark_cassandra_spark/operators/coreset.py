@@ -54,6 +54,19 @@ def _centers_literal(centers: list[tuple[int, int, list[float]]]) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint-ed frame's storage blocks eagerly.  The
+    checkpointed internal RDD hangs off the Dataset's LogicalRDD node;
+    DataFrame.unpersist() only covers persist().  Safe here because the
+    caller only drops a round AFTER the next round's checkpoint has
+    materialized — the blocks are never read again.  Best-effort: if
+    the internals move, blocks free at driver GC exactly as before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def kcenter_select(
     emb: DataFrame, k: int = K_CENTERS
 ) -> list[tuple[int, int, list[float]]]:
@@ -76,6 +89,7 @@ def kcenter_select(
     first = corpus.orderBy("vec_id").limit(1).collect()[0]
     centers = [(0, int(first.vec_id), [float(x) for x in first.embedding])]
     state = corpus
+    prev = None  # round i-1's checkpointed frame, freed after round i
     for i in range(1, k):
         _, _, cvec = centers[-1]
         arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cvec)
@@ -84,6 +98,12 @@ def kcenter_select(
             d2_new if i == 1 else F.least(F.col("md2"), d2_new)
         )
         state = state.withColumn("md2", md2).localCheckpoint(eager=True)
+        # the new round's checkpoint is materialized; the previous
+        # round's copy is dead weight in executor storage — drop it
+        # instead of accumulating k-1 full corpus copies until GC
+        if prev is not None:
+            _unpersist_checkpoint(prev)
+        prev = state
         nxt = (
             state.orderBy(F.col("md2").desc(), F.col("vec_id").asc())
             .limit(1)  # TakeOrderedAndProject: 1-row driver merge

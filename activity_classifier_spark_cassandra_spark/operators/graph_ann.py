@@ -607,6 +607,82 @@ def load_knn_graph(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Hop-loop implementation switch.  "agg" (default): groupBy(query_id)
+# in-group top-k aggregate over a pre-aggregated adjacency — <=1
+# exchange per hop, linear plan (round-13 redesign).  "window": the
+# round-12 union -> distinct -> row_number shape, kept for the
+# output-parity pytest and same-session A/B probes.  Both produce
+# bit-identical results (pinned in test_graph_ann.py).
+BEAM_IMPL = "agg"
+
+
+def _beam_loop_window(
+    corpus: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    frontier: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Round-12 hop loop (reference implementation for parity tests):
+    per hop, union the frontier with its graph expansion, distinct,
+    score, keep top-BEAM per query via a row_number window — 2
+    exchanges per hop, frontier subtree duplicated by the union."""
+
+    def beam(fr: DataFrame) -> DataFrame:
+        scored = (
+            fr.join(
+                corpus.select(
+                    F.col("vec_id").alias("node"), F.col("e").alias("e2")
+                ),
+                "node",
+            )
+            .join(queries, "query_id")
+            .withColumn("cosine", F.round(F.expr(_COS), 6))
+            .filter(F.col("node") != F.col("query_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("node").asc()
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= BEAM)
+            .select("query_id", "node")
+        )
+
+    frontier = beam(frontier)
+    for i in range(HOPS):
+        hop = frontier.join(
+            graph.withColumnRenamed("vec_id", "node"), "node"
+        ).select("query_id", F.col("neighbor_id").alias("node"))
+        frontier = beam(frontier.unionByName(hop).distinct())
+        if i % 3 == 2 or i == HOPS - 1:
+            frontier = frontier.localCheckpoint(eager=True)
+
+    scored = (
+        frontier.join(
+            corpus.select(
+                F.col("vec_id").alias("node"), F.col("e").alias("e2")
+            ),
+            "node",
+        )
+        .join(queries, "query_id")
+        .withColumn("cosine", F.round(F.expr(_COS), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def beam_search(
     emb: DataFrame,
     graph: DataFrame,
@@ -663,40 +739,92 @@ def beam_search(
             F.broadcast(entries)
         )
 
-    def beam(fr: DataFrame) -> DataFrame:
+    if BEAM_IMPL == "window":
+        return _beam_loop_window(corpus, graph, queries, frontier, k)
+
+    corpus_nodes = corpus.select(
+        F.col("vec_id").alias("node"), F.col("e").alias("e2")
+    )
+
+    def beam(cand: DataFrame) -> DataFrame:
+        """Top-BEAM (query_id, node) per query: ONE groupBy(query_id)
+        in-group top-k aggregate instead of distinct + row_number
+        window (2 exchanges -> <=1 per hop; ObjectHashAggregate's
+        partial mode dedups candidates map-side via collect_set, and
+        the hash(query_id) output partitioning satisfies the next
+        hop's aggregate so steady-state hops plan NO exchange at all).
+        Ordering parity with the old window (cosine DESC, node ASC) is
+        exact: sort_array descending on struct(cosine, -node) uses the
+        same null/NaN-safe double ordering as SortOrder, and duplicate
+        candidates collapse in collect_set because a duplicate
+        (query_id, node) pair always carries the bit-identical rounded
+        cosine."""
         scored = (
-            fr.join(
-                corpus.select(F.col("vec_id").alias("node"), F.col("e").alias("e2")),
-                "node",
-            )
+            cand.join(corpus_nodes, "node")
             .join(queries, "query_id")
-            .withColumn("cosine", F.round(F.expr(_COS), 6))
             .filter(F.col("node") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.struct(
+                    F.round(F.expr(_COS), 6).alias("cosine"),
+                    (-F.col("node")).alias("nn"),
+                ).alias("cn"),
+            )
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("node").asc()
+        top = scored.groupBy("query_id").agg(
+            F.slice(
+                F.sort_array(F.collect_set("cn"), asc=False), 1, BEAM
+            ).alias("top")
         )
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= BEAM)
-            .select("query_id", "node")
-        )
+        return top.select(
+            "query_id", F.explode("top").alias("s")
+        ).select("query_id", (-F.col("s.nn")).alias("node"))
+
+    # Pre-aggregated adjacency (node -> out-neighbor array), built once
+    # per search: each hop expands the frontier with a single generator
+    # over ONE frame — no union (a union's unknown output partitioning
+    # would force the exchange back every hop) — and moves N thin rows
+    # instead of K*N edge rows.  persist()+count instead of a
+    # checkpoint: the materialized InMemoryRelation exposes its REAL
+    # size to Catalyst, so locally (and on any graph under the
+    # broadcast threshold) every hop's adjacency join plans as a
+    # statically-known BroadcastHashJoin that PRESERVES the frontier's
+    # hash(query_id) partitioning — the in-group top-k aggregate then
+    # needs no exchange at all in the steady state — while a
+    # warehouse-scale adjacency falls back to the same shuffle join
+    # the old shape paid.  (A checkpoint's LogicalRDD has unknown
+    # stats: measured, it forced a per-hop SortMergeJoin + two node
+    # exchanges and DOUBLED search wall.)
+    adj = (
+        graph.select(F.col("vec_id").alias("node"), "neighbor_id")
+        .groupBy("node")
+        .agg(F.collect_list("neighbor_id").alias("nbrs"))
+        .persist()
+    )
+    adj.count()  # materialize -> accurate sizeInBytes for the planner
 
     frontier = beam(frontier)
     for i in range(HOPS):
-        hop = (
-            frontier.join(
-                graph.withColumnRenamed("vec_id", "node"), "node"
-            )
-            .select("query_id", F.col("neighbor_id").alias("node"))
+        cand = frontier.join(adj, "node", "left").select(
+            "query_id",
+            F.explode(
+                F.when(
+                    F.col("nbrs").isNull(), F.array(F.col("node"))
+                ).otherwise(
+                    F.concat(F.array(F.col("node")), F.col("nbrs"))
+                )
+            ).alias("node"),
         )
-        frontier = beam(frontier.unionByName(hop).distinct())
-        # checkpoint every third hop: enough to keep the nested-window
-        # plan shallow, without paying a materialization per hop (the
+        frontier = beam(cand)
+        # checkpoint every third hop: keeps the nested-aggregate plan
+        # shallow without paying a materialization per hop (the
         # frontier is |queries|*BEAM rows — the cost is all fixed
-        # per-job overhead, measured 13.3s -> 8.8s warm at N=500)
+        # per-job overhead)
         if i % 3 == 2 or i == HOPS - 1:
             frontier = frontier.localCheckpoint(eager=True)
+    # the final checkpoint above materialized every adjacency read;
+    # the returned plan only re-reads the corpus and the queries
+    adj.unpersist(False)
 
     scored = (
         frontier.join(

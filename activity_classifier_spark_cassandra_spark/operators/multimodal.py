@@ -1197,43 +1197,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise NotImplementedError("truncated JPEG entropy stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise NotImplementedError("truncated JPEG entropy stream")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                elif nxt == 0xD9:  # EOI reached while bits still needed
-                    raise NotImplementedError("truncated JPEG entropy stream")
-                else:
-                    raise NotImplementedError(
-                        "JPEG restart/unexpected marker in scan"
-                    )
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
 def _extend(v: int, t: int) -> int:
     """T.81 EXTEND: map t-bit magnitude to signed coefficient."""
     if t == 0:
@@ -1260,17 +1223,6 @@ def _fdct_quant(block: "np.ndarray", qt: list[int]) -> list[int]:
     qc = np.floor(coef / q + 0.5).astype(np.int64)
     flat = qc.reshape(64)
     return [int(flat[_ZIGZAG[i]]) for i in range(64)]
-
-
-def _idct_dequant(zz: list[int], qt: list[int]) -> "np.ndarray":
-    """Dequantize zigzag coefficients + exact float64 2-D IDCT +
-    level shift, round half up, clamp to uint8."""
-    coef = np.zeros(64, dtype=np.float64)
-    for i in range(64):
-        coef[_ZIGZAG[i]] = zz[i] * qt[_ZIGZAG[i]]
-    coef = coef.reshape(8, 8)
-    s = _DCT_C.T @ coef @ _DCT_C
-    return np.clip(np.floor(s + 128.0 + 0.5), 0, 255).astype(np.uint8)
 
 
 def _encode_scan(
@@ -1333,10 +1285,27 @@ _DEC_CACHE: "OrderedDict[bytes, tuple[int, int, int, bytes]]" = __import__(
 ).OrderedDict()
 
 
+# Per-worker hit/miss counters (observability only — round-12 verdict
+# asked the codec-memo wins to report their hit-rate so repeat-frame
+# gains are never mistaken for first-sight gains).  Read via
+# codec_cache_stats(); per-process, reset with the worker.
+_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def codec_cache_stats() -> dict:
+    s = dict(_CACHE_STATS)
+    n = s["hits"] + s["misses"]
+    s["hit_rate"] = round(s["hits"] / n, 4) if n else None
+    return s
+
+
 def _cache_get(cache, key):
     val = cache.get(key)
     if val is not None:
         cache.move_to_end(key)
+        _CACHE_STATS["hits"] += 1
+    else:
+        _CACHE_STATS["misses"] += 1
     return val
 
 
@@ -1504,8 +1473,10 @@ def _decode_jpeg_checked(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 if len(bits) < 16 or len(vals) < n:
                     raise NotImplementedError("truncated DHT")
-                tab = _huff_decode_table(bits, vals)
-                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                # (dict, 16-bit LUT) pair, memoized on the raw payload
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _dht_tables(
+                    bytes(seg[p : p + 17 + n]), bits, vals
+                )
                 p += 17 + n
         elif marker in _JPEG_SOF:
             if marker != 0xC0:
@@ -1564,49 +1535,209 @@ def _decode_jpeg_checked(data: bytes) -> tuple[int, int, int, bytes]:
     raise NotImplementedError("JPEG missing SOS scan")
 
 
-def _huff_read(br: "_BitReader", tab: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = tab.get((ln, code))
-        if sym is not None:
-            return sym
-    raise NotImplementedError("invalid Huffman code in scan")
+# 16-bit-prefix Huffman LUTs: (sym_bytes, len_bytes), each 65536 long —
+# one peek + two byte-table probes per symbol instead of up to 16
+# bit-serial dict lookups.  Canonical codes are prefix-free, so the
+# fill ranges are disjoint; len 0 = no code matches (invalid stream).
+def _huff_lut16(tab: dict) -> tuple[bytes, bytes]:
+    lsym = np.zeros(65536, dtype=np.uint8)
+    llen = np.zeros(65536, dtype=np.uint8)
+    for (ln, code), sym in tab.items():
+        start = code << (16 - ln)
+        lsym[start : start + (1 << (16 - ln))] = sym
+        llen[start : start + (1 << (16 - ln))] = ln
+    return (lsym.tobytes(), llen.tobytes())
+
+
+# (decode-table dict, LUT) memo keyed on the RAW DHT payload bytes —
+# the Annex K tables recur on every frame of every fixture, and
+# rebuilding (162 dict inserts + the LUT fill) per frame was the
+# measured fixed cost on 4-block frames.  Bounded, in-process only
+# (a fresh worker rebuilds from the stream bytes).
+_DHT_MEMO: dict[bytes, tuple[dict, tuple[bytes, bytes]]] = {}
+
+
+def _dht_tables(raw: bytes, bits: list[int], vals: list[int]):
+    hit = _DHT_MEMO.get(raw)
+    if hit is None:
+        tab = _huff_decode_table(bits, vals)
+        hit = (tab, _huff_lut16(tab))
+        if len(_DHT_MEMO) >= 64:  # corrupt-stream tables can't pile up
+            _DHT_MEMO.clear()
+        _DHT_MEMO[raw] = hit
+    return hit
 
 
 def _decode_scan(
     data: bytes, pos: int, w: int, h: int, nc: int, tabs: list
 ) -> tuple[int, int, int, bytes]:
-    br = _BitReader(data, pos)
+    """Entropy decode + batched dequant/IDCT (round-13 vectorization
+    of the bit-serial reference; same outputs, same error contract).
+
+    Three changes from the per-bit/per-block shape, per guide §4.2
+    (hand whole batches to vectorized native code):
+    1. The scan is DESTUFFED ONCE with numpy (drop the 0x00 after each
+       0xFF; the segment ends at the first real marker) instead of
+       per-byte checks inside read_bit; the end REASON is recorded so
+       running out of bits raises exactly what the serial reader
+       raised (truncated stream vs unexpected marker).
+    2. Huffman symbols decode via the 16-bit-prefix LUT — one 24-bit
+       window peek per symbol.  A code the LUT cannot match raises
+       the same "invalid Huffman code" error; consuming past the
+       segment end raises per the recorded reason (zero padding can
+       never fake a SHORTER match than the serial walk would have
+       found, because codes <= the remaining real bits see only real
+       bits).
+    3. Coefficients accumulate into one (nblocks, 64) int array per
+       component; DC prediction is a cumsum over the block-order
+       diffs; dequant, de-zigzag, the 2-D IDCT (one batched float64
+       matmul pair — identical per-slice dgemm to the per-block
+       form), rounding and the raster scatter all run once per
+       component over every block."""
+    end, reason = len(data), "truncated"
+    q = pos
+    while True:  # C-level find per 0xFF; segment ends at a real marker
+        q = data.find(b"\xff", q)
+        if q == -1:
+            break
+        if q + 1 >= len(data):
+            end = q
+            break
+        nxt = data[q + 1]
+        if nxt == 0x00:
+            q += 2  # stuffed byte
+            continue
+        end = q
+        reason = "truncated" if nxt == 0xD9 else "marker"
+        break
+    # every 0xFF inside [pos, end) is followed by 0x00 by construction,
+    # so one non-overlapping replace IS the destuff
+    D = data[pos:end].replace(b"\xff\x00", b"\xff")
+    nbits = 8 * len(D)
+    D += b"\x00\x00\x00"  # padding for the 24-bit window peek
+
+    def _need(endpos: int) -> None:
+        if endpos > nbits:
+            raise NotImplementedError(
+                "JPEG restart/unexpected marker in scan"
+                if reason == "marker"
+                else "truncated JPEG entropy stream"
+            )
+
+    def peek16(p: int) -> int:
+        i, s = p >> 3, p & 7
+        w24 = (D[i] << 16) | (D[i + 1] << 8) | D[i + 2]
+        return (w24 >> (8 - s)) & 0xFFFF
+
+    # tabs entries are ((dc_dict, dc_lut), (ac_dict, ac_lut), qt);
+    # only the LUTs drive the symbol loop
+    luts_flat = [dct[1] + act[1] for dct, act, _ in tabs]
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
-    pred = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(nc):
-                dct, act, qt = tabs[ci]
-                t = _huff_read(br, dct)
-                diff = _extend(br.read_bits(t), t)
-                pred[ci] += diff
-                zz = [0] * 64
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, act)
-                    r, t = rs >> 4, rs & 0x0F
-                    if t == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise NotImplementedError("AC run overflows block")
-                    zz[k] = _extend(br.read_bits(t), t)
-                    k += 1
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _idct_dequant(zz, qt)
+    nb = bw * bh
+    # per-component coefficient rows as plain Python lists during the
+    # sequential symbol loop (scalar numpy stores are ~4x slower);
+    # converted to one array per component for the batched math below
+    zz_all = [[0] * (64 * nb) for _ in range(nc)]
+    p = 0
+    for bi in range(nb):
+        base = bi << 6
+        for ci in range(nc):
+            dsym, dlen, asym, alen = luts_flat[ci]
+            zz = zz_all[ci]
+            # ---- DC (peek16/recv/_extend inlined: the loop runs once
+            # per SYMBOL and CPython call overhead was the hot cost)
+            i, s = p >> 3, p & 7
+            v = (
+                ((D[i] << 16) | (D[i + 1] << 8) | D[i + 2]) >> (8 - s)
+            ) & 0xFFFF
+            ln = dlen[v]
+            if ln == 0:
+                raise NotImplementedError("invalid Huffman code in scan")
+            t = dsym[v]
+            p += ln
+            if t:
+                if p + t > nbits:
+                    _need(p + t)
+                if t > 16:  # corrupt DC category: slow exact path
+                    mag = 0
+                    tt = t
+                    while tt > 16:
+                        mag = (mag << 16) | peek16(p)
+                        p, tt = p + 16, tt - 16
+                    mag = (mag << tt) | (peek16(p) >> (16 - tt))
+                    p += tt
+                else:
+                    i, s = p >> 3, p & 7
+                    mag = (
+                        (
+                            ((D[i] << 16) | (D[i + 1] << 8) | D[i + 2])
+                            >> (8 - s)
+                        )
+                        & 0xFFFF
+                    ) >> (16 - t)
+                    p += t
+                zz[base] = (
+                    mag if mag >= (1 << (t - 1)) else mag - (1 << t) + 1
                 )
+            else:
+                if p > nbits:
+                    _need(p)
+            k = 1
+            while k < 64:
+                i, s = p >> 3, p & 7
+                v = (
+                    ((D[i] << 16) | (D[i + 1] << 8) | D[i + 2])
+                    >> (8 - s)
+                ) & 0xFFFF
+                ln = alen[v]
+                if ln == 0:
+                    raise NotImplementedError(
+                        "invalid Huffman code in scan"
+                    )
+                rs = asym[v]
+                p += ln
+                t = rs & 0x0F
+                if t == 0:
+                    if p > nbits:
+                        _need(p)
+                    if rs == 0xF0:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise NotImplementedError("AC run overflows block")
+                if p + t > nbits:
+                    _need(p + t)
+                i, s = p >> 3, p & 7
+                mag = (
+                    (
+                        ((D[i] << 16) | (D[i + 1] << 8) | D[i + 2])
+                        >> (8 - s)
+                    )
+                    & 0xFFFF
+                ) >> (16 - t)
+                p += t
+                zz[base + k] = (
+                    mag if mag >= (1 << (t - 1)) else mag - (1 << t) + 1
+                )
+                k += 1
+
+    zig = np.array(_ZIGZAG, dtype=np.int64)
+    planes = []
+    for ci in range(nc):
+        zz = np.asarray(zz_all[ci], dtype=np.int64).reshape(nb, 64)
+        zz[:, 0] = np.cumsum(zz[:, 0])  # DC prediction chain
+        qt = np.asarray(tabs[ci][2], dtype=np.float64)
+        coef = np.zeros((nb, 64), dtype=np.float64)
+        coef[:, zig] = zz * qt[zig][None, :]
+        s = _DCT_C.T @ coef.reshape(nb, 8, 8) @ _DCT_C
+        px = np.clip(np.floor(s + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        planes.append(
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
     planes = [p[:h, :w] for p in planes]
     if nc == 1:
         return w, h, 1, planes[0].tobytes()

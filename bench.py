@@ -200,10 +200,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Scaling-run transparency (round-12 verdict item 2): shuffle
+    # partitions default to the core count (the long-standing local
+    # contract) but can be PINNED via env for low-core scaling A/Bs,
+    # so "fewer cores" does not also mean "fewer, better-sized
+    # partitions" in the same measurement.
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
     spark = get_spark(
         app_name="activity_classifier_spark_cassandra_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle_parts,
     )
     qs = entrymod.queries()
 
@@ -214,6 +222,53 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer)
+
+    # Calibration query (round-12 verdict item 7): fixed synthetic work
+    # independent of sf_dir, timed and REPORTED but never added to the
+    # headline total — lets cross-epoch totals be normalized instead of
+    # argued about (the documented host-epoch drift inflates identical
+    # code +30-70%).
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 64)
+            .selectExpr("xxhash64(id) % 1024 AS k", "id")
+            .groupBy("k")
+            .agg({"id": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    calib_sec = round(min(calibrate(), calibrate()), 3)
+
+    # Graph-index build accounting (round-12 verdict item 3): the
+    # session-scoped build memo means nine graph queries share one
+    # deterministic build per variant.  Warm the memos HERE, timed, so
+    # the build cost is its own visible line instead of landing inside
+    # whichever graph query happens to run first (run0), and every
+    # graph query's per-run numbers measure serving/CRUD only.  The
+    # builds are computed from the parquet inputs inside THIS timed
+    # region on every invocation — nothing persists across runs.
+    # Excluded from the headline total: the r11/r12 min-of-two totals
+    # were serving-only too (run1 always hit the memo), so including
+    # it would break cross-round total comparability.
+    def build_graphs() -> float:
+        from activity_classifier_spark_cassandra_spark.operators import (
+            graph_ann as GA,
+        )
+
+        t0 = time.perf_counter()
+        spark.sparkContext.setJobDescription("graph-index builds (memo warm)")
+        GA.memo_graph_exact(spark, sf_dir)
+        GA.memo_graph_q8(spark, sf_dir)
+        GA.memo_graph_q8_old(spark, sf_dir)
+        GA.memo_route_cents(spark, sf_dir)
+        spark.sparkContext.setJobDescription(None)
+        return time.perf_counter() - t0
+
+    graph_build_sec = round(build_graphs(), 3)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     runs: list[dict[str, float]] = [{} for _ in range(n_runs)]
@@ -239,23 +294,30 @@ def main() -> None:
     # BENCH_r{N}.json records "parsed": null (happened rounds 6-7).
     # So: full per-query map goes to a sidecar file; stdout gets ONE
     # compact line (summary + the 10 slowest) that always fits.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "n_runs": n_runs,
-                "n": len(timings),
-                "sf": sf_val,
-            },
-            fh,
-        )
-        fh.write("\n")
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "n_runs": n_runs,
+        "n": len(timings),
+        "sf": sf_val,
+        "cpus": int(cpus),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": shuffle_parts,
+        "calib_sec": calib_sec,
+        "graph_build_sec": graph_build_sec,
+    }
+    # Per-core-count detail file (round-12 verdict item 2: the c8
+    # scaling run used to clobber the c32 per-query record) plus the
+    # legacy name for anything that reads it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_DETAIL_c{int(cpus)}.json"
+    for fname in (detail_name, "BENCH_DETAIL.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(detail, fh)
+            fh.write("\n")
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -269,7 +331,11 @@ def main() -> None:
                 "n": len(timings),
                 "n_runs": n_runs,
                 "sf": sf_val,
-                "detail_file": "BENCH_DETAIL.json",
+                "cpus": int(cpus),
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "calib_sec": calib_sec,
+                "graph_build_sec": graph_build_sec,
+                "detail_file": detail_name,
             }
         )
     )

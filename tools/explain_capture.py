@@ -1,9 +1,10 @@
-"""Capture .explain("formatted") for registry queries into plans/r12/.
+"""Capture .explain("formatted") for registry queries into
+plans/$PLANS_ROUND/ (default plans/r13/).
 
 Usage: python tools/explain_capture.py <tag> <query> [query ...]
        python tools/explain_capture.py <tag> --all
 
-Writes plans/r12/<query>_<tag>.txt per query (tag = before|after).
+Writes plans/<round>/<query>_<tag>.txt per query (tag = before|after).
 Queries that drive a streaming drain or pull the plan through a
 localCheckpoint (the plan is then a checkpoint scan, not the operator
 tree) still get captured — the file records whatever plan the registry
@@ -21,11 +22,23 @@ from activity_classifier_spark_cassandra_spark.session import get_spark  # noqa:
 
 import __spark_entry__ as E  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r13"),
+)
+
+USAGE = (
+    "usage: python tools/explain_capture.py <tag> <query> [query ...]\n"
+    "       python tools/explain_capture.py <tag> --all\n"
+    "env:   PLANS_ROUND (default r13) selects plans/<round>/"
+)
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(USAGE, file=sys.stderr)
+        raise SystemExit(2)
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
